@@ -1,0 +1,128 @@
+"""Reflexible Distributed K-mer (RDK) contig extension — the heart of the
+reference (SURVEY.md §2.5 W3, §2.9 I1/I2).
+
+Reference algorithm (``DSExtendReflexivKmer``,
+``ReflexivDSDynamicKmerFirstFour.java:807-2373``;
+``ReflexivDSDynamicKmerIteration.java:465-1249``): each sequence row carries
+a "reflexiv marker" (1 = keyed by its leading (k-1)-mer, 2 = keyed by its
+trailing (k-1)-mer). Per iteration the reference globally SORTS all rows by
+the sub-k-mer and scans partitions pairing marker-2 rows with marker-1 rows
+that share the key, concatenating them; markers are re-randomized (a
+deterministic 1↔2 alternation — ``ReflexivDSDynamicKmerFirstFour.java:
+814-815,1056-1058``) so every adjacent pair has ≥1/4 probability of
+contracting per round → expected O(log n) rounds (randomized list ranking).
+
+Spark-first re-expression — ONE hash shuffle per round, no global sort:
+
+1. orientation = ``xxhash64(seq, round) % 2`` (deterministic, reproducible,
+   fresh each round — same role as the reference's alternation);
+2. key = leading (k-1)-mer for forward rows, trailing (k-1)-mer for
+   reflected rows; union both sides tagged A (reflected, path *ends* at
+   key) / B (forward, path *starts* at key);
+3. ``groupBy(key)`` hash aggregate picks the (unique) A and B row per key:
+   both present → emit the contraction ``A || substr(B, k)``; one present →
+   pass through. Map-side partial aggregation halves shuffle bytes; AQE
+   coalesces post-shuffle partitions as the working set shrinks
+   geometrically.
+
+PRECONDITION: the input graph is fork-free — every (k-1)-mer has in/out
+degree ≤ 1 (run :func:`reflexiv_spark.pipelines.assemble.prune_forks`
+first, the reference's W1/W2 stage). Fork-freeness is invariant under
+contraction, so no per-round re-checking is needed (the reference re-sorts
+and re-scans every round; we don't have to).
+
+Scale notes (100 TB): per round = one hash exchange of surviving sequences
++ an eager ``localCheckpoint`` (executor-local storage) to cut lineage —
+replacing the reference's per-step SparkSession restarts + gzip-CSV
+barriers (``Pipelines.java:832-839``). Driver traffic is one scalar count
+per ``check_every`` rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import prefix_subkmer, suffix_subkmer
+
+# Reference iteration budget: DefaultParam.java:115.
+DEFAULT_MAX_ITERATIONS = 150
+
+_PATH_STRUCT = ["seq", "left_cover", "right_cover"]
+
+
+def to_paths(kmer_counts: DataFrame) -> DataFrame:
+    """kmer counts → path rows (seq, left_cover, right_cover).
+
+    Covers start as the k-mer's own count (the reference packs marker/left/
+    right into one long — C6 ``ReflexivDSDynamicKmerRuduction.java:3250-3280``;
+    we keep real int columns, SURVEY.md §1.3).
+    """
+    return kmer_counts.select(
+        F.col("kmer").alias("seq"),
+        F.col("count").cast("int").alias("left_cover"),
+        F.col("count").cast("int").alias("right_cover"),
+    )
+
+
+def extension_round(paths: DataFrame, k: int, round_idx: int) -> DataFrame:
+    """One randomized contraction round (W3 / J1): single hash-agg shuffle.
+
+    ``paths``: DataFrame[seq, left_cover, right_cover]; every seq is a walk
+    in the k-order de Bruijn graph (length ≥ k), fork-free (see module
+    precondition).
+    """
+    fwd = F.xxhash64("seq", F.lit(round_idx)) % 2 == 0
+    tagged = paths.select(
+        F.when(fwd, prefix_subkmer("seq", k)).otherwise(
+            suffix_subkmer("seq", k)
+        ).alias("key"),
+        F.when(fwd, F.lit("B")).otherwise(F.lit("A")).alias("side"),
+        F.struct(*_PATH_STRUCT).alias("row"),
+    )
+    grouped = tagged.groupBy("key").agg(
+        F.max(F.when(F.col("side") == "A", F.col("row"))).alias("a"),
+        F.max(F.when(F.col("side") == "B", F.col("row"))).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    merged = F.struct(
+        F.concat(a["seq"], F.expr(f"substring(b.seq, {k})")).alias("seq"),
+        a["left_cover"].alias("left_cover"),
+        b["right_cover"].alias("right_cover"),
+    )
+    out_rows = (
+        F.when(a.isNotNull() & b.isNotNull(), F.array(merged))
+        .when(a.isNotNull(), F.array(a))
+        .otherwise(F.array(b))
+    )
+    return grouped.select(F.explode(out_rows).alias("r")).select(
+        F.col("r.seq").alias("seq"),
+        F.col("r.left_cover").alias("left_cover"),
+        F.col("r.right_cover").alias("right_cover"),
+    )
+
+
+def extend_to_convergence(
+    paths: DataFrame,
+    k: int,
+    max_iterations: int = DEFAULT_MAX_ITERATIONS,
+    check_every: int = 3,
+) -> DataFrame:
+    """Drive contraction rounds until the row count stops shrinking (I1/I2).
+
+    Mirrors the reference's convergence loop (``ReflexivDSMain.java:
+    297-330``): count every ``check_every`` rounds, stop when unchanged.
+    Eager per-round ``localCheckpoint`` keeps the logical plan O(1) deep.
+    """
+    current = paths.dropDuplicates(["seq"]).localCheckpoint(eager=True)
+    prev_count = current.count()
+    for i in range(1, max_iterations + 1):
+        current = extension_round(current, k, i).localCheckpoint(eager=True)
+        if i % check_every == 0:
+            n = current.count()
+            if n == prev_count:
+                # No contraction across a full window of fresh random
+                # orientations ⇒ converged.
+                break
+            prev_count = n
+    return current

@@ -1,0 +1,120 @@
+"""Single-k end-to-end assembly — ``reflexiv run`` re-expressed
+(SURVEY.md §3.2, ``ReflexivDSMain.java:188-356``).
+
+Stages:
+1. canonical k-mer counting (counter.count_kmers — A1, F1/F2)
+2. reverse-complement expansion: each canonical k-mer re-emitted in both
+   orientations (``DSKmerReverseComplement``, ``ReflexivDSMain.java:222``)
+3. fork/bubble pruning on forward and reflected sub-k-mers (W1/W2)
+4. randomized contraction to convergence (W3/I1/I2 — operators.extension)
+5. contig canonicalization + min-length filter (F5) + dedup of the
+   strand-duplicate contigs (both orientations were assembled)
+
+Output contig IDs are deterministic (dense_rank over (length desc, seq)) —
+the reference's ``zipWithIndex`` IDs are partition-order-dependent
+(FIXTURES.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import (
+    canonical_kmer,
+    prefix_subkmer,
+    reverse_complement,
+    suffix_subkmer,
+)
+from reflexiv_spark.operators.counter import (
+    DEFAULT_MAX_COVERAGE,
+    DEFAULT_MIN_COVERAGE,
+    count_kmers,
+)
+from reflexiv_spark.operators.extension import extend_to_convergence, to_paths
+from reflexiv_spark.operators.fork import filter_forks
+
+# Reference default minimum contig length: DefaultParam.java:108.
+DEFAULT_MIN_CONTIG = 500
+
+
+def expand_orientations(kmer_counts: DataFrame) -> DataFrame:
+    """Canonical counts → both orientations (step 2)."""
+    fwd = kmer_counts
+    rc = kmer_counts.select(
+        reverse_complement("kmer").alias("kmer"), F.col("count")
+    )
+    # A palindromic k-mer equals its RC — dropDuplicates keeps one copy.
+    return fwd.unionByName(rc).dropDuplicates(["kmer"])
+
+
+def prune_forks(kmers: DataFrame, k: int) -> DataFrame:
+    """W1+W2: keep the max-coverage k-mer per forward sub-k-mer, then per
+    reflected sub-k-mer — removes graph branches so contraction groups are
+    1:1 (``ReflexivDSMain.java:232-253``)."""
+    with_keys = kmers.withColumn("fwd_key", prefix_subkmer("kmer", k)).withColumn(
+        "refl_key", suffix_subkmer("kmer", k)
+    )
+    pruned = filter_forks(with_keys, "fwd_key", cover_col="count", tie_cols=("kmer",))
+    pruned = filter_forks(pruned, "refl_key", cover_col="count", tie_cols=("kmer",))
+    return pruned.drop("fwd_key", "refl_key")
+
+
+def assemble_from_counts(
+    kmer_counts: DataFrame,
+    k: int,
+    min_contig: int = DEFAULT_MIN_CONTIG,
+    max_iterations: int = 150,
+) -> DataFrame:
+    """kmer counts → DataFrame[contig_id, seq, left_cover, right_cover]."""
+    expanded = expand_orientations(kmer_counts)
+    pruned = prune_forks(expanded, k)
+    paths = to_paths(pruned.select("kmer", "count"))
+    contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)
+    contigs = (
+        contracted.where(F.length("seq") >= min_contig)
+        # Both strands were assembled; canonicalize and keep one.
+        .withColumn("seq", canonical_kmer("seq"))
+        .groupBy("seq")
+        .agg(
+            F.max("left_cover").alias("left_cover"),
+            F.max("right_cover").alias("right_cover"),
+        )
+    )
+    # Deterministic IDs: contig count is tiny relative to input (the whole
+    # point of assembly), so a single-partition rank window here is fine
+    # even at the 100 TB design point.
+    id_window = Window.orderBy(F.length("seq").desc(), F.col("seq"))
+    return contigs.select(
+        F.concat(
+            F.lit("Contig-"),
+            F.length("seq"),
+            F.lit("-"),
+            F.dense_rank().over(id_window).cast("string"),
+        ).alias("contig_id"),
+        "seq",
+        "left_cover",
+        "right_cover",
+    )
+
+
+def assemble(
+    reads: DataFrame,
+    k: int = 31,
+    min_coverage: int = DEFAULT_MIN_COVERAGE,
+    max_coverage: int = DEFAULT_MAX_COVERAGE,
+    min_contig: int = DEFAULT_MIN_CONTIG,
+    seq_col: str = "seq",
+    max_iterations: int = 150,
+) -> DataFrame:
+    """reads[seq] → contigs — the full ``reflexiv run`` equivalent."""
+    counts = count_kmers(
+        reads,
+        k,
+        seq_col=seq_col,
+        min_coverage=min_coverage,
+        max_coverage=max_coverage,
+    )
+    return assemble_from_counts(
+        counts, k, min_contig=min_contig, max_iterations=max_iterations
+    )

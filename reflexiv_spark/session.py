@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's standard configuration.
+
+The reference hand-tunes a shrinking shuffle-partition schedule and tiny
+input splits (``Pipelines.java:877-1258``, ``ReflexivDataFrameCounter.java:107``);
+we rely on AQE for both (SURVEY.md §4). Session timezone is pinned to UTC so
+results hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "reflexiv-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for the engine.
+
+    Defaults scale with the local test harness (``local[$SPARK_GRAFT_CPUS]``)
+    but every setting is cluster-appropriate: AQE handles partition
+    coalescing and skew joins at any scale, so nothing here needs retuning
+    for a 1000-executor deployment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,65 @@
+"""Extension-loop tests: contraction rounds + end-to-end assembly goldens
+(SURVEY.md §5 items 3; FIXTURES.md §8 "full single-k assembly")."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflexiv_spark.operators.extension import extension_round, extend_to_convergence, to_paths
+from reflexiv_spark.pipelines.assemble import assemble
+from tests.conftest import random_genome, revcomp, simulate_reads
+
+
+def test_single_linear_path_contracts(spark):
+    # k-mers of one 12 bp sequence, k=5: contraction must rebuild it.
+    g = "ACGTACTTGGCA"
+    k = 5
+    kmers = sorted({g[i : i + k] for i in range(len(g) - k + 1)})
+    df = spark.createDataFrame([(km, 1) for km in kmers], ["kmer", "count"])
+    paths = to_paths(df)
+    out = extend_to_convergence(paths, k, max_iterations=50)
+    seqs = {r["seq"] for r in out.collect()}
+    assert g in seqs
+    assert len(seqs) == 1
+
+
+def test_extension_round_preserves_kmer_content(spark):
+    g = random_genome(300, seed=3)
+    k = 15
+    kmers = sorted({g[i : i + k] for i in range(len(g) - k + 1)})
+    df = spark.createDataFrame([(km, 1) for km in kmers], ["kmer", "count"])
+    cur = to_paths(df)
+    for i in range(1, 4):
+        cur = extension_round(cur, k, i)
+    # Every row is still a genuine substring-walk of the genome, and the
+    # union of k-mer content is unchanged.
+    rows = [r["seq"] for r in cur.collect()]
+    regenerated = set()
+    for s in rows:
+        assert s in g, f"{s} not a substring of genome"
+        for i in range(len(s) - k + 1):
+            regenerated.add(s[i : i + k])
+    assert regenerated == set(kmers)
+
+
+@pytest.mark.parametrize("glen,k", [(2000, 21), (4576, 31)])
+def test_e2e_assembly_recovers_genome(spark, glen, k):
+    """Error-free reads at 15× → one contig equal to the genome (up to RC).
+
+    The 4576/31 case mirrors the reference's example dataset
+    (example/paired_dat*.fq.gz: one 4,576 bp contig at ~14.9×).
+    """
+    genome = random_genome(glen, seed=42)
+    reads = simulate_reads(genome, read_len=100, coverage=15, seed=42)
+    df = spark.createDataFrame([(r,) for r in reads], ["seq"])
+    contigs = assemble(df, k=k, min_coverage=2, min_contig=500).collect()
+    seqs = [r["seq"] for r in contigs]
+    canon_genome = min(genome, revcomp(genome))
+    # Coverage gaps can split the genome into a few contigs; the dominant
+    # one must reconstruct (nearly) the full genome.
+    assert seqs, "no contigs assembled"
+    longest = max(seqs, key=len)
+    assert len(longest) >= glen * 0.95
+    assert longest in canon_genome or longest in revcomp(canon_genome)
+    # All contigs must be genuine genome substrings (no chimeras).
+    for s in seqs:
+        assert s in genome or revcomp(s) in genome
