@@ -78,7 +78,10 @@ def explode_kmers(
     cols = [F.col(c) for c in (keep_cols or [])]
     out = (
         df.where(F.length(seq_col) >= k)
-        .select(*cols, F.explode(kmer_array(seq_col, k)).alias(out_col))
+        # Uppercase before windowing: reverse_complement handles lowercase
+        # but the drop_invalid rlike and canonical compare are case-
+        # sensitive — un-uppercased input would silently lose k-mers.
+        .select(*cols, F.explode(kmer_array(F.upper(F.col(seq_col)), k)).alias(out_col))
     )
     if drop_invalid:
         out = out.where(~F.col(out_col).rlike("[^ACGT]"))

@@ -107,22 +107,33 @@ def extend_to_convergence(
     k: int,
     max_iterations: int = DEFAULT_MAX_ITERATIONS,
     check_every: int = 3,
+    min_iterations: int = 15,
 ) -> DataFrame:
     """Drive contraction rounds until the row count stops shrinking (I1/I2).
 
     Mirrors the reference's convergence loop (``ReflexivDSMain.java:
     297-330``): count every ``check_every`` rounds, stop when unchanged.
     Eager per-round ``localCheckpoint`` keeps the logical plan O(1) deep.
+
+    A remaining joinable pair survives one random-orientation round with
+    probability 3/4, so a single unchanged ``check_every`` window is weak
+    evidence of convergence ((3/4)^3 ≈ 42%). We therefore require TWO
+    consecutive unchanged windows ((3/4)^6 ≈ 18% false-stop per straggling
+    pair) and never stop before ``min_iterations`` (the reference gates the
+    same check behind minimumIteration = 15, ``DefaultParam.java:116``).
     """
     current = paths.dropDuplicates(["seq"]).localCheckpoint(eager=True)
     prev_count = current.count()
+    unchanged_windows = 0
     for i in range(1, max_iterations + 1):
         current = extension_round(current, k, i).localCheckpoint(eager=True)
         if i % check_every == 0:
             n = current.count()
             if n == prev_count:
-                # No contraction across a full window of fresh random
-                # orientations ⇒ converged.
-                break
+                unchanged_windows += 1
+                if unchanged_windows >= 2 and i >= min_iterations:
+                    break
+            else:
+                unchanged_windows = 0
             prev_count = n
     return current

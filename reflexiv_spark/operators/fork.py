@@ -30,14 +30,23 @@ def filter_forks(
 
     Ordering: coverage desc, then ``tie_cols`` desc (the reference breaks
     ties toward the larger extension), deterministic.
+
+    ``min_winner_cover`` mirrors the reference's ``minErrorCoverage`` gate
+    (4× min coverage, ``DefaultParam.java:106``): it applies **only to rows
+    that won an actual fork** (group size > 1) — a low-coverage branch that
+    beat competitors is suspect, but an unforked low-coverage k-mer is kept
+    (``DSFilterForkSubKmer``, ``ReflexivDSKmerLeftAndRightSorting.java:426-624``).
     """
     order = [F.col(cover_col).desc()] + [F.col(c).desc() for c in tie_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
+    wg = Window.partitionBy(key_col)
     out = (
         df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wg))
         .where(F.col("__rn") == 1)
-        .drop("__rn")
     )
     if min_winner_cover is not None:
-        out = out.where(F.col(cover_col) >= min_winner_cover)
-    return out
+        out = out.where(
+            (F.col("__n") == 1) | (F.col(cover_col) >= min_winner_cover)
+        )
+    return out.drop("__rn", "__n")

@@ -48,15 +48,29 @@ def expand_orientations(kmer_counts: DataFrame) -> DataFrame:
     return fwd.unionByName(rc).dropDuplicates(["kmer"])
 
 
-def prune_forks(kmers: DataFrame, k: int) -> DataFrame:
+def prune_forks(
+    kmers: DataFrame, k: int, min_error_coverage: int | None = None
+) -> DataFrame:
     """W1+W2: keep the max-coverage k-mer per forward sub-k-mer, then per
     reflected sub-k-mer — removes graph branches so contraction groups are
-    1:1 (``ReflexivDSMain.java:232-253``)."""
+    1:1 (``ReflexivDSMain.java:232-253``).
+
+    ``min_error_coverage`` is the reference's error-branch gate (default
+    4× min coverage, ``DefaultParam.java:106``): a k-mer that *wins* a fork
+    but has coverage below it is discarded as a likely sequencing-error
+    branch; unforked k-mers are unaffected.
+    """
     with_keys = kmers.withColumn("fwd_key", prefix_subkmer("kmer", k)).withColumn(
         "refl_key", suffix_subkmer("kmer", k)
     )
-    pruned = filter_forks(with_keys, "fwd_key", cover_col="count", tie_cols=("kmer",))
-    pruned = filter_forks(pruned, "refl_key", cover_col="count", tie_cols=("kmer",))
+    pruned = filter_forks(
+        with_keys, "fwd_key", cover_col="count", tie_cols=("kmer",),
+        min_winner_cover=min_error_coverage,
+    )
+    pruned = filter_forks(
+        pruned, "refl_key", cover_col="count", tie_cols=("kmer",),
+        min_winner_cover=min_error_coverage,
+    )
     return pruned.drop("fwd_key", "refl_key")
 
 
@@ -65,10 +79,11 @@ def assemble_from_counts(
     k: int,
     min_contig: int = DEFAULT_MIN_CONTIG,
     max_iterations: int = 150,
+    min_error_coverage: int | None = None,
 ) -> DataFrame:
     """kmer counts → DataFrame[contig_id, seq, left_cover, right_cover]."""
     expanded = expand_orientations(kmer_counts)
-    pruned = prune_forks(expanded, k)
+    pruned = prune_forks(expanded, k, min_error_coverage=min_error_coverage)
     paths = to_paths(pruned.select("kmer", "count"))
     contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)
     contigs = (
@@ -106,8 +121,16 @@ def assemble(
     min_contig: int = DEFAULT_MIN_CONTIG,
     seq_col: str = "seq",
     max_iterations: int = 150,
+    min_error_coverage: int | None = None,
 ) -> DataFrame:
-    """reads[seq] → contigs — the full ``reflexiv run`` equivalent."""
+    """reads[seq] → contigs — the full ``reflexiv run`` equivalent.
+
+    ``min_error_coverage`` defaults to 4× ``min_coverage`` like the
+    reference (``DefaultParam.java:106``); pass 0/None semantics via an
+    explicit value to disable.
+    """
+    if min_error_coverage is None:
+        min_error_coverage = 4 * min_coverage
     counts = count_kmers(
         reads,
         k,
@@ -116,5 +139,9 @@ def assemble(
         max_coverage=max_coverage,
     )
     return assemble_from_counts(
-        counts, k, min_contig=min_contig, max_iterations=max_iterations
+        counts,
+        k,
+        min_contig=min_contig,
+        max_iterations=max_iterations,
+        min_error_coverage=min_error_coverage,
     )

@@ -121,6 +121,9 @@ def write_fasta(df: DataFrame, path: str, id_col: str = "id", seq_col: str = "se
     (``ReflexivDSMain.java:773-790``). IDs are taken from ``id_col`` —
     deterministic, unlike the reference's ``zipWithIndex`` numbering
     (FIXTURES.md §6 determinism note)."""
+    # sequence(1, 0) is an illegal range in Spark — one empty-seq row would
+    # fail the whole write job, so drop them up front.
+    df = df.where(F.length(seq_col) > 0)
     wrapped = df.select(
         F.concat(
             F.lit(">"),
