@@ -238,6 +238,127 @@ def q_fasta_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — datapipe surface (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: exact dedup on normalized text (keep smallest id)."""
+    from reflexiv_spark.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def q_contained_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe/genomics shared kernel: containment dedup (A3/J7/W7 shape)."""
+    from reflexiv_spark.datapipe.dedup import drop_contained
+
+    return drop_contained(_t(spark, sf_dir, "documents"), w=20).select("doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: exact n-gram Jaccard similar pairs (inverted index)."""
+    from reflexiv_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), w=8, threshold=0.5
+    )
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: MinHash/LSH near-dup pairs (rows-only: hash fns are not
+    SQL-reproducible)."""
+    from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), w=8, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: SimHash near-dup pairs (rows-only)."""
+    from reflexiv_spark.datapipe.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: per-document surface statistics."""
+    from reflexiv_spark.datapipe.text import text_stats
+
+    df = text_stats(_t(spark, sf_dir, "documents"))
+    casts = [
+        F.col(c).cast("bigint").alias(c)
+        for c in ("n_chars", "n_tokens", "n_alnum", "n_punct", "n_digits", "n_spaces")
+    ]
+    return df.select("doc_id", *casts, "avg_token_len")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: whitespace + BPE-ish token counting."""
+    from reflexiv_spark.datapipe.text import token_count
+
+    df = token_count(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        *[F.col(c).cast("bigint").alias(c) for c in ("ws_tokens", "re_tokens", "word_tokens")],
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: stopword-heuristic language ID."""
+    from reflexiv_spark.datapipe.text import language_id
+
+    df = language_id(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        *[F.col(c).cast("bigint").alias(c) for c in ("s_en", "s_de", "s_fr", "s_es")],
+        "pred_lang",
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: composite quality scoring."""
+    from reflexiv_spark.datapipe.text import quality_score
+
+    df = quality_score(_t(spark, sf_dir, "documents"))
+    return df.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: winnowing-style min-MD5 shingle fingerprint."""
+    from reflexiv_spark.datapipe.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"), w=16)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: brute-force cosine top-3 neighbors per vector."""
+    from reflexiv_spark.datapipe.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: LSH-bucketed approximate NN (rows-only: random planes)."""
+    from reflexiv_spark.datapipe.similarity import ann_topk
+
+    return ann_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=8, n_probes=2
+    )
+
+
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
+    from reflexiv_spark.datapipe.multimodal import blob_meta
+
+    blobs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.encode("text", "UTF-8").alias("blob")
+    )
+    return blob_meta(blobs).select("id", F.col("byte_len").cast("bigint").alias("byte_len"), "digest")
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -263,6 +384,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
         "fasta_wrap": q_fasta_wrap,
+        "exact_dedup": q_exact_dedup,
+        "contained_dedup": q_contained_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_dup": q_simhash_dup,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+        "binary_meta": q_binary_meta,
     }
 
 
@@ -353,5 +487,95 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(1, length(text), 100),"
             " i -> substr(text, CAST(i AS INT), 100)), chr(10)) AS wrapped"
             " FROM documents WHERE length(text) > 0"
+        ),
+        "exact_dedup": (
+            "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
+            r"PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+            " ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+        ),
+        "contained_dedup": (
+            "SELECT d.doc_id FROM documents d WHERE NOT EXISTS ("
+            "SELECT 1 FROM documents e WHERE e.doc_id != d.doc_id"
+            " AND contains(e.text, d.text)"
+            " AND (length(e.text) > length(d.text)"
+            " OR (length(e.text) = length(d.text) AND e.doc_id < d.doc_id)))"
+        ),
+        "ngram_jaccard": (
+            "WITH sh AS (SELECT DISTINCT doc_id AS id,"
+            " substr(text, CAST(i AS INT), 8) AS sh FROM documents,"
+            " unnest(generate_series(1, length(text) - 7)) AS t(i)"
+            " WHERE length(text) >= 8), "
+            "sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+            "it AS (SELECT a.id AS id1, b.id AS id2, count(*) AS inter"
+            " FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2) "
+            "SELECT id1, id2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard"
+            " FROM it JOIN sz s1 ON it.id1 = s1.id JOIN sz s2 ON it.id2 = s2.id"
+            " WHERE inter / (s1.n + s2.n - inter) >= 0.5"
+        ),
+        "text_stats": (
+            "WITH c AS (SELECT doc_id, length(text) AS n_chars,"
+            r" length(regexp_extract_all(text, '\S+')) AS n_tokens,"
+            " length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,"
+            r" length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,"
+            " length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,"
+            r" length(text) - length(regexp_replace(text, '\s', '', 'g'))"
+            " AS n_spaces FROM documents) "
+            "SELECT doc_id, n_chars, n_tokens, n_alnum, n_punct, n_digits,"
+            " n_spaces, round((n_chars - n_spaces) / greatest(n_tokens, 1), 4)"
+            " AS avg_token_len FROM c"
+        ),
+        "token_count": (
+            "SELECT doc_id,"
+            r" length(regexp_extract_all(text, '\S+')) AS ws_tokens,"
+            r" length(regexp_extract_all(text, '\w+|[^\w\s]')) AS re_tokens,"
+            r" length(regexp_extract_all(text, '\w+')) AS word_tokens"
+            " FROM documents"
+        ),
+        "lang_id": (
+            "WITH s AS (SELECT doc_id,"
+            r" length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that)\b')) AS s_en,"
+            r" length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS s_de,"
+            r" length(regexp_extract_all(lower(text), '\b(le|les|une|est|et|dans|que)\b')) AS s_fr,"
+            r" length(regexp_extract_all(lower(text), '\b(el|los|una|es|y|en|que)\b')) AS s_es"
+            " FROM documents) "
+            "SELECT doc_id, s_en, s_de, s_fr, s_es,"
+            " CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'"
+            " WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+            " WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang FROM s"
+        ),
+        "quality_score": (
+            "WITH c AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,"
+            r" length(regexp_extract_all(text, '\S+')) AS n_tokens,"
+            r" length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that)\b')) AS stop_hits,"
+            r" length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,"
+            " length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits"
+            " FROM documents) "
+            "SELECT doc_id, n_tokens,"
+            " round(least(1.0, n_tokens / 50.0) * 0.3"
+            " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
+            " + (1.0 - n_punct / n_chars) * 0.2"
+            " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality FROM c"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, list_aggregate(list_transform("
+            "generate_series(1, length(text) - 15),"
+            " i -> md5(substr(text, CAST(i AS INT), 16))), 'min') AS fingerprint"
+            " FROM documents WHERE length(text) >= 16"
+        ),
+        "embedding_topk": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings), "
+            "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+            "p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,"
+            " round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS score"
+            " FROM n a JOIN n b ON a.vec_id != b.vec_id) "
+            "SELECT vec_id, neighbor_id, score FROM ("
+            "SELECT vec_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn FROM p)"
+            " WHERE rn <= 3"
+        ),
+        "binary_meta": (
+            "SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,"
+            " md5(text) AS digest FROM documents"
         ),
     }

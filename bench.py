@@ -33,7 +33,13 @@ HEADLINE = [
     "exact_dedup",
     "minhash_near_dup",
     "text_stats",
-    "embedding_topk",
+    # ann_lsh, not embedding_topk: the brute-force cosine is the O(n²)
+    # correctness baseline; the LSH-bucketed path is the scale design.
+    # Likewise ngram_jaccard (exact inverted-index join, hot-shingle
+    # quadratic) stays a correctness entry; minhash_near_dup is its
+    # scale-path headline.
+    "ann_lsh",
+    "contained_dedup",
 ]
 
 

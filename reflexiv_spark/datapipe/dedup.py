@@ -1,0 +1,365 @@
+"""Deduplication operators: exact, containment, MinHash/LSH, SimHash,
+exact n-gram Jaccard.
+
+Scale design (100 TB): every operator here is bucketed — candidate pairs
+come from equality joins on shingles / band signatures / hash chunks, never
+from an all-pairs product. The exact containment kernel generalizes the
+reference's contig dedup (marker k-mers → groupBy → containment scan,
+``ReflexivDSDynamicKmerDedup.java:203-280``): the candidate index is the
+full shingle set, the probe is each doc's *minimum* shingle (any container
+must contain every shingle of the containee, in particular its minimum),
+and a final ``contains`` verify removes false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for exact dedup: lowercase, trim, collapse
+    whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def shingle_array(col: Column | str, w: int) -> Column:
+    """All character w-shingles of a string column (Catalyst-only)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(w - 1)),
+        lambda i: c.substr(i, F.lit(w)),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per normalized text (smallest id wins).
+
+    One hash shuffle on the normalized text. Partitioning directly on the
+    text column costs the same shuffle volume as partitioning on a hash of
+    it (the rows carry the text either way) and avoids hash-collision
+    false merges.
+    """
+    w = Window.partitionBy(normalize_text(text_col)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def drop_contained(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 20,
+) -> DataFrame:
+    """Remove rows whose text is a substring of another row's text.
+
+    Drop rule (deterministic): row d is dropped iff some row D has
+    ``contains(D.text, d.text)`` and (``len(D) > len(d)``, or lengths are
+    equal — hence texts equal — and ``D.id < d.id``).
+
+    Bucketed exactness: the index side explodes ALL w-shingles of every
+    text; the probe side joins each text's MIN w-shingle — guaranteed to
+    hit every true container — then verifies with ``contains``. Rows
+    shorter than ``w`` are broadcast against the full set (they are rare
+    and tiny by definition).
+    """
+    t, i = F.col(text_col), F.col(id_col)
+    base = df.select(i.alias("__id"), t.alias("__text"), F.length(t).alias("__len"))
+    long_rows = base.where(F.col("__len") >= w)
+    short_rows = base.where((F.col("__len") < w) & (F.col("__len") > 0))
+
+    # Candidate generation joins (id, shingle) pairs ONLY — texts rejoin
+    # by id afterwards, so the shingle explode never shuffles document
+    # bodies (at sf0.1 that cuts the exchange from GBs to MBs). Sides
+    # derive from the same plan — alias-qualify to avoid self-join
+    # attribute ambiguity.
+    idx = long_rows.select(
+        F.col("__id").alias("sup_id"),
+        F.col("__len").alias("sup_len"),
+        F.explode(F.array_distinct(shingle_array("__text", w))).alias("sh"),
+    ).alias("Dside")
+    probe = long_rows.select(
+        F.col("__id").alias("sub_id"),
+        F.col("__len").alias("sub_len"),
+        F.array_min(shingle_array("__text", w)).alias("sh"),
+    ).alias("pside")
+    len_pred = (F.col("Dside.sup_id") != F.col("pside.sub_id")) & (
+        (F.col("Dside.sup_len") > F.col("pside.sub_len"))
+        | (
+            (F.col("Dside.sup_len") == F.col("pside.sub_len"))
+            & (F.col("Dside.sup_id") < F.col("pside.sub_id"))
+        )
+    )
+    cand = (
+        probe.join(idx, F.col("pside.sh") == F.col("Dside.sh"))
+        .where(len_pred)
+        .select("sub_id", "sup_id")
+        .dropDuplicates()
+    )
+    sub_texts = long_rows.select(
+        F.col("__id").alias("sub_id"), F.col("__text").alias("sub_text")
+    )
+    sup_texts = long_rows.select(
+        F.col("__id").alias("sup_id"), F.col("__text").alias("sup_text")
+    )
+    dropped_long = (
+        cand.join(sub_texts, "sub_id")
+        .join(sup_texts, "sup_id")
+        .where(F.contains(F.col("sup_text"), F.col("sub_text")))
+        .select(F.col("sub_id").alias("__id"))
+    )
+    # Short rows: broadcast the (tiny) short side against every row. Both
+    # sides derive from `base`, so qualify with aliases to avoid Spark's
+    # self-join attribute ambiguity.
+    short_probe = short_rows.select(
+        F.col("__id").alias("sub_id"),
+        F.col("__text").alias("sub_text"),
+        F.col("__len").alias("sub_len"),
+    ).alias("pside")
+    dropped_short = (
+        base.alias("Dside")
+        .join(F.broadcast(short_probe))
+        .where(
+            (F.col("Dside.__id") != F.col("pside.sub_id"))
+            & (
+                (F.col("Dside.__len") > F.col("pside.sub_len"))
+                | (
+                    (F.col("Dside.__len") == F.col("pside.sub_len"))
+                    & (F.col("Dside.__id") < F.col("pside.sub_id"))
+                )
+            )
+            & F.contains(F.col("Dside.__text"), F.col("pside.sub_text"))
+        )
+        .select(F.col("pside.sub_id").alias("__id"))
+    )
+    dropped = dropped_long.unionByName(dropped_short).distinct()
+    return (
+        df.join(dropped, i == dropped["__id"], "left_anti")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index.
+
+    Returns DataFrame[id1, id2, jaccard] with id1 < id2. Exact (no
+    hashing): candidate pairs come from the shingle equi-join; the
+    per-pair intersection count and the per-doc set sizes yield Jaccard
+    directly. Scale path for very hot shingles is the MinHash variant
+    (:func:`minhash_lsh_pairs`); this operator is the oracle-checkable
+    exact form.
+    """
+    t, i = F.col(text_col), F.col(id_col)
+    sh = (
+        df.where(F.length(t) >= w)
+        .select(i.alias("id"), F.explode(F.array_distinct(shingle_array(text_col, w))).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id1"), "sh")
+    b = sh.select(F.col("id").alias("id2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .where(jac >= threshold)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """DataFrame[id, sig: array<bigint>] MinHash signatures.
+
+    One shuffle: explode distinct shingles, then a single groupBy computing
+    all ``num_hashes`` minima as independent agg expressions (map-side
+    partial aggregation keeps shuffle volume at num_hashes longs per doc
+    per partition).
+    """
+    sh = (
+        df.where(F.length(text_col) >= w)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingle_array(text_col, w))).alias("sh"),
+        )
+    )
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding (LSH).
+
+    DataFrame[id1, id2, est_jaccard]: candidates share at least one band
+    signature (bucketed equi-join — never all-pairs); est_jaccard is the
+    fraction of agreeing signature positions. With 64 hashes / 16 bands
+    (r=4), P(candidate) = 1-(1-j^4)^16 — steep around j≈0.5.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, w, num_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    ).select("id", "sig", "band_idx", "band_key")
+    a = banded.select(
+        F.col("id").alias("id1"), F.col("sig").alias("sig1"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col("id").alias("id2"), F.col("sig").alias("sig2"), "band_idx", "band_key"
+    )
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sig1", "sig2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        cands.select(
+            "id1", "id2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Drop every row that has a near-duplicate with a smaller id."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, w, num_hashes, bands, threshold)
+    dropped = pairs.select(F.col("id2").alias("__drop")).distinct()
+    return df.join(dropped, F.col(id_col) == F.col("__drop"), "left_anti")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame[id, simhash: bigint] — 63-bit SimHash over word tokens.
+
+    Per token, xxhash64 supplies the bit pattern; each bit position
+    accumulates +1/-1 across tokens and the sign becomes the output bit
+    (bit 63 unused to stay in positive long range). Single shuffle with 63
+    partial-aggregated sums.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)
+        ]
+    )
+    sim = None
+    for i in range(63):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, banded on 16-bit chunks.
+
+    Two 63-bit hashes within Hamming distance 3 must agree on at least one
+    of the four 16-bit chunks (pigeonhole), so candidates come from a
+    chunk equi-join — never all-pairs.
+    """
+    sims = simhash64(df, text_col, id_col)
+    chunked = sims.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF))
+                    for j in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(
+        F.col("id").alias("id1"), F.col("simhash").alias("s1"), "chunk_idx", "chunk"
+    )
+    b = chunked.select(
+        F.col("id").alias("id2"), F.col("simhash").alias("s2"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

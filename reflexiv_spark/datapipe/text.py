@@ -1,0 +1,148 @@
+"""Text analysis operators: stats, language ID, quality scoring, token
+counting, fingerprinting.
+
+All Catalyst-only (regexp/length/transform expressions — whole-stage
+codegen, no Python in the hot path). Every operator is embarrassingly
+parallel per row: no shuffle at all, so they scale linearly with input
+splits at any data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword sets for the n-gram-free language heuristic. Deliberately tiny:
+# the point is a cheap, deterministic, SQL-expressible scorer.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "une", "est", "et", "dans", "que"),
+    "es": ("el", "los", "una", "es", "y", "en", "que"),
+}
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    return _count_matches(F.lower(col), r"\b(" + "|".join(words) + r")\b")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document surface statistics.
+
+    Token = maximal non-whitespace run (``\\S+``) — identical semantics in
+    Java regex and RE2, so the oracle can reproduce it.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = _count_matches(t, r"\S+")
+    n_alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    n_punct = _count_matches(t, r"[^\w\s]")
+    n_digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    avg_token_len = F.round(
+        (n_chars - n_spaces) / F.greatest(n_tokens, F.lit(1)), 4
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_alnum.alias("n_alnum"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_spaces.alias("n_spaces"),
+        avg_token_len.alias("avg_token_len"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace and BPE-ish tokenization counts.
+
+    ``re_tokens`` uses the GPT-style pre-tokenizer shape — word runs or
+    single non-word-non-space symbols (``\\w+|[^\\w\\s]``).
+    """
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        _count_matches(t, r"\S+").alias("ws_tokens"),
+        _count_matches(t, r"\w+|[^\w\s]").alias("re_tokens"),
+        _count_matches(t, r"\w+").alias("word_tokens"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID via stopword-hit scoring.
+
+    Deterministic argmax with fixed precedence en > de > fr > es on ties.
+    """
+    t = F.col(text_col)
+    scores = {
+        lang: _stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    s_en, s_de, s_fr, s_es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    pred = (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        F.col(id_col),
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        s_es.alias("s_es"),
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite document-quality score in [0, 1].
+
+    0.3·min(1, tokens/50) + 0.3·stopword-ratio + 0.2·(1 − punct-ratio)
+    + 0.2·(1 − digit-ratio). Cheap, deterministic, SQL-expressible — the
+    shape of a Gopher/C4-style quality filter.
+    """
+    t = F.col(text_col)
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_tokens = _count_matches(t, r"\S+")
+    stop_hits = _stopword_hits(t, LANG_STOPWORDS["en"])
+    punct_ratio = _count_matches(t, r"[^\w\s]") / n_chars
+    digit_ratio = F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.3
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - punct_ratio) * 0.2
+        + (F.lit(1.0) - digit_ratio) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 16
+) -> DataFrame:
+    """Winnowing-style fingerprint: min MD5 over all w-shingles.
+
+    Content-defined (shift-invariant): unaffected by document
+    concatenation order, stable under prefix/suffix edits away from the
+    minimizing shingle — the standard building block for near-dup corpus
+    bookkeeping at scale.
+    """
+    t = F.col(text_col)
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(w - 1)),
+            lambda i: F.md5(t.substr(i, F.lit(w))),
+        )
+    )
+    return df.where(F.length(t) >= w).select(
+        F.col(id_col), fp.alias("fingerprint")
+    )

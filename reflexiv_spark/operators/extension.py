@@ -65,17 +65,23 @@ def to_paths(kmer_counts: DataFrame) -> DataFrame:
     )
 
 
-def extension_round(paths: DataFrame, k: int, round_idx: int) -> DataFrame:
+def extension_round(
+    paths: DataFrame, k: int, round_idx: int, overlap: int | None = None
+) -> DataFrame:
     """One randomized contraction round (W3 / J1): single hash-agg shuffle.
 
     ``paths``: DataFrame[seq, left_cover, right_cover]; every seq is a walk
     in the k-order de Bruijn graph (length ≥ k), fork-free (see module
-    precondition).
+    precondition). ``overlap`` (default k-1) is the number of bases shared
+    between a mergeable suffix/prefix pair — the junction-fixing stage
+    reuses this kernel with overlap = its fixed 31-mer size
+    (``ReflexivDSDynamicKmerFixing.java:191-257``).
     """
+    o = (k - 1) if overlap is None else overlap
     fwd = F.xxhash64("seq", F.lit(round_idx)) % 2 == 0
     tagged = paths.select(
-        F.when(fwd, prefix_subkmer("seq", k)).otherwise(
-            suffix_subkmer("seq", k)
+        F.when(fwd, prefix_subkmer("seq", o + 1)).otherwise(
+            suffix_subkmer("seq", o + 1)
         ).alias("key"),
         F.when(fwd, F.lit("B")).otherwise(F.lit("A")).alias("side"),
         F.struct(*_PATH_STRUCT).alias("row"),
@@ -86,7 +92,7 @@ def extension_round(paths: DataFrame, k: int, round_idx: int) -> DataFrame:
     )
     a, b = F.col("a"), F.col("b")
     merged = F.struct(
-        F.concat(a["seq"], F.expr(f"substring(b.seq, {k})")).alias("seq"),
+        F.concat(a["seq"], F.expr(f"substring(b.seq, {o + 1})")).alias("seq"),
         a["left_cover"].alias("left_cover"),
         b["right_cover"].alias("right_cover"),
     )

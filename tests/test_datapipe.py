@@ -1,0 +1,137 @@
+"""Datapipe operator tests: planted duplicates/neighbors with known truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.dedup import (
+    drop_contained,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from reflexiv_spark.datapipe.multimodal import blob_meta, decode_images, sample_audio_frames
+from reflexiv_spark.datapipe.similarity import ann_topk, cosine_topk
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    words = ["alpha", "bravo", "chart", "delta", "echo", "fox", "golf", "hotel"]
+    return " ".join(rng.choice(words) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rng = random.Random(7)
+    base = [_rand_text(rng, 40) for _ in range(20)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # exact duplicate of doc 0
+    rows.append((100, base[0]))
+    # near-duplicate of doc 1: change one word
+    toks = base[1].split()
+    toks[5] = "zulu"
+    rows.append((101, " ".join(toks)))
+    # containment: doc 102 is a substring of doc 2
+    rows.append((102, base[2][10:90]))
+    # unrelated short doc
+    rows.append((103, "tiny"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_drops_planted_duplicate(doc_df):
+    kept = {r.doc_id for r in exact_dedup(doc_df).collect()}
+    assert 0 in kept and 100 not in kept
+    assert 101 in kept  # near-dup is NOT an exact dup
+
+
+def test_drop_contained_removes_substring_doc(doc_df):
+    kept = {r.doc_id for r in drop_contained(doc_df, w=20).collect()}
+    assert 102 not in kept  # planted contained doc
+    assert 100 not in kept or 0 not in kept  # exact dup: one copy dropped
+    assert 1 in kept and 101 in kept
+
+
+def test_minhash_finds_planted_near_dup(doc_df):
+    pairs = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(doc_df, w=8, threshold=0.5).collect()
+    }
+    assert (0, 100) in pairs  # exact dup → jaccard 1.0
+    assert (1, 101) in pairs  # one-word edit → high jaccard
+    # unrelated docs should not flood the result
+    assert len(pairs) < 20
+
+
+def test_ngram_jaccard_exact_values(doc_df):
+    rows = {(r.id1, r.id2): r.jaccard for r in ngram_jaccard_pairs(doc_df, w=8, threshold=0.5).collect()}
+    assert rows[(0, 100)] == 1.0
+    assert 0.5 <= rows[(1, 101)] < 1.0
+
+
+def test_simhash_pairs_planted(doc_df):
+    pairs = {(r.id1, r.id2) for r in simhash_pairs(doc_df, max_hamming=3).collect()}
+    assert (0, 100) in pairs  # identical text → hamming 0
+    assert (1, 101) in pairs  # one-token edit → tiny hamming
+
+
+def test_cosine_topk_and_ann_recall(spark):
+    rng = random.Random(11)
+    # 3 well-separated clusters of 10 vectors each
+    rows = []
+    for c in range(3):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for i in range(10):
+            v = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append((c * 10 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = cosine_topk(df, k=3)
+    exact_map = {}
+    for r in exact.collect():
+        exact_map.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    # top neighbors must come from the same cluster
+    for vid, nbrs in exact_map.items():
+        assert all(n // 10 == vid // 10 for n in nbrs)
+    approx = ann_topk(df, dim=16, k=3, n_planes=6, n_probes=3)
+    approx_map = {}
+    for r in approx.collect():
+        approx_map.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_map[v] & approx_map.get(v, set())) for v in exact_map)
+    total = sum(len(s) for s in exact_map.values())
+    assert hits / total >= 0.8  # multi-probe LSH recall on separated clusters
+
+
+def test_blob_meta_and_format_sniff(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"x" * 100
+    jpg = b"\xff\xd8\xff\xe0" + b"y" * 50
+    txt = b"hello world"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg)), (3, bytearray(txt))],
+        "id long, blob binary",
+    )
+    rows = {r.id: r for r in blob_meta(df).collect()}
+    assert rows[1].format == "png" and rows[1].byte_len == 108
+    assert rows[2].format == "jpeg"
+    assert rows[3].format == "unknown"
+
+
+def test_decode_images_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 640)), (2, bytearray(b"b" * 1300))],
+        "id long, blob binary",
+    )
+    out = {r.id: r for r in decode_images(df, fake=True).collect()}
+    assert out[1].width == 1 and out[1].channels == 2  # 640%640+1, 640%3+1
+    assert out[2].height == (1300 // 7) % 480 + 1
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        decode_images(df, fake=False).collect()
+
+
+def test_audio_frame_fanout(spark):
+    df = spark.createDataFrame([(1, bytearray(b"z" * 2500))], "id long, blob binary")
+    out = sample_audio_frames(df, frame_bytes=1024, fake=True).collect()
+    assert len(out) == 3  # 2500 bytes → 3 frames
+    assert sorted(r.frame_idx for r in out) == [0, 1, 2]
+    assert {r.n_samples for r in out} == {512, 512, 226}
