@@ -238,6 +238,66 @@ def q_fasta_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — multi-k / dedup / mercy / merger / fixing operator surface
+# ---------------------------------------------------------------------------
+
+
+def q_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W4: drop short-k k-mers covered by a longer k-mer's ends."""
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.reduction import reduce_kmer_sets
+
+    dna = _dna(spark, sf_dir)
+    c11 = count_kmers(dna, 11, min_coverage=2)
+    c15 = count_kmers(dna, 15, min_coverage=2)
+    return reduce_kmer_sets(c11, c15, 11, 15)
+
+
+def q_mercy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/J5: rescue k-mers in intra-read coverage gaps (gap rule
+    k-1 ≤ g ≤ k+1 skipped as error footprints)."""
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.mercy import mercy_kmers
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+    )
+    solid = count_kmers(docs, 15, min_coverage=2)
+    return mercy_kmers(docs, solid, 15, read_id_col="doc_id")
+
+
+def q_contig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/J7/W7: RC-aware containment dedup of contig-like sequences."""
+    from reflexiv_spark.operators.dedup import drop_contained_contigs
+
+    dna = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("contig_id"),
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+    ).where(F.length("seq") > 0)
+    return drop_contained_contigs(dna, w=15).select("contig_id")
+
+
+def q_contig_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (merger kernel): best suffix→prefix overlap per contig pair."""
+    from reflexiv_spark.operators.merger import overlap_pairs
+
+    dna = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("contig_id"),
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+    )
+    return overlap_pairs(dna, min_overlap=8, seed_k=8, searchable_len=None)
+
+
+def q_junction_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (fixing kernel): contig-end k-mer support counts."""
+    from reflexiv_spark.operators.fixing import junction_support
+
+    dna = _dna(spark, sf_dir)
+    return junction_support(dna, fix_k=15)
+
+
+# ---------------------------------------------------------------------------
 # queries — datapipe surface (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
@@ -384,6 +444,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
         "fasta_wrap": q_fasta_wrap,
+        "reduction": q_reduction,
+        "mercy": q_mercy,
+        "contig_dedup": q_contig_dedup,
+        "contig_merge": q_contig_merge,
+        "junction_support": q_junction_support,
         "exact_dedup": q_exact_dedup,
         "contained_dedup": q_contained_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -487,6 +552,77 @@ def oracle_sql() -> dict[str, str]:
             "generate_series(1, length(text), 100),"
             " i -> substr(text, CAST(i AS INT), 100)), chr(10)) AS wrapped"
             " FROM documents WHERE length(text) > 0"
+        ),
+        "reduction": (
+            f"WITH {_SQL_DNA}, "
+            + _sql_counts(11, min_cov=2, name="c11")
+            + ", "
+            + _sql_counts(15, min_cov=2, name="c15")
+            + ", ends AS (SELECT DISTINCT kmer FROM ("
+            "SELECT least(substr(kmer, 1, 11),"
+            " reverse(translate(substr(kmer, 1, 11), 'ACGT', 'TGCA'))) AS kmer"
+            " FROM c15 UNION ALL SELECT least(substr(kmer, 5, 11),"
+            " reverse(translate(substr(kmer, 5, 11), 'ACGT', 'TGCA')))"
+            " FROM c15)) "
+            "SELECT 11 AS k, kmer, count FROM c11"
+            " WHERE kmer NOT IN (SELECT kmer FROM ends)"
+            " UNION ALL SELECT 15 AS k, kmer, count FROM c15"
+        ),
+        "mercy": (
+            "WITH dnam AS (SELECT doc_id AS rid,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents), "
+            "km AS (SELECT rid, seq, i AS pos,"
+            " least(substr(seq, CAST(i AS INT), 15),"
+            " reverse(translate(substr(seq, CAST(i AS INT), 15), 'ACGT',"
+            " 'TGCA'))) AS kmer FROM dnam,"
+            " unnest(generate_series(1, length(seq) - 14)) AS t(i)"
+            " WHERE length(seq) >= 15), "
+            "solid AS (SELECT kmer FROM (SELECT kmer, count(*) AS c FROM km"
+            " GROUP BY 1) WHERE c >= 2), "
+            "hits AS (SELECT rid, seq, pos FROM km"
+            " WHERE kmer IN (SELECT kmer FROM solid)), "
+            "gaps AS (SELECT rid, seq, pos AS a,"
+            " lead(pos) OVER (PARTITION BY rid ORDER BY pos) AS b FROM hits), "
+            "sel AS (SELECT seq, a, b FROM gaps WHERE b IS NOT NULL"
+            " AND b - a > 1 AND NOT (b - a - 1 BETWEEN 14 AND 16)) "
+            "SELECT DISTINCT least(substr(seq, CAST(p AS INT), 15),"
+            " reverse(translate(substr(seq, CAST(p AS INT), 15), 'ACGT',"
+            " 'TGCA'))) AS kmer, 1 AS count FROM sel,"
+            " unnest(generate_series(a + 1, b - 1)) AS t(p)"
+        ),
+        "contig_dedup": (
+            "WITH dnac AS (SELECT doc_id AS contig_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents), "
+            "d AS (SELECT * FROM dnac WHERE length(seq) > 0) "
+            "SELECT contig_id FROM d x WHERE NOT EXISTS ("
+            "SELECT 1 FROM d y WHERE y.contig_id != x.contig_id"
+            " AND (contains(y.seq, x.seq) OR contains(y.seq,"
+            " reverse(translate(x.seq, 'ACGT', 'TGCA'))))"
+            " AND (length(y.seq) > length(x.seq)"
+            " OR (length(y.seq) = length(x.seq)"
+            " AND y.contig_id < x.contig_id)))"
+        ),
+        "contig_merge": (
+            "WITH dnag AS (SELECT doc_id AS contig_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents), "
+            "p AS (SELECT a.contig_id AS id_a, b.contig_id AS id_b,"
+            " CAST(o AS BIGINT) AS o FROM dnag a, dnag b,"
+            " unnest(generate_series(8, least(length(a.seq), length(b.seq))))"
+            " AS t(o) WHERE a.contig_id != b.contig_id"
+            " AND substr(a.seq, length(a.seq) - CAST(o AS INT) + 1,"
+            " CAST(o AS INT)) = substr(b.seq, 1, CAST(o AS INT))) "
+            "SELECT id_a, id_b, max(o) AS overlap FROM p GROUP BY 1, 2"
+        ),
+        "junction_support": (
+            f"WITH {_SQL_DNA},"
+            " lng AS (SELECT seq FROM dna WHERE length(seq) >= 15), "
+            "u AS (SELECT substr(seq, 1, 15) AS kmer, 1 AS is_start FROM lng"
+            " UNION ALL SELECT substr(seq, length(seq) - 14, 15), 0 FROM lng) "
+            "SELECT kmer, CAST(sum(is_start) AS BIGINT) AS n_starts,"
+            " CAST(sum(1 - is_start) AS BIGINT) AS n_ends FROM u GROUP BY kmer"
         ),
         "exact_dedup": (
             "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("

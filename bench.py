@@ -29,6 +29,10 @@ HEADLINE = [
     "fork_argmax",
     "top_orders",
     "fasta_wrap",
+    "reduction",
+    "mercy",
+    "contig_dedup",
+    "junction_support",
     # datapipe headliners (present when implemented; skipped otherwise)
     "exact_dedup",
     "minhash_near_dup",

@@ -66,16 +66,29 @@ def to_paths(kmer_counts: DataFrame) -> DataFrame:
 
 
 def extension_round(
-    paths: DataFrame, k: int, round_idx: int, overlap: int | None = None
+    paths: DataFrame,
+    k: int,
+    round_idx: int,
+    overlap: int | None = None,
+    allowed_keys: DataFrame | None = None,
 ) -> DataFrame:
     """One randomized contraction round (W3 / J1): single hash-agg shuffle.
 
     ``paths``: DataFrame[seq, left_cover, right_cover]; every seq is a walk
-    in the k-order de Bruijn graph (length ≥ k), fork-free (see module
-    precondition). ``overlap`` (default k-1) is the number of bases shared
-    between a mergeable suffix/prefix pair — the junction-fixing stage
-    reuses this kernel with overlap = its fixed 31-mer size
-    (``ReflexivDSDynamicKmerFixing.java:191-257``).
+    in the k-order de Bruijn graph (length ≥ k). ``overlap`` (default k-1)
+    is the number of bases shared between a mergeable suffix/prefix pair —
+    the junction-fixing stage reuses this kernel with overlap = its fixed
+    31-mer size (``ReflexivDSDynamicKmerFixing.java:191-257``).
+    ``allowed_keys`` (DataFrame with one ``key`` column) restricts which
+    junction keys may contract; rows landing on other keys pass through
+    unchanged.
+
+    Safety: a group is merged ONLY when it holds exactly one A-side and
+    one B-side row; any other population (a violated fork-free
+    precondition, or an ambiguous junction under ``allowed_keys``) passes
+    every row through unchanged — never silently dropped. Each input row
+    is tagged onto exactly one (key, side), so pass-through cannot
+    duplicate rows.
     """
     o = (k - 1) if overlap is None else overlap
     fwd = F.xxhash64("seq", F.lit(round_idx)) % 2 == 0
@@ -86,26 +99,36 @@ def extension_round(
         F.when(fwd, F.lit("B")).otherwise(F.lit("A")).alias("side"),
         F.struct(*_PATH_STRUCT).alias("row"),
     )
+    if allowed_keys is not None:
+        marked = tagged.join(
+            allowed_keys.select("key").withColumn("__ok", F.lit(True)),
+            "key",
+            "left",
+        )
+        bypass = marked.where(F.col("__ok").isNull()).select("row.*")
+        tagged = marked.where(F.col("__ok").isNotNull()).drop("__ok")
+    else:
+        bypass = None
     grouped = tagged.groupBy("key").agg(
-        F.max(F.when(F.col("side") == "A", F.col("row"))).alias("a"),
-        F.max(F.when(F.col("side") == "B", F.col("row"))).alias("b"),
+        F.collect_list(F.when(F.col("side") == "A", F.col("row"))).alias("al"),
+        F.collect_list(F.when(F.col("side") == "B", F.col("row"))).alias("bl"),
     )
-    a, b = F.col("a"), F.col("b")
+    a = F.col("al").getItem(0)
+    b = F.col("bl").getItem(0)
     merged = F.struct(
-        F.concat(a["seq"], F.expr(f"substring(b.seq, {o + 1})")).alias("seq"),
+        F.concat(a["seq"], F.expr(f"substring(bl[0].seq, {o + 1})")).alias("seq"),
         a["left_cover"].alias("left_cover"),
         b["right_cover"].alias("right_cover"),
     )
-    out_rows = (
-        F.when(a.isNotNull() & b.isNotNull(), F.array(merged))
-        .when(a.isNotNull(), F.array(a))
-        .otherwise(F.array(b))
-    )
-    return grouped.select(F.explode(out_rows).alias("r")).select(
+    out_rows = F.when(
+        (F.size("al") == 1) & (F.size("bl") == 1), F.array(merged)
+    ).otherwise(F.concat(F.col("al"), F.col("bl")))
+    out = grouped.select(F.explode(out_rows).alias("r")).select(
         F.col("r.seq").alias("seq"),
         F.col("r.left_cover").alias("left_cover"),
         F.col("r.right_cover").alias("right_cover"),
     )
+    return out if bypass is None else out.unionByName(bypass)
 
 
 def extend_to_convergence(
@@ -114,6 +137,8 @@ def extend_to_convergence(
     max_iterations: int = DEFAULT_MAX_ITERATIONS,
     check_every: int = 3,
     min_iterations: int = 15,
+    overlap: int | None = None,
+    allowed_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Drive contraction rounds until the row count stops shrinking (I1/I2).
 
@@ -132,7 +157,9 @@ def extend_to_convergence(
     prev_count = current.count()
     unchanged_windows = 0
     for i in range(1, max_iterations + 1):
-        current = extension_round(current, k, i).localCheckpoint(eager=True)
+        current = extension_round(
+            current, k, i, overlap=overlap, allowed_keys=allowed_keys
+        ).localCheckpoint(eager=True)
         if i % check_every == 0:
             n = current.count()
             if n == prev_count:

@@ -1,0 +1,82 @@
+"""Mercy k-mers — rescue single-coverage k-mers inside covered reads
+(``reflexiv mercy``, W5/J5).
+
+Reference: reads are joined with their solid-k-mer hit offsets, offsets
+are sorted per read, and gaps between consecutive hits are scanned
+(``ReflexivDSDynamicMercyKmer.java:913-1240``); the gap rule at
+``:1335-1345``: a gap of g = b−a−1 missing k-mers is *skipped* when
+k−1 ≤ g ≤ k+1 (the footprint of a single base error), otherwise every
+k-mer starting in (a, b) is emitted with coverage 1 (emit ``:991-998``,
+canonical pick included).
+
+Spark-first: the hit list is a semi-join of the read's exploded
+(position, canonical k-mer) pairs against the solid set; gap detection is
+``lead(pos) OVER (PARTITION BY read ORDER BY pos)``; emission is a
+``sequence``+``explode`` over the gap range — joins, windows and Catalyst
+expressions only, no sort+scan, no per-read Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import canonical_kmer, kmer_array
+
+
+def mercy_kmers(
+    reads: DataFrame,
+    solid_kmers: DataFrame,
+    k: int,
+    seq_col: str = "seq",
+    read_id_col: str | None = None,
+) -> DataFrame:
+    """DataFrame[kmer, count=1]: rescued k-mers in intra-read coverage gaps.
+
+    ``solid_kmers`` needs a canonical ``kmer`` column (typically the
+    coverage-filtered counter output). When ``read_id_col`` is None a
+    synthetic id is attached (ids only key the per-read window; they never
+    reach the output).
+    """
+    if read_id_col is None:
+        reads = reads.withColumn("__rid", F.monotonically_increasing_id())
+        read_id_col = "__rid"
+    # two selects: referencing an alias inside the same select's lambda
+    # trips Spark's lateral-column-alias analysis
+    base = reads.select(
+        F.col(read_id_col).alias("rid"), F.upper(F.col(seq_col)).alias("seq")
+    )
+    pos_kmers = base.select(
+        "rid",
+        "seq",
+        F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
+    ).select(
+        "rid",
+        "seq",
+        (F.col("pos0") + 1).alias("pos"),  # 1-based k-mer start offset
+        canonical_kmer("raw").alias("kmer"),
+    )
+    hits = pos_kmers.join(
+        solid_kmers.select("kmer").dropDuplicates(), "kmer", "left_semi"
+    )
+    w = Window.partitionBy("rid").orderBy("pos")
+    gaps = (
+        hits.withColumn("b", F.lead("pos").over(w))
+        .withColumnRenamed("pos", "a")
+        .where(
+            F.col("b").isNotNull()
+            & (F.col("b") - F.col("a") > 1)
+            # skip single-error footprints: k-1 <= gap <= k+1
+            & ~(
+                (F.col("b") - F.col("a") - 1 >= k - 1)
+                & (F.col("b") - F.col("a") - 1 <= k + 1)
+            )
+        )
+    )
+    mercy = gaps.select(
+        "seq",
+        F.explode(F.sequence(F.col("a") + 1, F.col("b") - 1)).alias("p"),
+    ).select(
+        canonical_kmer(F.col("seq").substr(F.col("p"), F.lit(k))).alias("kmer")
+    )
+    return mercy.dropDuplicates().select("kmer", F.lit(1).alias("count"))

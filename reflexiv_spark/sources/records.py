@@ -1,0 +1,236 @@
+"""Distributed exact FASTQ/FASTA record readers — byte-range splits +
+boundary synchronization.
+
+The round-1 readers used ``rdd.zipWithIndex`` + a per-file window + a
+pivot: every line crossed the Python worker row-at-a-time and each file
+collapsed to one task. This implementation is the standard splittable
+design (the same scheme Hadoop-BAM/SeqSpark use): the driver lists file
+sizes (metadata only — no data reads), cuts each file into ``split_size``
+byte ranges, and an Arrow-batched ``mapInPandas`` task parses each range,
+synchronizing to the first record boundary at-or-after its start offset:
+
+- FASTA: a record starts at a line beginning with ``>`` — unambiguous.
+- FASTQ: a record starts at a line beginning with ``@`` whose third line
+  begins with ``+`` and whose sequence/quality lengths match (quality
+  bytes may legally start with ``@`` or ``+``, so candidates are
+  *verified*, the standard disambiguation).
+
+A record belongs to the split containing its first byte; a task keeps
+reading past its range end to finish its last record. Parallelism is
+``total_bytes / split_size`` regardless of file count — at 100 TB with
+1,000 files and 64 MB splits that is ~1.6 M tasks of bounded memory, vs
+1,000 whole-file tasks for the old reader. Gzip inputs are not
+splittable and fall back to one range per file (use zstd/bgzf or parquet
+for scale inputs).
+
+Reference parity: exact 4-line parse supersedes the heuristic line filter
+``DSFastqFilterOnlySeq`` (``ReflexivDataFrameCounter.java:238-289``);
+FASTA reading corresponds to S6 (``ReflexivDSMerger.java:144-148``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_READ_CHUNK = 1 << 20  # incremental tail-read size when a record crosses EOR
+
+
+def _list_splits(path: str, split_size: int) -> list[tuple[str, int, int]]:
+    """(file, start, length) byte ranges; gzip files get a single range."""
+    files: list[str] = []
+    for pat in path.split(","):
+        pat = pat.strip()
+        if os.path.isdir(pat):
+            files.extend(
+                os.path.join(pat, f) for f in sorted(os.listdir(pat))
+                if not f.startswith(("_", "."))
+            )
+        else:
+            files.extend(sorted(_glob.glob(pat)))
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        if size == 0:
+            continue
+        if f.endswith((".gz", ".bgz", ".bz2")):
+            splits.append((f, 0, size))
+            continue
+        off = 0
+        while off < size:
+            splits.append((f, off, min(split_size, size - off)))
+            off += split_size
+    return splits
+
+
+class _RangeReader:
+    """Buffered line access over a byte range, extending past the range
+    end (and the buffer) on demand so the last record can complete."""
+
+    def __init__(self, file: str, start: int, length: int):
+        self.compressed = file.endswith((".gz", ".bgz", ".bz2"))
+        if self.compressed:
+            self.fh = gzip.open(file, "rb")
+            self.buf = self.fh.read()  # one range == whole file for gzip
+            self.eof = True
+        else:
+            self.fh = open(file, "rb")
+            self.fh.seek(start)
+            self.buf = self.fh.read(length)
+            self.eof = len(self.buf) < length
+        self.pos = 0  # cursor within buf
+
+    def _fill(self) -> bool:
+        if self.eof:
+            return False
+        chunk = self.fh.read(_READ_CHUNK)
+        if not chunk:
+            self.eof = True
+            return False
+        self.buf += chunk
+        return True
+
+    def skip_partial_line(self) -> None:
+        """Advance past the (possibly partial) line the range starts in."""
+        while True:
+            nl = self.buf.find(b"\n", self.pos)
+            if nl != -1:
+                self.pos = nl + 1
+                return
+            if not self._fill():
+                self.pos = len(self.buf)
+                return
+
+    def next_line(self) -> bytes | None:
+        """Next full line (without newline), or None at EOF."""
+        while True:
+            nl = self.buf.find(b"\n", self.pos)
+            if nl != -1:
+                line = self.buf[self.pos : nl]
+                self.pos = nl + 1
+                return line
+            if not self._fill():
+                if self.pos < len(self.buf):
+                    line = self.buf[self.pos :]
+                    self.pos = len(self.buf)
+                    return line
+                return None
+
+    def close(self) -> None:
+        self.fh.close()
+
+
+def _parse_fastq_range(file: str, start: int, length: int):
+    r = _RangeReader(file, start, length)
+    try:
+        if start > 0 and not r.compressed:
+            r.skip_partial_line()
+        pending: list[bytes] = []
+        while True:
+            # a record must START within [start, start+length)
+            if r.pos > length and not pending and not r.compressed:
+                break
+            line = r.next_line()
+            if line is None:
+                break
+            pending.append(line)
+            if len(pending) > 4:
+                pending.pop(0)  # resync: slide the candidate window
+            if len(pending) >= 1 and not pending[0].startswith(b"@"):
+                pending.pop(0)
+                continue
+            if len(pending) == 4:
+                hdr, seq, plus, qual = pending
+                if plus.startswith(b"+") and len(seq) == len(qual):
+                    record_start_ok = True
+                    yield (
+                        hdr[1:].decode("utf-8", "replace"),
+                        seq.decode("ascii", "replace").upper(),
+                        qual.decode("ascii", "replace"),
+                    )
+                    pending = []
+    finally:
+        r.close()
+
+
+def _parse_fasta_range(file: str, start: int, length: int):
+    r = _RangeReader(file, start, length)
+    try:
+        if start > 0 and not r.compressed:
+            r.skip_partial_line()
+        # sync to the first header starting within the range
+        hdr: bytes | None = None
+        while True:
+            if hdr is None and r.pos > length and not r.compressed:
+                return
+            line_start = r.pos
+            line = r.next_line()
+            if line is None:
+                break
+            if line.startswith(b">"):
+                if hdr is not None:
+                    # next record begins: emit, and stop if that next
+                    # record belongs to a later split
+                    yield hdr[1:].decode("utf-8", "replace"), b"".join(parts)
+                if line_start >= length and not r.compressed:
+                    return
+                hdr, parts = line, []
+            elif hdr is not None:
+                parts.append(line.strip())
+        if hdr is not None:
+            yield hdr[1:].decode("utf-8", "replace"), b"".join(parts)
+    finally:
+        r.close()
+
+
+def _splits_df(spark: SparkSession, path: str, split_size: int) -> DataFrame:
+    splits = _list_splits(path, split_size)
+    if not splits:
+        raise FileNotFoundError(f"no input files match {path!r}")
+    # Repartition so every split is its own task (parallelism = #splits).
+    return spark.createDataFrame(
+        splits, "file string, start long, length long"
+    ).repartition(len(splits))
+
+
+def read_fastq(
+    spark: SparkSession, path: str, split_size: int = 64 << 20
+) -> DataFrame:
+    """FASTQ → DataFrame[read_id, seq, qual] — exact, splittable, no RDD."""
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for file, start, length in pdf.itertuples(index=False):
+                rows = list(_parse_fastq_range(file, int(start), int(length)))
+                yield pd.DataFrame(
+                    rows or None, columns=["read_id", "seq", "qual"]
+                )
+
+    return _splits_df(spark, path, split_size).mapInPandas(
+        parse, schema="read_id string, seq string, qual string"
+    )
+
+
+def read_fasta(
+    spark: SparkSession, path: str, split_size: int = 64 << 20
+) -> DataFrame:
+    """FASTA → DataFrame[id, seq] — multi-line records, splittable."""
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for file, start, length in pdf.itertuples(index=False):
+                rows = [
+                    (rid, seq.decode("ascii", "replace").upper())
+                    for rid, seq in _parse_fasta_range(file, int(start), int(length))
+                ]
+                yield pd.DataFrame(rows or None, columns=["id", "seq"])
+
+    return _splits_df(spark, path, split_size).mapInPandas(
+        parse, schema="id string, seq string"
+    )
