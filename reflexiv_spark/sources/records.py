@@ -129,24 +129,28 @@ def _parse_fastq_range(file: str, start: int, length: int):
     try:
         if start > 0 and not r.compressed:
             r.skip_partial_line()
-        pending: list[bytes] = []
+        # sliding 4-line candidate window of (line_start, line); a record
+        # is owned by this split iff its header line starts at a relative
+        # offset <= length (the next split's partial-line skip always
+        # discards the line its range begins in)
+        pending: list[tuple[int, bytes]] = []
         while True:
-            # a record must START within [start, start+length)
-            if r.pos > length and not pending and not r.compressed:
+            line_start = r.pos
+            if line_start > length and not pending and not r.compressed:
                 break
             line = r.next_line()
             if line is None:
                 break
-            pending.append(line)
+            pending.append((line_start, line))
             if len(pending) > 4:
                 pending.pop(0)  # resync: slide the candidate window
-            if len(pending) >= 1 and not pending[0].startswith(b"@"):
+            while pending and not pending[0][1].startswith(b"@"):
                 pending.pop(0)
-                continue
+            if pending and pending[0][0] > length and not r.compressed:
+                break  # first viable candidate belongs to the next split
             if len(pending) == 4:
-                hdr, seq, plus, qual = pending
+                (_, hdr), (_, seq), (_, plus), (_, qual) = pending
                 if plus.startswith(b"+") and len(seq) == len(qual):
-                    record_start_ok = True
                     yield (
                         hdr[1:].decode("utf-8", "replace"),
                         seq.decode("ascii", "replace").upper(),
@@ -176,7 +180,12 @@ def _parse_fasta_range(file: str, start: int, length: int):
                     # next record begins: emit, and stop if that next
                     # record belongs to a later split
                     yield hdr[1:].decode("utf-8", "replace"), b"".join(parts)
-                if line_start >= length and not r.compressed:
+                # boundary convention: the NEXT split's skip_partial_line
+                # always discards the line its range begins in, even when
+                # the range begins exactly at a line start — so a header
+                # at line_start == length is owned HERE; only strictly
+                # later headers belong to the next split.
+                if line_start > length and not r.compressed:
                     return
                 hdr, parts = line, []
             elif hdr is not None:

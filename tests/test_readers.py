@@ -1,0 +1,113 @@
+"""Reader tests: splittable FASTQ/FASTA parsing with boundary sync."""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+
+from tests.conftest import random_genome
+
+from reflexiv_spark.sources.records import read_fasta, read_fastq
+
+
+def _make_fastq(path, records):
+    with open(path, "w") as f:
+        for rid, seq, qual in records:
+            f.write(f"@{rid}\n{seq}\n+\n{qual}\n")
+
+
+@pytest.fixture(scope="module")
+def fastq_records():
+    rng = random.Random(21)
+    recs = []
+    for i in range(300):
+        seq = random_genome(rng.randrange(60, 140), seed=1000 + i)
+        # quality strings that START with '@' and '+' — the classic
+        # boundary-sync trap
+        lead = "@" if i % 3 == 0 else ("+" if i % 3 == 1 else "I")
+        qual = lead + "".join(
+            chr(33 + rng.randrange(0, 40)) for _ in range(len(seq) - 1)
+        )
+        recs.append((f"read{i}/1", seq, qual))
+    return recs
+
+
+def test_fastq_single_split(spark, tmp_path_factory, fastq_records):
+    d = tmp_path_factory.mktemp("fq1")
+    _make_fastq(d / "a.fastq", fastq_records)
+    out = read_fastq(spark, str(d / "a.fastq")).collect()
+    got = {(r.read_id, r.seq, r.qual) for r in out}
+    assert got == set(fastq_records)
+
+
+def test_fastq_many_splits_boundary_sync(spark, tmp_path_factory, fastq_records):
+    d = tmp_path_factory.mktemp("fq2")
+    _make_fastq(d / "a.fastq", fastq_records)
+    # tiny splits → dozens of tasks, every boundary lands mid-record
+    df = read_fastq(spark, str(d / "a.fastq"), split_size=1000)
+    assert df.rdd.getNumPartitions() > 10  # many tasks for ONE file
+    got = {(r.read_id, r.seq, r.qual) for r in df.collect()}
+    assert got == set(fastq_records)
+
+
+def test_fastq_gzip_fallback(spark, tmp_path_factory, fastq_records):
+    d = tmp_path_factory.mktemp("fq3")
+    raw = "".join(f"@{r}\n{s}\n+\n{q}\n" for r, s, q in fastq_records[:50])
+    with gzip.open(d / "a.fastq.gz", "wt") as f:
+        f.write(raw)
+    got = {(r.read_id, r.seq, r.qual) for r in read_fastq(spark, str(d / "a.fastq.gz")).collect()}
+    assert got == set(fastq_records[:50])
+
+
+def test_fasta_multiline_and_splits(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fa1")
+    seqs = {f"ctg{i}": random_genome(400, seed=2000 + i) for i in range(40)}
+    with open(d / "x.fasta", "w") as f:
+        for rid, seq in seqs.items():
+            f.write(f">{rid} extra descr\n")
+            for j in range(0, len(seq), 70):  # wrapped lines
+                f.write(seq[j : j + 70] + "\n")
+    df = read_fasta(spark, str(d / "x.fasta"), split_size=1500)
+    assert df.rdd.getNumPartitions() > 5
+    got = {r.id.split()[0]: r.seq for r in df.collect()}
+    assert got == seqs
+
+
+def test_fasta_lowercase_uppercased(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fa2")
+    (d / "y.fa").write_text(">a\nacgt\nACGT\n")
+    rows = read_fasta(spark, str(d / "y.fa")).collect()
+    assert rows[0].seq == "ACGTACGT"
+
+
+def test_split_size_invariance(spark, tmp_path_factory, fastq_records):
+    """Every split size must parse the exact same record set — catches
+    boundary off-by-ones at all alignments (incl. boundaries landing on
+    record starts, mid-record, and on quality lines starting with @/+)."""
+    d = tmp_path_factory.mktemp("fq5")
+    _make_fastq(d / "a.fastq", fastq_records)
+    expected = set(fastq_records)
+    for split in (257, 511, 1000, 4093, 1 << 20):
+        got = {
+            (r.read_id, r.seq, r.qual)
+            for r in read_fastq(spark, str(d / "a.fastq"), split_size=split).collect()
+        }
+        assert got == expected, f"split_size={split}"
+    # same sweep for FASTA
+    seqs = {f"c{i}": random_genome(150, seed=3000 + i) for i in range(60)}
+    with open(d / "b.fasta", "w") as f:
+        for rid, seq in seqs.items():
+            f.write(f">{rid}\n{seq[:80]}\n{seq[80:]}\n")
+    for split in (97, 256, 1111, 1 << 20):
+        got = {r.id: r.seq for r in read_fasta(spark, str(d / "b.fasta"), split_size=split).collect()}
+        assert got == seqs, f"split_size={split}"
+
+
+def test_multi_file_glob(spark, tmp_path_factory, fastq_records):
+    d = tmp_path_factory.mktemp("fq4")
+    _make_fastq(d / "a.fastq", fastq_records[:100])
+    _make_fastq(d / "b.fastq", fastq_records[100:])
+    got = {r.read_id for r in read_fastq(spark, str(d) + "/*.fastq").collect()}
+    assert got == {r for r, _, _ in fastq_records}
