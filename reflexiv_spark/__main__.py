@@ -1,0 +1,183 @@
+"""CLI — ``python -m reflexiv_spark <command> ...``.
+
+Mirrors the reference's subcommand surface (``bin/reflexiv:240-267``:
+run, meta, preprocess, counter, reduce, mercy, reassembler, merger) as a
+thin argparse shim over the composable DataFrame API, plus the datapipe
+extensions. Every command reads FASTQ/FASTA/Parquet, runs one operator
+pipeline, and writes Parquet (or FASTA for contig outputs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _read_reads(spark, path: str, fmt: str):
+    from reflexiv_spark.sources.records import read_fasta, read_fastq
+
+    if fmt == "fastq":
+        return read_fastq(spark, path)
+    if fmt == "fasta":
+        return read_fasta(spark, path).withColumnRenamed("id", "read_id")
+    return spark.read.parquet(path)
+
+
+def _read_contigs(spark, path: str):
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.sources.records import read_fasta
+
+    if path.endswith((".parquet", ".pq")) or "parquet" in path:
+        return spark.read.parquet(path)
+    return read_fasta(spark, path).select(
+        F.col("id").alias("contig_id"), "seq"
+    )
+
+
+def _write(df, path: str, fmt: str, id_col: str = "contig_id") -> None:
+    if fmt == "fasta":
+        from reflexiv_spark.sources.fastq import write_fasta
+
+        write_fasta(df, path, id_col=id_col)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="reflexiv_spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name: str, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("-i", "--input", required=True)
+        sp.add_argument("-o", "--output", required=True)
+        sp.add_argument("--informat", default="fastq",
+                        choices=["fastq", "fasta", "parquet"])
+        sp.add_argument("--outformat", default="parquet",
+                        choices=["parquet", "csv", "fasta"])
+        return sp
+
+    c = add("counter", help="k-mer counting (reflexiv counter)")
+    c.add_argument("-k", type=int, default=31)
+    c.add_argument("--min-cov", type=int, default=2)
+    c.add_argument("--max-cov", type=int, default=10_000_000)
+
+    r = add("run", help="single-k assembly (reflexiv run)")
+    r.add_argument("-k", type=int, default=31)
+    r.add_argument("--min-cov", type=int, default=2)
+    r.add_argument("--min-contig", type=int, default=500)
+
+    d = add("reduce", help="multi-k reduction ladder (reflexiv reduce)")
+    d.add_argument("--klist", default="23,31,41,53,67,81,95")
+    d.add_argument("--min-cov", type=int, default=2)
+
+    m = add("mercy", help="mercy k-mer rescue (reflexiv mercy)")
+    m.add_argument("-k", type=int, default=31)
+    m.add_argument("--min-cov", type=int, default=2)
+
+    dd = add("dedup", help="contig dedup (exact/RC + containment)")
+    mg = add("merger", help="merge overlapping contigs (reflexiv merger)")
+    mg.add_argument("--min-overlap", type=int, default=60)
+
+    fx = add("fix", help="junction fixing across unique end k-mers")
+    fx.add_argument("--fix-k", type=int, default=31)
+
+    t = add("text-dedup", help="datapipe: exact + near-dup text dedup")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--near", action="store_true",
+                   help="also drop MinHash near-duplicates")
+
+    ts = add("text-stats", help="datapipe: per-document text statistics")
+    ts.add_argument("--text-col", default="text")
+    ts.add_argument("--id-col", default="doc_id")
+
+    args = p.parse_args(argv)
+
+    from reflexiv_spark.session import get_spark
+
+    spark = get_spark(app_name=f"reflexiv-{args.cmd}", master=args.master)
+
+    if args.cmd == "counter":
+        from reflexiv_spark.operators.counter import count_kmers
+
+        out = count_kmers(
+            _read_reads(spark, args.input, args.informat), args.k,
+            min_coverage=args.min_cov, max_coverage=args.max_cov,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "run":
+        from reflexiv_spark.pipelines.assemble import assemble
+
+        out = assemble(
+            _read_reads(spark, args.input, args.informat), k=args.k,
+            min_coverage=args.min_cov, min_contig=args.min_contig,
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "reduce":
+        from reflexiv_spark.operators.reduction import reduce_kmer_ladder
+
+        klist = tuple(int(x) for x in args.klist.split(","))
+        out = reduce_kmer_ladder(
+            _read_reads(spark, args.input, args.informat),
+            klist=klist, min_coverage=args.min_cov,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "mercy":
+        from reflexiv_spark.operators.counter import count_kmers
+        from reflexiv_spark.operators.mercy import mercy_kmers
+
+        reads = _read_reads(spark, args.input, args.informat)
+        solid = count_kmers(reads, args.k, min_coverage=args.min_cov)
+        _write(mercy_kmers(reads, solid, args.k), args.output, args.outformat)
+    elif args.cmd == "dedup":
+        from reflexiv_spark.operators.dedup import dedup_contigs
+
+        out = dedup_contigs(_read_contigs(spark, args.input))
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "merger":
+        from reflexiv_spark.operators.merger import merge_contigs
+
+        out = merge_contigs(
+            _read_contigs(spark, args.input), min_overlap=args.min_overlap
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "fix":
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.operators.fixing import fix_junctions
+
+        fixed = fix_junctions(_read_contigs(spark, args.input), fix_k=args.fix_k)
+        out = fixed.select(
+            F.concat(F.lit("Fixed-"), F.lower(F.hex(F.xxhash64("seq")))).alias(
+                "contig_id"
+            ),
+            "seq",
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "text-dedup":
+        from reflexiv_spark.datapipe.dedup import exact_dedup, minhash_dedup
+
+        df = spark.read.parquet(args.input)
+        out = exact_dedup(df, text_col=args.text_col, id_col=args.id_col)
+        if args.near:
+            out = minhash_dedup(out, text_col=args.text_col, id_col=args.id_col)
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-stats":
+        from reflexiv_spark.datapipe.text import text_stats
+
+        df = spark.read.parquet(args.input)
+        _write(
+            text_stats(df, text_col=args.text_col, id_col=args.id_col),
+            args.output,
+            args.outformat,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

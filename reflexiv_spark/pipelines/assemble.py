@@ -17,7 +17,7 @@ the reference's ``zipWithIndex`` IDs are partition-order-dependent
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from reflexiv_spark.functions.kmer import (
@@ -96,16 +96,16 @@ def assemble_from_counts(
             F.max("right_cover").alias("right_cover"),
         )
     )
-    # Deterministic IDs: contig count is tiny relative to input (the whole
-    # point of assembly), so a single-partition rank window here is fine
-    # even at the 100 TB design point.
-    id_window = Window.orderBy(F.length("seq").desc(), F.col("seq"))
+    # Deterministic, shuffle-free IDs: derived from the sequence itself
+    # (length + 64-bit content hash), so no global rank window — a
+    # metagenome's 10^7+ contigs never funnel through one partition, and
+    # the same contig gets the same ID on every run/cluster layout.
     return contigs.select(
         F.concat(
             F.lit("Contig-"),
             F.length("seq"),
             F.lit("-"),
-            F.dense_rank().over(id_window).cast("string"),
+            F.lower(F.hex(F.xxhash64("seq"))),
         ).alias("contig_id"),
         "seq",
         "left_cover",
