@@ -1,0 +1,129 @@
+"""Multi-k staged metagenome assembly — ``reflexiv meta`` re-expressed
+(SURVEY.md §3.3).
+
+Reference flow (``Pipelines.java:840-1290``): count/sort/reduce ladder
+over klist 23…95, then staged extension (00firstFour → 01Iteration* →
+04Fixing → 05FixingAgain → … → /Assembly dedup), every stage its own
+SparkSession materializing gzip CSV with ``_SUCCESS`` resume.
+
+Spark-first re-expression: the multi-k ladder becomes *iterative
+re-assembly* — assemble at the smallest k, then feed the contigs (as
+high-confidence pseudo-reads) together with the original reads into the
+next k. Longer k resolves repeats the short k collapsed; the contigs
+carry connectivity across the coverage gaps longer k-mers would open.
+This is the standard multi-k idea (the reference's reduction ladder is
+its storage-optimized equivalent) expressed with the operators this
+engine already has: counter → prune → contract → fix → dedup. Stages
+materialize through :func:`reflexiv_spark.plans.stages.stage` Parquet
+barriers with the same ``_SUCCESS`` resume semantics, inside one
+long-lived session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import explode_kmers
+from reflexiv_spark.operators.counter import count_kmers
+from reflexiv_spark.operators.dedup import dedup_contigs
+from reflexiv_spark.operators.fixing import fix_junctions
+from reflexiv_spark.pipelines.assemble import assemble_from_counts
+
+DEFAULT_META_KLIST = (23, 31, 41)
+
+
+def _combined_counts(
+    reads: DataFrame,
+    contigs: DataFrame | None,
+    k: int,
+    min_coverage: int,
+    max_coverage: int,
+    seq_col: str,
+) -> DataFrame:
+    """Read k-mer counts, boosted by previous-round contig k-mers.
+
+    Contig k-mers get weight ``min_coverage`` so connectivity already
+    proven at the previous k survives this round's coverage floor even
+    where raw read coverage is thin (the role the reference's reduction
+    ladder plays for shorter-k k-mers)."""
+    read_counts = count_kmers(
+        reads, k, seq_col=seq_col, min_coverage=1, max_coverage=None
+    )
+    if contigs is None:
+        combined = read_counts
+    else:
+        contig_kmers = explode_kmers(
+            contigs.select(F.col("seq")), k, seq_col="seq"
+        ).select("kmer").dropDuplicates()
+        contig_counts = contig_kmers.select(
+            "kmer", F.lit(min_coverage).cast("long").alias("count")
+        )
+        combined = (
+            read_counts.unionByName(contig_counts)
+            .groupBy("kmer")
+            .agg(F.sum("count").alias("count"))
+        )
+    out = combined.where(F.col("count") >= min_coverage)
+    if max_coverage is not None:
+        out = out.where(F.col("count") <= max_coverage)
+    return out
+
+
+def meta_assemble(
+    reads: DataFrame,
+    klist: tuple[int, ...] = DEFAULT_META_KLIST,
+    min_coverage: int = 2,
+    max_coverage: int = 10_000_000,
+    min_contig: int = 500,
+    seq_col: str = "seq",
+    fix_k: int | None = None,
+    workdir: str | None = None,
+    spark: SparkSession | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """reads[seq] → deduplicated contigs via the multi-k ladder.
+
+    With ``workdir`` set, each per-k round materializes at
+    ``workdir/round_k<k>`` (Parquet + ``_SUCCESS``) and completed rounds
+    are skipped on re-run — the reference's staged-resume behavior (I4).
+    """
+    if workdir is not None and spark is None:
+        spark = reads.sparkSession
+
+    contigs: DataFrame | None = None
+    for k in sorted(klist):
+        def build(k: int = k, prev: DataFrame | None = contigs) -> DataFrame:
+            counts = _combined_counts(
+                reads, prev, k, min_coverage, max_coverage, seq_col
+            )
+            return assemble_from_counts(
+                counts,
+                k,
+                # keep every path ≥ k+1 between rounds; the caller's
+                # min_contig applies only to the final output
+                min_contig=k + 1,
+                min_error_coverage=4 * min_coverage,
+            ).select("contig_id", "seq")
+
+        if workdir is not None:
+            from reflexiv_spark.plans.stages import stage
+
+            contigs = stage(spark, f"round_k{k}", workdir, build, resume=resume)
+        else:
+            contigs = build().localCheckpoint(eager=True)
+
+    fixed = fix_junctions(
+        contigs.select("seq"), fix_k=fix_k or (sorted(klist)[-1] - 1)
+    )
+    with_ids = fixed.select(
+        F.concat(
+            F.lit("Contig-"),
+            F.length("seq"),
+            F.lit("-"),
+            F.lower(F.hex(F.xxhash64("seq"))),
+        ).alias("contig_id"),
+        "seq",
+    )
+    deduped = dedup_contigs(with_ids, seq_col="seq", id_col="contig_id")
+    return deduped.where(F.length("seq") >= min_contig)
