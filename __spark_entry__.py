@@ -222,6 +222,23 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionize operator (batch form): 30-min-gap sessions."""
+    from reflexiv_spark.streaming.windows import sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+    )
+    out = sessionize(ev, key="user_id", gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 def q_fasta_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: 100-char line wrapping (the FASTA export kernel)."""
     docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
@@ -443,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
         "fasta_wrap": q_fasta_wrap,
         "reduction": q_reduction,
         "mercy": q_mercy,
@@ -546,6 +564,18 @@ def oracle_sql() -> dict[str, str]:
             " AS win_start, event_type, count(*) AS n,"
             " round(sum(value), 4) AS sum_value"
             " FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL"
+            " OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END"
+            " AS new_s FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+            "PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)"
+            " AS sid FROM m) "
+            "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')"
+            " AS session_start, count(*) AS n_events FROM s"
+            " GROUP BY user_id, sid"
         ),
         "fasta_wrap": (
             "SELECT doc_id, array_to_string(list_transform("

@@ -1,0 +1,134 @@
+"""Windowed / sessionized / stateful streaming aggregations.
+
+Design: transformations take DataFrames (batch OR streaming — identical
+code path, the Structured Streaming contract) and return DataFrames; the
+caller owns sources (``spark.readStream``) and sinks (``writeStream``).
+Late data is bounded with watermarks; custom per-key state uses
+``applyInPandasWithState`` (Arrow-batched, RocksDB/HDFS state store on a
+cluster).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "15 minutes",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling (or sliding) windowed counts + sums per key.
+
+    On a streaming DataFrame the watermark bounds state and admits late
+    rows up to the given delay; on a batch DataFrame the same call is a
+    plain windowed aggregation (watermark is a no-op there).
+    """
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide)
+        if slide is not None
+        else F.window(ts_col, window)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    out_cols = ["n"] + (["sum_value"] if value_col is not None else [])
+    return (
+        src.groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            *keys,
+            *out_cols,
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = "15 minutes",
+) -> DataFrame:
+    """Session windows: activity bursts per key separated by ≥ gap."""
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("s"), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )
+
+
+_DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+
+def streaming_dedup(
+    df: DataFrame, key_col: str = "event_id"
+) -> DataFrame:
+    """Stateful exactly-first dedup across micro-batches.
+
+    Keeps the first row per key ever seen; later occurrences (any batch)
+    are dropped. Per-key state is one counter in the state store —
+    ``applyInPandasWithState``, the engine's custom-stateful-operator
+    surface (the batch analog is ``dropDuplicates``; streaming
+    ``dropDuplicates`` needs a watermark to bound state, this variant
+    demonstrates explicit state management).
+    """
+    out_schema = df.schema
+
+    def dedup_fn(
+        key: tuple, pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if seen == 0 and len(pdf) > 0:
+                seen = 1
+                yield pdf.head(1)
+        state.update((seen,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_from_files(
+    spark,
+    path: str,
+    schema,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (the standard landing-zone ingestion shape)."""
+    r = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.load(path)

@@ -1,0 +1,118 @@
+"""Structured Streaming tests: file source → windowed aggs / stateful
+dedup → memory sink, with batch/stream result equivalence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from reflexiv_spark.streaming.windows import (
+    sessionize,
+    stream_from_files,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_batch(d, name, rows):
+    with open(d / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+ROWS1 = [
+    {"event_id": 1, "ts": "2026-01-01T10:05:00", "event_type": "a", "value": 1.0},
+    {"event_id": 2, "ts": "2026-01-01T10:20:00", "event_type": "a", "value": 2.0},
+    {"event_id": 3, "ts": "2026-01-01T10:40:00", "event_type": "b", "value": 3.0},
+]
+ROWS2 = [
+    {"event_id": 4, "ts": "2026-01-01T11:10:00", "event_type": "a", "value": 4.0},
+    {"event_id": 2, "ts": "2026-01-01T11:15:00", "event_type": "a", "value": 9.9},  # dup id
+]
+
+
+def _run_stream(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_stream_matches_batch(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    _write_batch(d, "b1.json", ROWS1)
+    _write_batch(d, "b2.json", ROWS2)
+
+    stream = stream_from_files(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    out = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    _run_stream(out, "win_counts", "complete")
+    got = {
+        (str(r.win_start), r.event_type, r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    batch = spark.read.schema(SCHEMA).json(str(d))
+    expected = {
+        (str(r.win_start), r.event_type, r.n, r.sum_value)
+        for r in windowed_counts(batch, window="1 hour").collect()
+    }
+    assert got == expected  # same function, same answer, batch or stream
+    assert ("2026-01-01 10:00:00", "a", 2, 3.0) in got
+
+
+def test_sessionize_batch(spark, tmp_path):
+    rows = [
+        (1, "2026-01-01 09:00:00"),
+        (1, "2026-01-01 09:10:00"),   # same session (gap 10m < 30m)
+        (1, "2026-01-01 11:00:00"),   # new session
+        (2, "2026-01-01 09:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, key="user_id", gap="30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r.n_events)
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    d = tmp_path / "in2"
+    d.mkdir()
+    _write_batch(d, "b1.json", ROWS1)
+    _write_batch(d, "b2.json", ROWS2)
+    stream = stream_from_files(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    deduped = streaming_dedup(stream, key_col="event_id")
+    _run_stream(deduped, "dedup_out", "update")
+    rows = spark.sql("SELECT * FROM dedup_out").collect()
+    ids = [r.event_id for r in rows]
+    assert sorted(ids) == [1, 2, 3, 4]  # event 2 emitted exactly once
+    # the first occurrence (value 2.0), not the duplicate (9.9), survives
+    assert [r.value for r in rows if r.event_id == 2] == [2.0]
