@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     fx = add("fix", help="junction fixing across unique end k-mers")
     fx.add_argument("--fix-k", type=int, default=31)
 
+    ra = add("reassembler", help="extend gene fragments with read data")
+    ra.add_argument("--frag", required=True, help="fragment FASTA path")
+    ra.add_argument("-k", type=int, default=31)
+    ra.add_argument("--min-cov", type=int, default=2)
+
     t = add("text-dedup", help="datapipe: exact + near-dup text dedup")
     t.add_argument("--text-col", default="text")
     t.add_argument("--id-col", default="doc_id")
@@ -159,6 +164,16 @@ def main(argv: list[str] | None = None) -> int:
             "seq",
         )
         _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "reassembler":
+        from reflexiv_spark.pipelines.reassemble import reassemble
+        from reflexiv_spark.sources.records import read_fasta
+
+        frags = read_fasta(spark, args.frag).withColumnRenamed("id", "frag_id")
+        out = reassemble(
+            _read_reads(spark, args.input, args.informat), frags,
+            k=args.k, min_coverage=args.min_cov,
+        )
+        _write(out, args.output, args.outformat, id_col="frag_id")
     elif args.cmd == "text-dedup":
         from reflexiv_spark.datapipe.dedup import exact_dedup, minhash_dedup
 

@@ -35,14 +35,23 @@ def count_kmers(
     max_coverage: int = DEFAULT_MAX_COVERAGE,
     front_clip: int = 0,
     end_clip: int = 0,
+    max_read_length: int | None = None,
+    read_limit: int | None = None,
 ) -> DataFrame:
     """reads[seq] → DataFrame[kmer: string, count: long].
 
     front_clip/end_clip mirror the reference's read trimming (F3,
     ``ReflexivDataFrameCounter.java:471-478``); reads shorter than
     ``k + clips`` are dropped, matching the reference's length guard.
+    max_read_length is F4 (default 600 in the reference's 4mc path,
+    ``ReflexivDataFrameCounter.java:345-349``); read_limit is F8
+    (``Parameter.java:443-450``).
     """
     df = reads
+    if read_limit is not None:
+        df = df.limit(read_limit)
+    if max_read_length is not None:
+        df = df.where(F.length(seq_col) < max_read_length)
     if front_clip or end_clip:
         df = df.where(F.length(seq_col) >= k + front_clip + end_clip).withColumn(
             seq_col,

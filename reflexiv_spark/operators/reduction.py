@@ -25,6 +25,14 @@ from reflexiv_spark.functions.kmer import canonical_kmer
 DEFAULT_KLIST = (23, 31, 41, 53, 67, 81, 95)
 
 
+def filter_klist(kmers: DataFrame, klist: tuple[int, ...]) -> DataFrame:
+    """F7: keep k-mers whose length is in the ladder whitelist — the
+    guard the reference applies when re-reading mixed-k intermediate sets
+    (``ReflexivDSDynamicKmerRuduction.java:3204``, ``kmerSizeCheck``
+    ``:3277-3283``)."""
+    return kmers.where(F.length("kmer").isin(*klist))
+
+
 def long_kmer_ends(long_counts: DataFrame, k_short: int) -> DataFrame:
     """Canonical k_short-length end substrings of each longer k-mer.
 

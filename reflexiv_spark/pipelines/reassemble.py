@@ -1,0 +1,119 @@
+"""Fragment reassembly — ``reflexiv reassembler`` (S7/J8).
+
+Reference: ``ContigReader.java:60-140`` loads the fragment FASTA into
+**driver-side hash maps** (primer → name) that executors consult — the
+one pattern the 100 TB rule forbids (SURVEY.md §7.2 item 5). Here the
+fragment set stays a DataFrame: fragments are few and small by
+definition, so they ride an explicit ``F.broadcast`` join (J8 as a
+broadcast join, not a driver lookup) and nothing is collected.
+
+Flow: assemble the reads → orientation-expand the contigs → (1) a
+fragment fully contained in a contig adopts that contig (oriented to
+match); (2) otherwise the fragment splices its best suffix→prefix
+contig overlap onto each end (the merger kernel, RC round-trip for the
+left end); (3) otherwise it passes through unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import reverse_complement
+from reflexiv_spark.operators.merger import overlap_pairs
+from reflexiv_spark.pipelines.assemble import assemble
+
+
+def _both_strands(contigs: DataFrame) -> DataFrame:
+    fwd = contigs.select(F.col("contig_id").alias("cid"), F.col("seq"))
+    rev = contigs.select(
+        F.concat(F.col("contig_id"), F.lit("(-)")).alias("cid"),
+        reverse_complement(F.col("seq")).alias("seq"),
+    )
+    return fwd.unionByName(rev)
+
+
+def _extend_right(frags: DataFrame, ctgs: DataFrame, min_overlap: int) -> DataFrame:
+    """Extend each fragment rightward with its best-overlapping contig."""
+    both = frags.select(F.col("frag_id").alias("cid"), "seq").unionByName(ctgs)
+    pairs = overlap_pairs(
+        both, seq_col="seq", id_col="cid",
+        min_overlap=min_overlap, searchable_len=None,
+    )
+    frag_pairs = pairs.join(
+        frags.select(F.col("frag_id").alias("id_a")), "id_a", "left_semi"
+    ).join(ctgs.select(F.col("cid").alias("id_b")), "id_b", "left_semi")
+    w = Window.partitionBy("id_a").orderBy(F.col("overlap").desc(), F.col("id_b"))
+    best = (
+        frag_pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fa = frags.select(F.col("frag_id").alias("id_a"), F.col("seq").alias("seq_a"))
+    cb = ctgs.select(F.col("cid").alias("id_b"), F.col("seq").alias("seq_b"))
+    extended = (
+        best.join(fa, "id_a")
+        .join(cb, "id_b")
+        .select(
+            F.col("id_a").alias("frag_id"),
+            F.concat(F.col("seq_a"), F.expr("substring(seq_b, overlap + 1)")).alias("seq"),
+        )
+    )
+    untouched = frags.join(
+        extended.select("frag_id"), "frag_id", "left_anti"
+    ).select("frag_id", "seq")
+    return extended.unionByName(untouched)
+
+
+def reassemble(
+    reads: DataFrame,
+    fragments: DataFrame,
+    k: int = 31,
+    min_coverage: int = 2,
+    min_overlap: int = 31,
+    frag_id: str = "frag_id",
+    frag_seq: str = "seq",
+) -> DataFrame:
+    """Extend gene fragments with read-assembled contigs.
+
+    Returns DataFrame[frag_id, seq]. Deterministic picks: containment
+    prefers the longest contig (tie: id); end extension prefers the
+    longest overlap (tie: id).
+    """
+    frags = fragments.select(
+        F.col(frag_id).alias("frag_id"), F.upper(F.col(frag_seq)).alias("seq")
+    )
+    contigs = assemble(
+        reads, k=k, min_coverage=min_coverage, min_contig=k + 1
+    ).select("contig_id", "seq").localCheckpoint(eager=True)
+    ctgs = _both_strands(contigs)
+
+    # (1) containment: fragment inside a contig → adopt the contig,
+    # already oriented since both strands are candidates (J8: the small
+    # fragment side is broadcast)
+    fr = frags.select(
+        F.col("frag_id"), F.col("seq").alias("frag_seq")
+    )
+    hits = ctgs.join(
+        F.broadcast(fr), F.contains(F.col("seq"), F.col("frag_seq"))
+    )
+    w = Window.partitionBy("frag_id").orderBy(
+        F.length("seq").desc(), F.col("cid")
+    )
+    adopted = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("frag_id", "seq")
+    )
+
+    # (2) end extension for the rest: right end, then (via RC) left end
+    rest = frags.join(adopted.select("frag_id"), "frag_id", "left_anti")
+    right = _extend_right(rest, ctgs, min_overlap)
+    flipped = right.select(
+        "frag_id", reverse_complement(F.col("seq")).alias("seq")
+    )
+    both_ends = _extend_right(flipped, ctgs, min_overlap)
+    extended = both_ends.select(
+        "frag_id", reverse_complement(F.col("seq")).alias("seq")
+    )
+    return adopted.unionByName(extended)

@@ -41,6 +41,23 @@ def read_fastq_seqs_heuristic(spark: SparkSession, path: str) -> DataFrame:
     return lines.where(cond).select(F.upper(v).alias("seq"))
 
 
+def fasta_to_tab(df: DataFrame, id_col: str = "id", seq_col: str = "seq") -> DataFrame:
+    """C9: FASTA-shaped rows → single tab-joined text column (the shape
+    the reference pipes to external tools,
+    ``ReflexivDataFrameDecompresser.java:250-302``)."""
+    return df.select(
+        F.concat_ws("\t", F.col(id_col), F.col(seq_col)).alias("value")
+    )
+
+
+def tab_to_reads(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """C9 inverse: tab text → (id, seq) rows."""
+    parts = F.split(F.col(value_col), "\t")
+    return df.select(
+        parts.getItem(0).alias("id"), F.upper(parts.getItem(1)).alias("seq")
+    )
+
+
 def write_fasta(df: DataFrame, path: str, id_col: str = "id", seq_col: str = "seq",
                 wrap: int = 100) -> None:
     """contigs → FASTA text (K2), 100-char wrapped like the reference
