@@ -27,10 +27,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dna(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text → DataFrame[seq] of ACGT-only pseudo-reads."""
-    return _t(spark, sf_dir, "documents").select(
-        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq")
-    )
+    """documents.text → DataFrame[seq] of ACGT-only pseudo-reads.
+
+    Lazily checkpointed: downstream k-mer windows are Catalyst lambdas,
+    and without a barrier the regexp would be collapsed into them and
+    re-run once per k-mer position per row.
+    """
+    from reflexiv_spark.plans.layout import spread
+
+    return spread(
+        _t(spark, sf_dir, "documents").select(
+            F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq")
+        )
+    ).localCheckpoint(eager=False)
 
 
 # DuckDB-side equivalents of the helpers above, shared across oracles.
@@ -279,7 +288,7 @@ def q_mercy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id"),
         F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
-    )
+    ).localCheckpoint(eager=False)
     solid = count_kmers(docs, 15, min_coverage=2)
     return mercy_kmers(docs, solid, 15, read_id_col="doc_id")
 
@@ -291,7 +300,7 @@ def q_contig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dna = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("contig_id"),
         F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
-    ).where(F.length("seq") > 0)
+    ).where(F.length("seq") > 0).localCheckpoint(eager=False)
     return drop_contained_contigs(dna, w=15).select("contig_id")
 
 
@@ -302,7 +311,7 @@ def q_contig_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     dna = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("contig_id"),
         F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
-    )
+    ).localCheckpoint(eager=False)
     return overlap_pairs(dna, min_overlap=8, seed_k=8, searchable_len=None)
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reflexiv_spark.plans.layout import spread
+
 
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, trim, collapse
@@ -70,24 +72,34 @@ def drop_contained(
     and tiny by definition).
     """
     t, i = F.col(text_col), F.col(id_col)
-    base = df.select(i.alias("__id"), t.alias("__text"), F.length(t).alias("__len"))
+    # Lazy-materialize the projected base: 6 self-join branches hang off
+    # it, and without the barrier Catalyst inlines any expensive caller
+    # expressions into each branch's per-shingle lambda (recomputing them
+    # per array element). Mirrors the reference's DISK_ONLY persist before
+    # its dedup fan-out (``ReflexivDSDynamicKmerDedup.java:200``).
+    base = spread(
+        df.select(i.alias("__id"), t.alias("__text"), F.length(t).alias("__len"))
+    ).localCheckpoint(eager=False)
     long_rows = base.where(F.col("__len") >= w)
     short_rows = base.where((F.col("__len") < w) & (F.col("__len") > 0))
 
-    # Candidate generation joins (id, shingle) pairs ONLY — texts rejoin
-    # by id afterwards, so the shingle explode never shuffles document
-    # bodies (at sf0.1 that cuts the exchange from GBs to MBs). Sides
-    # derive from the same plan — alias-qualify to avoid self-join
-    # attribute ambiguity.
+    # Candidate generation joins (id, shingle-HASH) pairs ONLY — each
+    # shingle is collapsed to an 8-byte xxhash64 before the exchange
+    # (containment of the hash set follows from containment of the shingle
+    # set; collisions only add candidates, which the `contains` verify
+    # removes), and texts rejoin by id afterwards, so the explode never
+    # shuffles document bodies. Sides derive from the same plan —
+    # alias-qualify to avoid self-join attribute ambiguity.
+    hashed = F.array_distinct(F.transform(shingle_array("__text", w), lambda x: F.xxhash64(x)))
     idx = long_rows.select(
         F.col("__id").alias("sup_id"),
         F.col("__len").alias("sup_len"),
-        F.explode(F.array_distinct(shingle_array("__text", w))).alias("sh"),
+        F.explode(hashed).alias("sh"),
     ).alias("Dside")
     probe = long_rows.select(
         F.col("__id").alias("sub_id"),
         F.col("__len").alias("sub_len"),
-        F.array_min(shingle_array("__text", w)).alias("sh"),
+        F.array_min(hashed).alias("sh"),
     ).alias("pside")
     len_pred = (F.col("Dside.sup_id") != F.col("pside.sub_id")) & (
         (F.col("Dside.sup_len") > F.col("pside.sub_len"))
@@ -162,7 +174,7 @@ def ngram_jaccard_pairs(
     """
     t, i = F.col(text_col), F.col(id_col)
     sh = (
-        df.where(F.length(t) >= w)
+        spread(df.where(F.length(t) >= w))
         .select(i.alias("id"), F.explode(F.array_distinct(shingle_array(text_col, w))).alias("sh"))
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
@@ -197,18 +209,25 @@ def minhash_signatures(
     One shuffle: explode distinct shingles, then a single groupBy computing
     all ``num_hashes`` minima as independent agg expressions (map-side
     partial aggregation keeps shuffle volume at num_hashes longs per doc
-    per partition).
+    per partition). Each shingle string is hashed ONCE; the per-function
+    hashes rehash that 8-byte long (seeded by position), which is ~w×
+    cheaper than hashing the string ``num_hashes`` times and equally a
+    universal family for min-hashing.
     """
     sh = (
-        df.where(F.length(text_col) >= w)
+        spread(df.where(F.length(text_col) >= w))
         .select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingle_array(text_col, w))).alias("sh"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingle_array(text_col, w), lambda x: F.xxhash64(x))
+                )
+            ).alias("h"),
         )
     )
     mins = sh.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -304,7 +323,7 @@ def simhash64(
     (bit 63 unused to stay in positive long range). Single shuffle with 63
     partial-aggregated sums.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

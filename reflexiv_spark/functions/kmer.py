@@ -75,9 +75,13 @@ def explode_kmers(
     spot-checks bases at the read-filter stage, S3, and maps others onto the
     2-bit alphabet; dropping is the semantically safe equivalent).
     """
+    from reflexiv_spark.plans.layout import spread
+
     cols = [F.col(c) for c in (keep_cols or [])]
     out = (
-        df.where(F.length(seq_col) >= k)
+        # ~read_len× amplification happens inside this explode: make sure
+        # a small/single-partition input doesn't serialize it on one core.
+        spread(df.where(F.length(seq_col) >= k))
         # Uppercase before windowing: reverse_complement handles lowercase
         # but the drop_invalid rlike and canonical compare are case-
         # sensitive — un-uppercased input would silently lose k-mers.

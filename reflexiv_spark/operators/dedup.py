@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from reflexiv_spark.functions.kmer import canonical_kmer, reverse_complement
+from reflexiv_spark.plans.layout import spread
 
 
 def _canon_shingles(col, w: int):
@@ -63,21 +64,32 @@ def drop_contained_contigs(
     candidate join — sequences rejoin by id for the verify step.
     """
     s, i = F.col(seq_col), F.col(id_col)
-    base = contigs.select(
-        i.alias("__id"), s.alias("__seq"), F.length(s).alias("__len")
-    )
+    # Materialize the projected base once (lazily): the operator fans out
+    # into 6 self-join branches, and without a barrier Catalyst collapses
+    # the caller's seq-producing expressions INTO the per-shingle lambdas
+    # (re-running them once per array element per branch). The reference
+    # persists DISK_ONLY at the same spot
+    # (``ReflexivDSDynamicKmerDedup.java:200``).
+    base = spread(
+        contigs.select(i.alias("__id"), s.alias("__seq"), F.length(s).alias("__len"))
+    ).localCheckpoint(eager=False)
     long_rows = base.where(F.col("__len") >= w)
     short_rows = base.where((F.col("__len") < w) & (F.col("__len") > 0))
 
+    # Canonical shingles collapse to 8-byte xxhash64 values before the
+    # candidate exchange (hash-set containment follows from shingle-set
+    # containment; collisions only add candidates that the contains-verify
+    # step removes).
+    hashed = F.array_distinct(F.transform(_canon_shingles("__seq", w), lambda x: F.xxhash64(x)))
     idx = long_rows.select(
         F.col("__id").alias("sup_id"),
         F.col("__len").alias("sup_len"),
-        F.explode(F.array_distinct(_canon_shingles("__seq", w))).alias("sh"),
+        F.explode(hashed).alias("sh"),
     ).alias("supside")
     probe = long_rows.select(
         F.col("__id").alias("sub_id"),
         F.col("__len").alias("sub_len"),
-        F.array_min(_canon_shingles("__seq", w)).alias("sh"),
+        F.array_min(hashed).alias("sh"),
     ).alias("subside")
     len_pred = (F.col("supside.sup_id") != F.col("subside.sub_id")) & (
         (F.col("supside.sup_len") > F.col("subside.sub_len"))

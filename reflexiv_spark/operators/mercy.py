@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reflexiv_spark.functions.kmer import canonical_kmer, kmer_array
+from reflexiv_spark.plans.layout import spread
 
 
 def mercy_kmers(
@@ -43,22 +44,26 @@ def mercy_kmers(
         read_id_col = "__rid"
     # two selects: referencing an alias inside the same select's lambda
     # trips Spark's lateral-column-alias analysis
-    base = reads.select(
-        F.col(read_id_col).alias("rid"), F.upper(F.col(seq_col)).alias("seq")
+    base = spread(
+        reads.select(
+            F.col(read_id_col).alias("rid"), F.upper(F.col(seq_col)).alias("seq")
+        )
     )
+    # Shuffle hygiene: only (rid, pos, kmer) ride the explode → semi-join →
+    # window path; the ~read-length× heavier seq column rejoins by rid only
+    # for the (rare) gap rows. At sf0.1 this cuts the window exchange from
+    # ~seq_len× amplified bytes to a few MB.
     pos_kmers = base.select(
         "rid",
-        "seq",
         F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
     ).select(
         "rid",
-        "seq",
         (F.col("pos0") + 1).alias("pos"),  # 1-based k-mer start offset
         canonical_kmer("raw").alias("kmer"),
     )
     hits = pos_kmers.join(
         solid_kmers.select("kmer").dropDuplicates(), "kmer", "left_semi"
-    )
+    ).select("rid", "pos")
     w = Window.partitionBy("rid").orderBy("pos")
     gaps = (
         hits.withColumn("b", F.lead("pos").over(w))
@@ -73,7 +78,7 @@ def mercy_kmers(
             )
         )
     )
-    mercy = gaps.select(
+    mercy = gaps.join(base, "rid").select(
         "seq",
         F.explode(F.sequence(F.col("a") + 1, F.col("b") - 1)).alias("p"),
     ).select(
