@@ -434,6 +434,66 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_read_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 mapper: exact read→target alignment via seed equi-join (the
+    built-in minimap2 substitute). Reads are deterministic doc slices."""
+    from reflexiv_spark.operators.mapping import seed_map_reads
+
+    dna = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+    ).localCheckpoint(eager=False)
+    reads = (
+        dna.where(F.length("seq") >= 28)
+        .select(
+            F.col("doc_id").alias("read_id"),
+            F.expr("substring(seq, 5, 24)").alias("seq"),
+        )
+        .where(F.length("seq") >= 15)
+    )
+    targets = dna.where(F.length("seq") >= 15).select(
+        F.col("doc_id").alias("target_id"), "seq"
+    )
+    return seed_map_reads(reads, targets, seed_k=15)
+
+
+def q_end_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/J6 full stage (rows-only): consensus-extend truncated contigs
+    with overhanging read windows derived from the same docs."""
+    from reflexiv_spark.operators.mapping import extend_contigs_with_reads
+
+    dna = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("contig_id"),
+        F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("full_seq"),
+    ).where(F.length("full_seq") >= 60).localCheckpoint(eager=False)
+    contigs = dna.select(
+        "contig_id",
+        F.expr("substring(full_seq, 1, cast(length(full_seq) * 0.6 as int))").alias("seq"),
+    )
+    reads = dna.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("full_seq") - F.lit(23), F.lit(5)),
+                lambda i: F.col("full_seq").substr(i, F.lit(24)),
+            )
+        ).alias("__i", "seq")
+    ).select("seq")
+    out = extend_contigs_with_reads(
+        contigs, reads, seed_k=15, min_depth=1, searchable_len=100
+    )
+    return out.select("contig_id", F.length("seq").cast("bigint").alias("ext_len"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: embedding cosine near-dup dedup (exact oracle form; the
+    scale path is the LSH-bucketed exact=False variant)."""
+    from reflexiv_spark.datapipe.similarity import embedding_dedup
+
+    return embedding_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, exact=True
+    ).select("vec_id")
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -489,6 +549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "binary_meta": q_binary_meta,
+        "read_mapping": q_read_mapping,
+        "end_extend": q_end_extend,
+        "embedding_dedup": q_embedding_dedup,
     }
 
 
@@ -752,5 +815,26 @@ def oracle_sql() -> dict[str, str]:
         "binary_meta": (
             "SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,"
             " md5(text) AS digest FROM documents"
+        ),
+        "read_mapping": (
+            "WITH dnam AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents), "
+            "r AS (SELECT doc_id AS read_id, substr(seq, 5, 24) AS rseq"
+            " FROM dnam WHERE length(seq) >= 28 AND length(substr(seq, 5, 24)) >= 15), "
+            "t AS (SELECT doc_id AS target_id, seq FROM dnam"
+            " WHERE length(seq) >= 15) "
+            "SELECT r.read_id, t.target_id, CAST(o AS BIGINT) AS offset"
+            " FROM r, t, unnest(generate_series(1,"
+            " length(t.seq) - length(r.rseq) + 1)) AS u(o)"
+            " WHERE substr(t.seq, CAST(o AS INT), length(r.rseq)) = r.rseq"
+        ),
+        "embedding_dedup": (
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings), "
+            "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v) "
+            "SELECT a.vec_id FROM n a WHERE NOT EXISTS ("
+            "SELECT 1 FROM n b WHERE b.vec_id < a.vec_id"
+            " AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3)"
         ),
     }

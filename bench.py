@@ -44,6 +44,11 @@ HEADLINE = [
     # scale-path headline.
     "ann_lsh",
     "contained_dedup",
+    # X2 mapping stage: seed-join mapper + consensus end extension
+    "read_mapping",
+    "end_extend",
+    # embedding near-dup dedup (exact form; LSH variant is ann_lsh-shaped)
+    "embedding_dedup",
 ]
 
 

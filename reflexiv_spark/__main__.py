@@ -91,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
     ra.add_argument("-k", type=int, default=31)
     ra.add_argument("--min-cov", type=int, default=2)
 
+    st = add("stitch", help="bridge contigs with read evidence (reflexiv stitch)")
+    st.add_argument("--contigs", required=True, help="contig FASTA/parquet path")
+    st.add_argument("--klist", default="61,31,21")
+    st.add_argument("--min-support", type=int, default=1)
+
+    ee = add("endextend", help="map reads to contig ends, consensus-extend (X2)")
+    ee.add_argument("--contigs", required=True, help="contig FASTA/parquet path")
+    ee.add_argument("--seed-k", type=int, default=21)
+    ee.add_argument("--min-depth", type=int, default=2)
+
     t = add("text-dedup", help="datapipe: exact + near-dup text dedup")
     t.add_argument("--text-col", default="text")
     t.add_argument("--id-col", default="doc_id")
@@ -174,6 +184,25 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k, min_coverage=args.min_cov,
         )
         _write(out, args.output, args.outformat, id_col="frag_id")
+    elif args.cmd == "stitch":
+        from reflexiv_spark.pipelines.stitch import stitch_contigs
+
+        ks = tuple(int(x) for x in args.klist.split(","))
+        out = stitch_contigs(
+            _read_reads(spark, args.input, args.informat),
+            _read_contigs(spark, args.contigs),
+            ks=ks, min_support=args.min_support,
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "endextend":
+        from reflexiv_spark.operators.mapping import extend_contigs_with_reads
+
+        out = extend_contigs_with_reads(
+            _read_contigs(spark, args.contigs),
+            _read_reads(spark, args.input, args.informat),
+            seed_k=args.seed_k, min_depth=args.min_depth,
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
     elif args.cmd == "text-dedup":
         from reflexiv_spark.datapipe.dedup import exact_dedup, minhash_dedup
 

@@ -1,0 +1,391 @@
+"""Contig-end mapping and consensus extension — the ``07EndExtend`` stage
+(X2/J6).
+
+Reference flow (``ReflexivDSDynamicKmerMapping.java``): the driver
+concatenates contig ends and builds a minimap2 index (``:150-230``),
+executors pipe reads through minimap2 (``DSJavaPipeMinimap2 :1157-1267``),
+SAM rows are parsed back (``SAMString2ROW :369-389``), and overhanging
+reads consensus-extend each contig end
+(``DSProcessSAMandExtendContigs :564-995``); the extended set merges back
+with the untouched contigs by id (J6, ``:309-335``).
+
+Spark-first: the default mapper is a seed equi-join (read k-mer positions ⋈
+contig-end k-mer positions → alignment offset, exact substring verify) —
+Catalyst joins end-to-end, no external process, no indels (the reference's
+short-read preset ``-x sr`` is likewise near-exact). The consensus vote is
+a groupBy count + window argmax per extension position, and the
+"extend while depth holds" rule is a running-minimum window — no
+sort+scan, no per-read Python. A real minimap2 can be swapped in through
+:func:`pipe_minimap2` (subprocess via ``mapInPandas``, gated on the binary
+being present) feeding :func:`sam_to_rows` into the same consensus kernel.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import reverse_complement
+from reflexiv_spark.plans.layout import spread
+
+DEFAULT_SEARCHABLE = 600  # DefaultParam.java:127
+
+
+def _pos_kmers(df: DataFrame, id_col: str, seq_col: str, k: int) -> DataFrame:
+    """(id, pos, kmer) for every k-window; pos is 1-based."""
+    return (
+        spread(df.where(F.length(seq_col) >= k))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(seq_col) - F.lit(k - 1)),
+                    lambda i: F.col(seq_col).substr(i, F.lit(k)),
+                )
+            ).alias("__i", "kmer"),
+        )
+        .select(id_col, (F.col("__i") + 1).alias("pos"), "kmer")
+    )
+
+
+def seed_map_reads(
+    reads: DataFrame,
+    targets: DataFrame,
+    seed_k: int = 21,
+    read_id: str = "read_id",
+    read_seq: str = "seq",
+    target_id: str = "target_id",
+    target_seq: str = "seq",
+    contained_only: bool = True,
+) -> DataFrame:
+    """Exact read→target mapping via a seed equi-join.
+
+    Returns DataFrame[read_id, target_id, offset]: the read matches the
+    target starting at 1-based target position ``offset``. With
+    ``contained_only`` the whole read must lie inside the target (every
+    such occurrence is found: any occurrence seeds at all of its
+    positions); otherwise overhanging alignments are kept too — the
+    overlap region (≥ seed_k bases) must match exactly, which is the input
+    the consensus extender needs. Candidates carry (ids, positions) only;
+    sequences rejoin by id for the verify step.
+    """
+    r = reads.select(
+        F.col(read_id).alias("rid"),
+        F.upper(F.col(read_seq)).alias("rseq"),
+        F.length(read_seq).alias("rlen"),
+    ).localCheckpoint(eager=False)
+    t = targets.select(
+        F.col(target_id).alias("tid"),
+        F.upper(F.col(target_seq)).alias("tseq"),
+        F.length(target_seq).alias("tlen"),
+    ).localCheckpoint(eager=False)
+
+    rk = _pos_kmers(r, "rid", "rseq", seed_k).select(
+        "rid", F.col("pos").alias("rpos"), "kmer"
+    )
+    tk = _pos_kmers(t, "tid", "tseq", seed_k).select(
+        "tid", F.col("pos").alias("tpos"), "kmer"
+    )
+    cand = (
+        rk.join(tk, "kmer")
+        .select("rid", "tid", (F.col("tpos") - F.col("rpos") + 1).alias("offset"))
+        .dropDuplicates(["rid", "tid", "offset"])
+    )
+    joined = cand.join(r, "rid").join(t, "tid")
+    if contained_only:
+        verified = joined.where(
+            (F.col("offset") >= 1)
+            & (F.col("offset") + F.col("rlen") - 1 <= F.col("tlen"))
+            & (
+                F.col("tseq").substr(F.col("offset"), F.col("rlen"))
+                == F.col("rseq")
+            )
+        )
+    else:
+        # overlap region: read positions [rs, re] ↔ target [ts, ts+n-1]
+        rs = F.greatest(F.lit(1), F.lit(2) - F.col("offset"))
+        ts = F.greatest(F.lit(1), F.col("offset"))
+        n = F.least(
+            F.col("rlen") - rs + 1, F.col("tlen") - ts + F.lit(1)
+        )
+        verified = joined.where(
+            (n >= seed_k)
+            & (F.col("rseq").substr(rs, n) == F.col("tseq").substr(ts, n))
+        )
+    return verified.select(
+        F.col("rid").alias(read_id),
+        F.col("tid").alias(target_id),
+        F.col("offset").cast("bigint").alias("offset"),
+    )
+
+
+def sam_to_rows(sam_lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """SAM text lines → DataFrame[qname, flag, rname, pos, mapq, cigar, seq]
+    (``SAMString2ROW``, ``ReflexivDSDynamicKmerMapping.java:369-389``).
+
+    Header lines (``@``-prefixed) and unmapped rows (rname ``*``) are
+    dropped.
+    """
+    v = F.col(value_col)
+    parts = F.split(v, "\t")
+    return (
+        sam_lines.where(~v.startswith("@"))
+        .select(
+            parts.getItem(0).alias("qname"),
+            parts.getItem(1).cast("int").alias("flag"),
+            parts.getItem(2).alias("rname"),
+            parts.getItem(3).cast("long").alias("pos"),
+            parts.getItem(4).cast("int").alias("mapq"),
+            parts.getItem(5).alias("cigar"),
+            parts.getItem(9).alias("seq"),
+        )
+        .where(F.col("rname") != "*")
+    )
+
+
+def pipe_minimap2(
+    reads: DataFrame,
+    index_path: str,
+    minimap2_bin: str = "minimap2",
+    preset: str = "sr",
+    read_id: str = "read_id",
+    read_seq: str = "seq",
+) -> DataFrame:
+    """Map reads through an external minimap2 process → SAM line rows.
+
+    Executor-side subprocess pipe (the reference ships minimap2 to
+    executors via ``addFile`` and pipes FASTQ through it,
+    ``DSJavaPipeMinimap2``, ``ReflexivDSDynamicKmerMapping.java:1157-1267``).
+    Each Arrow batch becomes one FASTA stream on the child's stdin; SAM
+    comes back on stdout. Raises ``RuntimeError`` up front when the binary
+    is absent — callers fall back to :func:`seed_map_reads`.
+    """
+    if shutil.which(minimap2_bin) is None:
+        raise RuntimeError(
+            f"{minimap2_bin!r} not found on PATH; use seed_map_reads() "
+            "(built-in exact mapper) instead"
+        )
+    import subprocess
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("value", StringType(), False)])
+    bin_path, idx = minimap2_bin, index_path
+
+    def run_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            fasta = "".join(
+                f">{q}\n{s}\n" for q, s in zip(pdf["__id"], pdf["__seq"])
+            )
+            proc = subprocess.run(
+                [bin_path, "-a", "-x", preset, idx, "-"],
+                input=fasta.encode(),
+                stdout=subprocess.PIPE,
+                check=True,
+            )
+            lines = proc.stdout.decode().splitlines()
+            yield pd.DataFrame({"value": lines})
+
+    shaped = reads.select(
+        F.col(read_id).cast("string").alias("__id"), F.col(read_seq).alias("__seq")
+    )
+    return shaped.mapInPandas(run_batches, schema)
+
+
+def extract_contig_ends(
+    contigs: DataFrame,
+    searchable_len: int = DEFAULT_SEARCHABLE,
+    id_col: str = "contig_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """DataFrame[contig_id, side('L'|'R'), end_seq]: the mappable tail of
+    each contig end (the reference indexes ``06ContigEnds``,
+    ``ReflexivDSDynamicKmerMapping.java:150-230``). The left end is
+    reverse-complemented so BOTH sides present extension as "rightward
+    growth" to the shared consensus kernel.
+    """
+    s = F.upper(F.col(seq_col))
+
+    def tail(col: Column) -> Column:
+        # substring with a negative start underflows for short strings —
+        # short contigs contribute their whole sequence
+        return F.when(F.length(col) <= searchable_len, col).otherwise(
+            F.substring(col, -searchable_len, searchable_len)
+        )
+
+    right = contigs.select(
+        F.col(id_col),
+        F.lit("R").alias("side"),
+        tail(s).alias("end_seq"),
+    )
+    left = contigs.select(
+        F.col(id_col),
+        F.lit("L").alias("side"),
+        tail(reverse_complement(s)).alias("end_seq"),
+    )
+    return right.unionByName(left)
+
+
+def _char_at(seq: Column, pos: Column) -> Column:
+    return seq.substr(pos, F.lit(1))
+
+
+def consensus_extensions(
+    mapped: DataFrame,
+    reads: DataFrame,
+    ends: DataFrame,
+    min_depth: int = 2,
+    read_id: str = "read_id",
+    read_seq: str = "seq",
+) -> DataFrame:
+    """Per (contig_id, side): the consensus extension string grown from
+    overhanging mapped reads (``DSProcessSAMandExtendContigs``,
+    ``ReflexivDSDynamicKmerMapping.java:564-995``).
+
+    ``mapped`` is :func:`seed_map_reads` output against
+    :func:`extract_contig_ends` targets (``target_id`` = struct-free
+    ``contig_id || '/' || side`` handled by the caller — here it expects
+    columns contig_id, side, offset, read_id). Rules: every overhang base
+    votes; per position the majority base wins (ties → lexicographic) and
+    must have depth ≥ ``min_depth``; extension stops at the first position
+    failing the depth rule (running-minimum window keeps it contiguous).
+    """
+    r = reads.select(
+        F.col(read_id).alias("rid"),
+        F.upper(F.col(read_seq)).alias("rseq"),
+        F.length(read_seq).alias("rlen"),
+    )
+    e = ends.select(
+        "contig_id", "side", F.length("end_seq").alias("elen")
+    )
+    m = (
+        mapped.join(r, F.col(read_id) == F.col("rid"))
+        .join(e, ["contig_id", "side"])
+        # read position of the first base PAST the end: elen - offset + 2
+        .withColumn("first_over", F.col("elen") - F.col("offset") + 2)
+        .where((F.col("first_over") >= 1) & (F.col("first_over") <= F.col("rlen")))
+    )
+    votes = m.select(
+        "contig_id",
+        "side",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.col("first_over"), F.col("rlen")),
+                lambda p: _char_at(F.col("rseq"), p),
+            )
+        ).alias("q0", "base"),
+    ).select("contig_id", "side", (F.col("q0") + 1).alias("q"), "base")
+
+    counts = votes.groupBy("contig_id", "side", "q", "base").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    pick_w = Window.partitionBy("contig_id", "side", "q").orderBy(
+        F.col("depth").desc(), F.col("base")
+    )
+    best = (
+        counts.withColumn("__rn", F.row_number().over(pick_w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # contiguity + depth: position q survives iff every position 1..q has
+    # depth >= min_depth and exists (q == row_number)
+    run_w = (
+        Window.partitionBy("contig_id", "side")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surviving = (
+        best.withColumn("min_depth_so_far", F.min("depth").over(run_w))
+        .withColumn(
+            "contiguous",
+            F.row_number().over(Window.partitionBy("contig_id", "side").orderBy("q"))
+            == F.col("q"),
+        )
+        .where((F.col("min_depth_so_far") >= min_depth) & F.col("contiguous"))
+    )
+    return surviving.groupBy("contig_id", "side").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("q"), F.col("base")))
+                ),
+                lambda s: s.getField("base"),
+            ),
+        ).alias("extension")
+    )
+
+
+def extend_contigs_with_reads(
+    contigs: DataFrame,
+    reads: DataFrame,
+    seed_k: int = 21,
+    min_depth: int = 2,
+    searchable_len: int = DEFAULT_SEARCHABLE,
+    id_col: str = "contig_id",
+    seq_col: str = "seq",
+    read_seq: str = "seq",
+) -> DataFrame:
+    """Full X2 stage: map reads onto both contig ends (both read strands),
+    consensus-extend, splice extensions back (J6 equi-join on contig id).
+
+    Returns DataFrame[contig_id, seq] for every input contig (extended or
+    untouched).
+    """
+    rid = F.monotonically_increasing_id()
+    fwd = reads.select(rid.alias("read_id"), F.upper(F.col(read_seq)).alias("seq"))
+    fwd = fwd.localCheckpoint(eager=False)
+    rc = fwd.select(
+        (-F.col("read_id") - 1).alias("read_id"),
+        reverse_complement(F.col("seq")).alias("seq"),
+    )
+    both = fwd.unionByName(rc)
+
+    ends = extract_contig_ends(
+        contigs, searchable_len=searchable_len, id_col=id_col, seq_col=seq_col
+    ).localCheckpoint(eager=False)
+    targets = ends.select(
+        F.concat_ws("/", F.col(id_col), F.col("side")).alias("target_id"),
+        F.col("end_seq").alias("seq"),
+    )
+    mapped = seed_map_reads(
+        both, targets, seed_k=seed_k, contained_only=False
+    ).select(
+        F.split(F.col("target_id"), "/").getItem(0).alias(id_col),
+        F.split(F.col("target_id"), "/").getItem(1).alias("side"),
+        "read_id",
+        "offset",
+    )
+    ext = consensus_extensions(
+        mapped.withColumnRenamed(id_col, "contig_id"),
+        both,
+        ends.withColumnRenamed(id_col, "contig_id"),
+        min_depth=min_depth,
+    )
+    base = contigs.select(F.col(id_col), F.upper(F.col(seq_col)).alias("__seq"))
+    r_ext = ext.where(F.col("side") == "R").select(
+        F.col("contig_id").alias(id_col), F.col("extension").alias("__r")
+    )
+    l_ext = ext.where(F.col("side") == "L").select(
+        F.col("contig_id").alias(id_col), F.col("extension").alias("__l")
+    )
+    out = (
+        base.join(r_ext, id_col, "left")
+        .join(l_ext, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat(
+                # left extension was grown on the RC strand → flip back
+                F.coalesce(
+                    reverse_complement(F.col("__l")), F.lit("")
+                ),
+                F.col("__seq"),
+                F.coalesce(F.col("__r"), F.lit("")),
+            ).alias(seq_col),
+        )
+    )
+    return out

@@ -1,0 +1,211 @@
+"""Contig stitching — ``reflexiv stitch`` (internal subcommand).
+
+Reference: ``Pipelines.reflexivDSStitchingPipe`` (``Pipelines.java:208-237``)
+bridges assembled contigs across coverage gaps by re-counting with
+coverage-1 k-mers at k ∈ {61, 31, 21} and re-running the extension
+machinery. The essence: a single read that carries the END k-mer of contig
+A and, further right, the START k-mer of contig B is evidence that B
+follows A; coverage-1 evidence is admitted (unlike assembly proper).
+
+Spark-first: both matches are seed equi-joins of read (position, k-mer)
+pairs against contig end/start seeds; support is a pair count (A4 shape),
+the winning gap distance and partner are window argmaxes (W6 shape), and
+the splice text comes from one deterministic representative read. Both
+contig orientations participate (a bridge may involve either strand), and
+an exact/RC dedup collapses the mirror-image duplicates afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.functions.kmer import reverse_complement
+from reflexiv_spark.operators.dedup import dedup_exact_rc
+from reflexiv_spark.plans.layout import spread
+
+DEFAULT_STITCH_KS = (61, 31, 21)  # Pipelines.java:208-237
+
+
+def _oriented(contigs: DataFrame, id_col: str, seq_col: str) -> DataFrame:
+    fwd = contigs.select(
+        F.col(id_col).alias("cid"),
+        F.upper(F.col(seq_col)).alias("cseq"),
+    )
+    rev = contigs.select(
+        F.concat(F.col(id_col), F.lit("(-)")).alias("cid"),
+        reverse_complement(F.upper(F.col(seq_col))).alias("cseq"),
+    )
+    return fwd.unionByName(rev)
+
+
+def _base_id(col):
+    return F.regexp_replace(col, r"\(-\)$", "")
+
+
+def stitch_bridges(
+    reads: DataFrame,
+    contigs: DataFrame,
+    k: int,
+    min_support: int = 1,
+    read_seq: str = "seq",
+    id_col: str = "contig_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """DataFrame[left, right, d, support, bridge_rid, bridge_pl]: the
+    winning bridge per contig pair at seed size ``k``.
+
+    ``d`` is the read-coordinate distance from the left-end seed to the
+    right-start seed; ``d >= k`` means a gap of ``d - k`` bases filled
+    from the read, ``d < k`` an overlap of ``k - d`` bases.
+    """
+    both = spread(
+        reads.select(
+            F.monotonically_increasing_id().alias("rid"),
+            F.upper(F.col(read_seq)).alias("rseq"),
+        )
+    ).localCheckpoint(eager=False)
+    rc = both.select(
+        (-F.col("rid") - 1).alias("rid"),
+        reverse_complement(F.col("rseq")).alias("rseq"),
+    )
+    stranded = both.unionByName(rc)
+
+    poskmers = stranded.where(F.length("rseq") >= k).select(
+        "rid",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("rseq") - F.lit(k - 1)),
+                lambda i: F.col("rseq").substr(i, F.lit(k)),
+            )
+        ).alias("__i", "kmer"),
+    ).select("rid", (F.col("__i") + 1).alias("pos"), "kmer")
+
+    ori = _oriented(contigs, id_col, seq_col).where(
+        F.length("cseq") >= k
+    ).localCheckpoint(eager=False)
+    end_seeds = ori.select(
+        F.col("cid").alias("left"), F.substring("cseq", -k, k).alias("kmer")
+    )
+    start_seeds = ori.select(
+        F.col("cid").alias("right"), F.substring("cseq", 1, k).alias("kmer")
+    )
+    l_hits = poskmers.join(end_seeds, "kmer").select(
+        "rid", F.col("pos").alias("pl"), "left"
+    )
+    r_hits = poskmers.join(start_seeds, "kmer").select(
+        "rid", F.col("pos").alias("pr"), "right"
+    )
+    br = (
+        l_hits.join(r_hits, "rid")
+        .where(_base_id(F.col("left")) != _base_id(F.col("right")))
+        .where(F.col("pr") > F.col("pl"))
+        .select("rid", "pl", "left", "right", (F.col("pr") - F.col("pl")).alias("d"))
+    )
+    support = br.groupBy("left", "right", "d").agg(
+        F.count_distinct("rid").alias("support")
+    )
+    # winning distance per pair, then one outgoing bridge per left and one
+    # incoming per right
+    w_d = Window.partitionBy("left", "right").orderBy(
+        F.col("support").desc(), F.col("d")
+    )
+    w_out = Window.partitionBy("left").orderBy(
+        F.col("support").desc(), F.col("right")
+    )
+    w_in = Window.partitionBy("right").orderBy(
+        F.col("support").desc(), F.col("left")
+    )
+    chosen = (
+        support.withColumn("__rd", F.row_number().over(w_d))
+        .where((F.col("__rd") == 1) & (F.col("support") >= min_support))
+        .drop("__rd")
+        .withColumn("__ro", F.row_number().over(w_out))
+        .where(F.col("__ro") == 1)
+        .drop("__ro")
+        .withColumn("__ri", F.row_number().over(w_in))
+        .where(F.col("__ri") == 1)
+        .drop("__ri")
+    )
+    rep_w = Window.partitionBy("left", "right", "d").orderBy("rid", "pl")
+    rep = (
+        br.join(chosen.select("left", "right", "d"), ["left", "right", "d"])
+        .withColumn("__rn", F.row_number().over(rep_w))
+        .where(F.col("__rn") == 1)
+        .select("left", "right", "d", F.col("rid").alias("bridge_rid"), F.col("pl").alias("bridge_pl"))
+    )
+    return chosen.join(rep, ["left", "right", "d"]).join(
+        stranded.select(F.col("rid").alias("bridge_rid"), F.col("rseq").alias("bridge_seq")),
+        "bridge_rid",
+    )
+
+
+def stitch_round(
+    reads: DataFrame,
+    contigs: DataFrame,
+    k: int,
+    min_support: int = 1,
+    id_col: str = "contig_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """One stitching pass at seed size ``k`` → DataFrame[contig_id, seq]."""
+    bridges = stitch_bridges(
+        reads, contigs, k, min_support=min_support,
+        id_col=id_col, seq_col=seq_col,
+    )
+    ori = _oriented(contigs, id_col, seq_col)
+    left_seq = ori.select(F.col("cid").alias("left"), F.col("cseq").alias("seq_l"))
+    right_seq = ori.select(F.col("cid").alias("right"), F.col("cseq").alias("seq_r"))
+    stitched = (
+        bridges.join(left_seq, "left")
+        .join(right_seq, "right")
+        .select(
+            F.concat_ws("~", F.col("left"), F.col("right")).alias(id_col),
+            F.when(
+                F.col("d") >= k,
+                F.concat(
+                    F.col("seq_l"),
+                    F.col("bridge_seq").substr(
+                        F.col("bridge_pl") + F.lit(k), F.col("d") - F.lit(k)
+                    ),
+                    F.col("seq_r"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.col("seq_l"),
+                    F.expr(f"substring(seq_r, {k} + 1 - d)"),
+                )
+            )
+            .alias(seq_col),
+        )
+    )
+    used = (
+        bridges.select(_base_id(F.col("left")).alias("cid"))
+        .unionByName(bridges.select(_base_id(F.col("right")).alias("cid")))
+        .distinct()
+    )
+    untouched = contigs.join(
+        used, F.col(id_col) == F.col("cid"), "left_anti"
+    ).select(F.col(id_col), F.upper(F.col(seq_col)).alias(seq_col))
+    out = stitched.unionByName(untouched)
+    return dedup_exact_rc(out, seq_col=seq_col, id_col=id_col)
+
+
+def stitch_contigs(
+    reads: DataFrame,
+    contigs: DataFrame,
+    ks: tuple[int, ...] = DEFAULT_STITCH_KS,
+    min_support: int = 1,
+    id_col: str = "contig_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Multi-k stitching ladder (larger seeds first — most specific
+    evidence wins before shorter, more promiscuous seeds run)."""
+    cur = contigs
+    for k in ks:
+        cur = stitch_round(
+            reads, cur, k, min_support=min_support,
+            id_col=id_col, seq_col=seq_col,
+        ).localCheckpoint(eager=True)
+    return cur

@@ -135,3 +135,32 @@ def test_audio_frame_fanout(spark):
     assert len(out) == 3  # 2500 bytes → 3 frames
     assert sorted(r.frame_idx for r in out) == [0, 1, 2]
     assert {r.n_samples for r in out} == {512, 512, 226}
+
+
+def test_embedding_dedup_exact_and_lsh(spark):
+    import numpy as np
+
+    from reflexiv_spark.datapipe.similarity import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float64")
+    # plant near-duplicates of rows 0 and 3 (tiny perturbation)
+    dupe0 = base[0] + rng.randn(16) * 1e-3
+    dupe3 = base[3] + rng.randn(16) * 1e-3
+    vecs = np.vstack([base, dupe0, dupe3])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {r.vec_id for r in embedding_dedup(df, 0.99, exact=True).collect()}
+    assert exact == set(range(20))  # ids 20 and 21 dropped
+
+    lsh = {
+        r.vec_id
+        for r in embedding_dedup(
+            df, 0.99, exact=False, dim=16, n_planes=6, n_probes=4
+        ).collect()
+    }
+    # LSH is approximate but near-identical vectors collide with high
+    # probability under 4 probes; planted dupes must be found
+    assert 20 not in lsh and 21 not in lsh
+    assert set(range(20)) <= lsh
