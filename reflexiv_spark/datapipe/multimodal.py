@@ -28,6 +28,9 @@ DECODED_IMAGE_SCHEMA = (
     "id bigint, width int, height int, channels int, mean_value double"
 )
 AUDIO_FRAMES_SCHEMA = "id bigint, frame_idx int, n_samples int, rms double"
+RESIZED_IMAGE_SCHEMA = "id bigint, width int, height int, blob binary"
+VIDEO_FRAMES_SCHEMA = "id bigint, frame_idx int, frame binary, digest string"
+FEATURE_DIM = 64
 
 
 def sniff_format(df: DataFrame, blob_col: str = "blob") -> DataFrame:
@@ -134,3 +137,123 @@ def sample_audio_frames(
             )
 
     return frames.mapInPandas(featurize, schema=AUDIO_FRAMES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    fake: bool = False,
+) -> DataFrame:
+    """blob → (id, width, height, blob) resized payloads via mapInPandas.
+
+    The stub truncates/zero-pads the payload to ``target_w*target_h``
+    bytes (deterministic, real batch/memory shape); a real implementation
+    replaces the body with a PIL/opencv resample.
+    """
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    size = target_w * target_h
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv; not available in "
+                    "this container — pass fake=True for the stub"
+                )
+            out = [
+                (b or b"")[:size].ljust(size, b"\x00") for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "blob": out,
+                }
+            )
+
+    return cols.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    frame_bytes: int = 4096,
+    every_nth: int = 10,
+) -> DataFrame:
+    """blob → every ``every_nth`` fixed-size chunk as a pseudo-frame row
+    (id, frame_idx, frame, digest). Entirely JVM-side (sequence + explode
+    + substring + md5): a real keyframe extractor would replace the
+    chunking with an ffmpeg ``mapInPandas`` stage, but the fan-out,
+    sampling stride and per-frame schema are the production shape — an
+    hour of video becomes frame rows BEFORE any Python/decoder touches
+    the data."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(blob_col).alias("blob"),
+            F.posexplode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(blob_col).cast("int"), F.lit(1)),
+                    F.lit(frame_bytes * every_nth),
+                )
+            ).alias("frame_idx", "off"),
+        )
+        .select(
+            "id",
+            "frame_idx",
+            F.substring(F.col("blob"), F.col("off"), F.lit(frame_bytes)).alias(
+                "frame"
+            ),
+        )
+        .withColumn("digest", F.md5(F.col("frame")))
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    dim: int = FEATURE_DIM,
+    fake: bool = False,
+) -> DataFrame:
+    """blob → (id, embedding: array<double>) feature vectors.
+
+    The stub derives a deterministic unit vector from the payload's MD5
+    (numpy, one RNG seed per row, vectorized batch stack); a real model
+    replaces the body with an ONNX/torch forward pass. Output feeds the
+    similarity operators (:mod:`reflexiv_spark.datapipe.similarity`)
+    directly — blob → embedding → ANN is the end-to-end multimodal path.
+    """
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    schema = f"id bigint, embedding array<double>"
+
+    def embed(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a vision/audio model; not "
+                    "available in this container — pass fake=True for the stub"
+                )
+            vecs = []
+            for b in pdf["blob"]:
+                seed = int.from_bytes(
+                    hashlib.md5(b or b"").digest()[:4], "big"
+                )
+                v = np.random.RandomState(seed).randn(dim)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+            yield pd.DataFrame({"id": pdf["id"], "embedding": vecs})
+
+    return cols.mapInPandas(embed, schema=schema)

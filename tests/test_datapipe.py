@@ -164,3 +164,44 @@ def test_embedding_dedup_exact_and_lsh(spark):
     # probability under 4 probes; planted dupes must be found
     assert 20 not in lsh and 21 not in lsh
     assert set(range(20)) <= lsh
+
+
+def test_multimodal_resize_video_features(spark):
+    from reflexiv_spark.datapipe.multimodal import (
+        extract_features,
+        resize_images,
+        sample_video_frames,
+    )
+
+    rows = [(1, b"\x89PNG" + bytes(range(200))), (2, b"RIFF" + bytes(100))]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+
+    rs = {r.id: r for r in resize_images(df, 8, 4, fake=True).collect()}
+    assert rs[1].width == 8 and rs[1].height == 4 and len(rs[1].blob) == 32
+    assert len(rs[2].blob) == 32  # short payload zero-padded
+
+    vid = sample_video_frames(df, frame_bytes=50, every_nth=2).collect()
+    by_id = {}
+    for r in vid:
+        by_id.setdefault(r.id, []).append(r)
+    # 204-byte payload, stride 100: frames at offsets 1, 101, 201
+    assert len(by_id[1]) == 3
+    assert all(len(r.frame) <= 50 and r.digest for r in vid)
+
+    feats = {r.id: r.embedding for r in extract_features(df, fake=True).collect()}
+    assert len(feats[1]) == 64
+    import math
+    assert math.isclose(sum(x * x for x in feats[1]), 1.0, rel_tol=1e-9)
+    # deterministic: same blob -> same embedding
+    feats2 = {r.id: r.embedding for r in extract_features(df, fake=True).collect()}
+    assert feats == feats2
+
+
+def test_multimodal_real_decode_gated(spark):
+    import pytest
+
+    from reflexiv_spark.datapipe.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
+    with pytest.raises(Exception, match="fake=True"):
+        resize_images(df, 4, 4, fake=False).collect()
