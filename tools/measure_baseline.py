@@ -83,8 +83,17 @@ def measure_spark(big: bool) -> dict:
     # k-mer counting throughput: 200k reads x 100bp = 20 Mbp
     genome = "".join(rng.choice("ACGT") for _ in range(1_000_000))
     reads = _simulate(genome, coverage=20, read_len=100, seed=7)
-    df = spark.createDataFrame([(r,) for r in reads], "seq string").repartition(32)
-    df.write.format("noop").mode("overwrite").save()  # materialize input cost
+    df = (
+        spark.createDataFrame([(r,) for r in reads], "seq string")
+        .repartition(32)
+        # pin the input in the JVM: a plain createDataFrame re-pickles the
+        # driver-side list on EVERY action, which would charge ~4 s of
+        # single-threaded Python serialization to the operator under test
+        .localCheckpoint(eager=True)
+    )
+    count_kmers(df, 31, min_coverage=2).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm codegen/JIT so the timing is steady-state
     t0 = time.time()
     count_kmers(df, 31, min_coverage=2).write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
@@ -96,7 +105,9 @@ def measure_spark(big: bool) -> dict:
     # e2e assembly: example-equivalent 4.5 kb / 15x
     g1 = "".join(rng.choice("ACGT") for _ in range(4576))
     r1 = _simulate(g1, coverage=15, read_len=100, seed=8)
-    d1 = spark.createDataFrame([(r,) for r in r1], "seq string")
+    d1 = spark.createDataFrame([(r,) for r in r1], "seq string").localCheckpoint(
+        eager=True
+    )
     t0 = time.time()
     n1 = assemble(d1, k=31, min_contig=1000).count()
     out["assembly_4_5kb_sec"] = round(time.time() - t0, 1)
@@ -104,7 +115,11 @@ def measure_spark(big: bool) -> dict:
 
     if big:
         r2 = _simulate(genome, coverage=30, read_len=100, seed=9)
-        d2 = spark.createDataFrame([(r,) for r in r2], "seq string").repartition(32)
+        d2 = (
+            spark.createDataFrame([(r,) for r in r2], "seq string")
+            .repartition(32)
+            .localCheckpoint(eager=True)
+        )
         t0 = time.time()
         n2 = assemble(d2, k=31, min_contig=1000).count()
         out["assembly_1mb_sec"] = round(time.time() - t0, 1)
