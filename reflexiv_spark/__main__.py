@@ -72,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("-k", type=int, default=31)
     r.add_argument("--min-cov", type=int, default=2)
     r.add_argument("--min-contig", type=int, default=500)
+    r.add_argument("--packed", action="store_true",
+                   help="2-bit packed counting fast path (k <= 31)")
 
     d = add("reduce", help="multi-k reduction ladder (reflexiv reduce)")
     d.add_argument("--klist", default="23,31,41,53,67,81,95")
@@ -138,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
         out = assemble(
             _read_reads(spark, args.input, args.informat), k=args.k,
             min_coverage=args.min_cov, min_contig=args.min_contig,
+            packed=args.packed,
         )
         _write(out, args.output, args.outformat, id_col="contig_id")
     elif args.cmd == "reduce":

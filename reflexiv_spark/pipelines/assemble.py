@@ -122,22 +122,35 @@ def assemble(
     seq_col: str = "seq",
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
+    packed: bool = False,
 ) -> DataFrame:
     """reads[seq] → contigs — the full ``reflexiv run`` equivalent.
 
     ``min_error_coverage`` defaults to 4× ``min_coverage`` like the
     reference (``DefaultParam.java:106``); pass 0/None semantics via an
-    explicit value to disable.
+    explicit value to disable. ``packed=True`` uses the 2-bit fast-path
+    counter (k ≤ 31; ~3× counting throughput, identical counts).
     """
     if min_error_coverage is None:
         min_error_coverage = 4 * min_coverage
-    counts = count_kmers(
-        reads,
-        k,
-        seq_col=seq_col,
-        min_coverage=min_coverage,
-        max_coverage=max_coverage,
-    )
+    if packed:
+        from reflexiv_spark.operators.counter_packed import count_kmers_packed
+
+        counts = count_kmers_packed(
+            reads,
+            k,
+            seq_col=seq_col,
+            min_coverage=min_coverage,
+            max_coverage=max_coverage,
+        )
+    else:
+        counts = count_kmers(
+            reads,
+            k,
+            seq_col=seq_col,
+            min_coverage=min_coverage,
+            max_coverage=max_coverage,
+        )
     return assemble_from_counts(
         counts,
         k,
