@@ -41,6 +41,18 @@ def read_fastq_seqs_heuristic(spark: SparkSession, path: str) -> DataFrame:
     return lines.where(cond).select(F.upper(v).alias("seq"))
 
 
+def read_kmer_counts(spark: SparkSession, path: str) -> DataFrame:
+    """S4: k-mer count CSV scan — read ``Count_*/part*.csv[.gz]`` back as
+    DataFrame[kmer, count] (``ReflexivDSKmerLeftAndRightSorting.java:164``;
+    sink counterpart :func:`reflexiv_spark.plans.stages.write_csv`).
+
+    Explicit schema: no inference pass over the data (an inference scan
+    reads every file twice — wrong at 100 TB). Gzip decompression is
+    handled by Spark's codec layer from the file extension.
+    """
+    return spark.read.csv(path, schema="kmer string, count long")
+
+
 def fasta_to_tab(df: DataFrame, id_col: str = "id", seq_col: str = "seq") -> DataFrame:
     """C9: FASTA-shaped rows → single tab-joined text column (the shape
     the reference pipes to external tools,

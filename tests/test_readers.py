@@ -111,3 +111,20 @@ def test_multi_file_glob(spark, tmp_path_factory, fastq_records):
     _make_fastq(d / "b.fastq", fastq_records[100:])
     got = {r.read_id for r in read_fastq(spark, str(d) + "/*.fastq").collect()}
     assert got == {r for r, _, _ in fastq_records}
+
+
+def test_kmer_count_csv_roundtrip(spark, tmp_path_factory):
+    """S4 + K1: counter output → gzip CSV sink → CSV scan roundtrip."""
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.plans.stages import write_csv
+    from reflexiv_spark.sources.fastq import read_kmer_counts
+
+    seqs = [random_genome(200, seed=s) for s in range(20)]
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    counts = count_kmers(reads, 15, min_coverage=1)
+    expected = {(r["kmer"], r["count"]) for r in counts.collect()}
+    out = str(tmp_path_factory.mktemp("counts") / "Count_15")
+    write_csv(counts, out, gzip=True)
+    back = read_kmer_counts(spark, out)
+    assert back.schema.simpleString() == "struct<kmer:string,count:bigint>"
+    assert {(r["kmer"], r["count"]) for r in back.collect()} == expected
