@@ -113,9 +113,12 @@ def count_kmers_packed(
     src = spread(reads.select(F.col(seq_col).alias("seq")))
     packed = src.mapInPandas(encode, schema="packed long")
     counts = packed.groupBy("packed").agg(F.count(F.lit(1)).alias("count"))
-    counts = counts.where(
-        (F.col("count") >= min_coverage) & (F.col("count") <= max_coverage)
-    )
+    # None bounds mean "no floor/ceiling", matching count_kmers — a literal
+    # None comparison would evaluate NULL and silently drop every row.
+    if min_coverage is not None and min_coverage > 1:
+        counts = counts.where(F.col("count") >= min_coverage)
+    if max_coverage is not None:
+        counts = counts.where(F.col("count") <= max_coverage)
     if not decode:
         return counts
     return counts.select(packed_to_kmer("packed", k).alias("kmer"), "count")

@@ -254,10 +254,14 @@ def consensus_extensions(
     must have depth ≥ ``min_depth``; extension stops at the first position
     failing the depth rule (running-minimum window keeps it contiguous).
     """
+    # an optional `weight` column carries read multiplicity (content-
+    # deduplicated reads vote once per original copy)
+    wt = F.col("weight") if "weight" in reads.columns else F.lit(1)
     r = reads.select(
         F.col(read_id).alias("rid"),
         F.upper(F.col(read_seq)).alias("rseq"),
         F.length(read_seq).alias("rlen"),
+        wt.cast("bigint").alias("wt"),
     )
     e = ends.select(
         "contig_id", "side", F.length("end_seq").alias("elen")
@@ -272,16 +276,17 @@ def consensus_extensions(
     votes = m.select(
         "contig_id",
         "side",
+        "wt",
         F.posexplode(
             F.transform(
                 F.sequence(F.col("first_over"), F.col("rlen")),
                 lambda p: _char_at(F.col("rseq"), p),
             )
         ).alias("q0", "base"),
-    ).select("contig_id", "side", (F.col("q0") + 1).alias("q"), "base")
+    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
 
     counts = votes.groupBy("contig_id", "side", "q", "base").agg(
-        F.count(F.lit(1)).alias("depth")
+        F.sum("wt").alias("depth")
     )
     pick_w = Window.partitionBy("contig_id", "side", "q").orderBy(
         F.col("depth").desc(), F.col("base")
@@ -336,14 +341,20 @@ def extend_contigs_with_reads(
     Returns DataFrame[contig_id, seq] for every input contig (extended or
     untouched).
     """
-    rid = F.monotonically_increasing_id()
-    fwd = reads.select(rid.alias("read_id"), F.upper(F.col(read_seq)).alias("seq"))
-    fwd = fwd.localCheckpoint(eager=False)
-    rc = fwd.select(
-        (-F.col("read_id") - 1).alias("read_id"),
-        reverse_complement(F.col("seq")).alias("seq"),
+    # Content-deterministic read ids: identical reads collapse to one row
+    # carrying their multiplicity as a vote weight. A nondeterministic id
+    # (monotonically_increasing_id) could renumber reads when a partition
+    # is recomputed after the forward side materialized, double-counting or
+    # orphaning votes; hashing the sequence also dedupes BEFORE the seed
+    # explode — fewer shuffled k-mer rows at scale.
+    fwd = reads.select(F.upper(F.col(read_seq)).alias("seq"))
+    rc = fwd.select(reverse_complement(F.col("seq")).alias("seq"))
+    both = (
+        fwd.unionByName(rc)
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .withColumn("read_id", F.xxhash64("seq"))
     )
-    both = fwd.unionByName(rc)
 
     ends = extract_contig_ends(
         contigs, searchable_len=searchable_len, id_col=id_col, seq_col=seq_col

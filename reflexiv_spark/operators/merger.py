@@ -142,6 +142,18 @@ def merge_contigs(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # A contig consumed as a downstream (id_b) must not also head a
+        # merge (id_a) in the same round: chain A→B→C would otherwise emit
+        # B's bases into both A+B and B+C. Chains merge one link per round;
+        # pure cycles (circular contigs) drop out entirely, which is the
+        # safe outcome — merging a cycle duplicates content by definition.
+        chosen = chosen.join(
+            chosen.select(F.col("id_b").alias("id_a")).distinct(),
+            "id_a",
+            "left_anti",
+        )
+        if chosen.isEmpty():
+            break
         sa = cur.select(F.col("cid").alias("id_a"), F.col("seq").alias("seq_a"))
         sb = cur.select(F.col("cid").alias("id_b"), F.col("seq").alias("seq_b"))
         merged = (

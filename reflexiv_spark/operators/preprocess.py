@@ -67,8 +67,12 @@ def merge_read_pairs(
     merged_seq = F.concat(
         F.col("s1"), F.expr("substring(s2, __o + 1)")
     )
+    # both mates must be at least min_overlap long: F.sequence(lo, hi)
+    # yields a DESCENDING range when hi < lo, which would score and accept
+    # overlaps shorter than min_overlap on short mates.
+    long_enough = F.least(F.length("s1"), F.length("s2")) >= min_overlap
     out = paired.withColumn(
-        "__o", F.when(both & (F.length("s1") >= min_overlap), best_o)
+        "__o", F.when(both & long_enough, best_o)
     ).select(
         F.col("pid").alias(id_col),
         F.when(F.col("__o").isNotNull(), merged_seq)
@@ -113,8 +117,14 @@ def correct_reads(
         reads, k, seq_col=seq_col, min_coverage=min_coverage, max_coverage=None
     ).select("kmer")
 
-    base = reads.select(F.upper(F.col(seq_col)).alias("seq")).withColumn(
-        "rid", F.monotonically_increasing_id()
+    # rid is nondeterministic (monotonically_increasing_id); the plan below
+    # branches on `base` (clean/suspects/winners), so pin the assignment with
+    # an eager checkpoint — otherwise a recomputed branch could renumber
+    # reads and attach corrections to the wrong rows.
+    base = (
+        reads.select(F.upper(F.col(seq_col)).alias("seq"))
+        .withColumn("rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
     pos_kmers = base.select(
         "rid",

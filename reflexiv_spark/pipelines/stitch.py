@@ -59,17 +59,17 @@ def stitch_bridges(
     right-start seed; ``d >= k`` means a gap of ``d - k`` bases filled
     from the read, ``d < k`` an overlap of ``k - d`` bases.
     """
-    both = spread(
-        reads.select(
-            F.monotonically_increasing_id().alias("rid"),
-            F.upper(F.col(read_seq)).alias("rseq"),
-        )
-    ).localCheckpoint(eager=False)
-    rc = both.select(
-        (-F.col("rid") - 1).alias("rid"),
-        reverse_complement(F.col("rseq")).alias("rseq"),
+    # Content-deterministic read ids (xxhash64 of the sequence): stable
+    # under partition recompute, unlike monotonically_increasing_id, and
+    # the distinct() dedupes identical reads before the k-mer explode.
+    # Support below is count_distinct(rid) — distinct bridging sequences —
+    # so collapsing exact duplicates does not change it.
+    fwd = spread(reads.select(F.upper(F.col(read_seq)).alias("rseq")))
+    stranded = (
+        fwd.unionByName(fwd.select(reverse_complement("rseq").alias("rseq")))
+        .distinct()
+        .withColumn("rid", F.xxhash64("rseq"))
     )
-    stranded = both.unionByName(rc)
 
     poskmers = stranded.where(F.length("rseq") >= k).select(
         "rid",
