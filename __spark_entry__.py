@@ -124,6 +124,37 @@ def q_prune_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prune_forks(expand_orientations(counts), 15)
 
 
+def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/J1/I1/I2: the RDK contraction loop — the reference's core
+    (``ReflexivDSDynamicKmerIteration.java:465-1249``). Counts → orientation
+    expansion → fork pruning → randomized contraction to convergence.
+
+    The fork-free graph decomposes into linear paths and pure cycles; a
+    cycle contracts to a rotation-dependent representative, so only
+    anchored paths (leading (k-1)-mer with in-degree 0) are emitted — those
+    are order-independent maximal unitigs, reproducible by a recursive-CTE
+    walk in the oracle.
+    """
+    from reflexiv_spark.functions.kmer import prefix_subkmer, suffix_subkmer
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.extension import extend_to_convergence, to_paths
+    from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
+
+    k = 15
+    counts = count_kmers(_dna(spark, sf_dir), k, min_coverage=2)
+    pruned = prune_forks(expand_orientations(counts), k).localCheckpoint(eager=False)
+    paths = extend_to_convergence(to_paths(pruned.select("kmer", "count")), k)
+    dsts = pruned.select(suffix_subkmer("kmer", k).alias("__dst")).distinct()
+    anchored = paths.join(
+        dsts, prefix_subkmer("seq", k) == F.col("__dst"), "left_anti"
+    )
+    return anchored.select(
+        "seq",
+        F.col("left_cover").cast("bigint").alias("left_cover"),
+        F.col("right_cover").cast("bigint").alias("right_cover"),
+    )
+
+
 def q_fork_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 generic: best row per group by cover desc with tiebreak."""
     from reflexiv_spark.operators.fork import filter_forks
@@ -521,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmer_clip": q_kmer_clip,
         "rc_expand": q_rc_expand,
         "prune_forks": q_prune_forks,
+        "assemble_paths": q_assemble_paths,
         "fork_argmax": q_fork_argmax,
         "fork_argmax_gated": q_fork_argmax_gated,
         "union_counts": q_union_counts,
@@ -585,6 +617,31 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY substr(kmer, 2, 14)"
             " ORDER BY count DESC, kmer DESC) AS rn FROM f1) "
             "SELECT kmer, count FROM r WHERE rn = 1"
+        ),
+        "assemble_paths": (
+            # fork-free prune (same CTEs as prune_forks), then walk each
+            # in-degree-0 (k-1)-mer along its unique out-edges to the path
+            # end — the order-free definition of what the randomized
+            # contraction loop converges to.
+            f"WITH RECURSIVE {_SQL_EXPANDED}, "
+            "f AS (SELECT kmer, count, row_number() OVER ("
+            "PARTITION BY substr(kmer, 1, 14)"
+            " ORDER BY count DESC, kmer DESC) AS rn FROM expanded), "
+            "f1 AS (SELECT kmer, count FROM f WHERE rn = 1), "
+            "r AS (SELECT kmer, count, row_number() OVER ("
+            "PARTITION BY substr(kmer, 2, 14)"
+            " ORDER BY count DESC, kmer DESC) AS rn FROM f1), "
+            "pruned AS (SELECT kmer, count FROM r WHERE rn = 1), "
+            "edges AS (SELECT substr(kmer, 1, 14) AS src,"
+            " substr(kmer, 2, 14) AS dst, kmer, count FROM pruned), "
+            "walk(cur, seq, left_cover, right_cover) AS ("
+            "SELECT e.dst, e.kmer, e.count, e.count FROM edges e"
+            " WHERE e.src NOT IN (SELECT dst FROM edges)"
+            " UNION ALL "
+            "SELECT e.dst, w.seq || substr(e.kmer, 15, 1), w.left_cover,"
+            " e.count FROM walk w JOIN edges e ON e.src = w.cur) "
+            "SELECT seq, left_cover, right_cover FROM walk w"
+            " WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)"
         ),
         "fork_argmax": (
             "SELECT l_orderkey, l_partkey, l_extendedprice, l_linenumber FROM ("
