@@ -515,6 +515,75 @@ def q_end_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("contig_id", F.length("seq").cast("bigint").alias("ext_len"))
 
 
+def q_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 (FLASH pair merging): mates derived from each doc's DNA — R1 is
+    the leading 60%, R2 the reverse-complemented trailing 60% — so true
+    overlap is 20% of the fragment; unmergeable short fragments pass
+    through, exactly like FLASH."""
+    from reflexiv_spark.functions.kmer import reverse_complement
+    from reflexiv_spark.operators.preprocess import merge_read_pairs
+
+    src = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id"),
+            F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+        )
+        .where(F.length("seq") >= 40)
+        .withColumn("L", F.length("seq"))
+        .withColumn("m", F.ceil(F.col("L") * 0.6).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    r1 = src.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("/1")).alias("read_id"),
+        F.expr("substring(seq, 1, m)").alias("seq"),
+    )
+    r2 = src.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("/2")).alias("read_id"),
+        reverse_complement(F.expr("substring(seq, L - m + 1)")).alias("seq"),
+    )
+    return merge_read_pairs(r1, r2, min_overlap=10)
+
+
+def q_error_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 (error correction): overlapping 30 bp windows (step 7) of each
+    doc's DNA give ~4x coverage; the first window of every 3rd doc gets a
+    deterministic base flip at position 13, which solid-k-mer voting must
+    repair."""
+    from reflexiv_spark.operators.preprocess import correct_reads
+
+    dna = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id"),
+            F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
+        )
+        .where(F.length("seq") >= 30)
+    )
+    windows = dna.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("seq") - F.lit(29), F.lit(7)),
+                lambda i: F.col("seq").substr(i, F.lit(30)),
+            )
+        ).alias("widx", "w"),
+    )
+    corrupted = windows.select(
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.col("widx") == 0),
+            F.concat(
+                F.expr("substring(w, 1, 12)"),
+                F.translate(F.expr("substring(w, 13, 1)"), "ACGT", "CGTA"),
+                F.expr("substring(w, 14)"),
+            ),
+        )
+        .otherwise(F.col("w"))
+        .alias("seq")
+    )
+    return correct_reads(corrupted, k=15, min_coverage=2)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: embedding cosine near-dup dedup (exact oracle form; the
     scale path is the LSH-bucketed exact=False variant)."""
@@ -583,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
         "end_extend": q_end_extend,
+        "pair_merge": q_pair_merge,
+        "error_correct": q_error_correct,
         "embedding_dedup": q_embedding_dedup,
     }
 
@@ -885,6 +956,80 @@ def oracle_sql() -> dict[str, str]:
             " FROM r, t, unnest(generate_series(1,"
             " length(t.seq) - length(r.rseq) + 1)) AS u(o)"
             " WHERE substr(t.seq, CAST(o AS INT), length(r.rseq)) = r.rseq"
+        ),
+        "pair_merge": (
+            "WITH dnap AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents), "
+            "src AS (SELECT CAST(doc_id AS VARCHAR) AS pid, seq,"
+            " length(seq) AS L, CAST(ceil(length(seq) * 0.6) AS INT) AS m"
+            " FROM dnap WHERE length(seq) >= 40), "
+            "p AS (SELECT pid, substr(seq, 1, m) AS s1,"
+            " substr(seq, L - m + 1) AS s2 FROM src), "
+            "b AS (SELECT pid, s1, s2,"
+            " CASE WHEN least(length(s1), length(s2)) >= 10 THEN"
+            " (SELECT max(o) FROM unnest(generate_series(10,"
+            " least(length(s1), length(s2)))) AS t(o)"
+            " WHERE substr(s1, length(s1) - CAST(o AS INT) + 1)"
+            " = substr(s2, 1, CAST(o AS INT))) END AS o FROM p) "
+            "SELECT pid AS read_id, CASE WHEN o IS NOT NULL THEN"
+            " s1 || substr(s2, CAST(o AS INT) + 1) ELSE s1 END AS seq,"
+            " o IS NOT NULL AS merged FROM b"
+            " UNION ALL SELECT pid, reverse(translate(s2, 'ACGT', 'TGCA')),"
+            " false FROM b WHERE o IS NULL AND s1 != s2"
+        ),
+        "error_correct": (
+            "WITH dnae AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
+            " FROM documents WHERE length(regexp_replace(upper(text),"
+            " '[^ACGT]', '', 'g')) >= 30), "
+            "win AS (SELECT doc_id, CAST(i AS INT) AS i,"
+            " substr(seq, CAST(i AS INT), 30) AS w FROM dnae,"
+            " unnest(generate_series(1, length(seq) - 29, 7)) AS t(i)), "
+            "reads AS (SELECT doc_id, i, CASE WHEN doc_id % 3 = 0 AND i = 1"
+            " THEN substr(w, 1, 12) || translate(substr(w, 13, 1), 'ACGT',"
+            " 'CGTA') || substr(w, 14) ELSE w END AS seq FROM win), "
+            "km AS (SELECT doc_id, i, seq, CAST(s AS INT) AS s,"
+            " least(substr(seq, CAST(s AS INT), 15),"
+            " reverse(translate(substr(seq, CAST(s AS INT), 15), 'ACGT',"
+            " 'TGCA'))) AS kmer FROM reads,"
+            " unnest(generate_series(1, 16)) AS t(s)), "
+            "solid AS (SELECT kmer FROM km GROUP BY kmer"
+            " HAVING count(*) >= 2), "
+            "mk AS (SELECT doc_id, i, seq, s,"
+            " kmer IN (SELECT kmer FROM solid) AS ok FROM km), "
+            "per AS (SELECT doc_id, i, seq,"
+            " sum(CASE WHEN ok THEN 0 ELSE 1 END) AS n_weak,"
+            " min(CASE WHEN NOT ok THEN s END) AS a,"
+            " max(CASE WHEN NOT ok THEN s END) AS b"
+            " FROM mk GROUP BY 1, 2, 3), "
+            "sus AS (SELECT doc_id, i, seq, CASE WHEN b - a + 1 = 15 THEN b"
+            " WHEN a = 1 THEN b WHEN b = 16 THEN a + 14 END AS p FROM per"
+            " WHERE n_weak > 0 AND b - a + 1 = n_weak AND b - a + 1 <= 15), "
+            "sus2 AS (SELECT * FROM sus WHERE p IS NOT NULL), "
+            "clean AS (SELECT seq FROM per WHERE n_weak = 0"
+            " OR b - a + 1 != n_weak OR b - a + 1 > 15"
+            " UNION ALL SELECT seq FROM sus WHERE p IS NULL), "
+            "cand AS (SELECT doc_id, i, seq, p, x,"
+            " substr(seq, 1, CAST(p AS INT) - 1) || x ||"
+            " substr(seq, CAST(p AS INT) + 1) AS fixed FROM sus2,"
+            " unnest(['A', 'C', 'G', 'T']) AS t(x)"
+            " WHERE x != substr(seq, CAST(p AS INT), 1)), "
+            "aff AS (SELECT doc_id, i, x, fixed,"
+            " least(substr(fixed, CAST(s AS INT), 15),"
+            " reverse(translate(substr(fixed, CAST(s AS INT), 15), 'ACGT',"
+            " 'TGCA'))) AS kmer FROM cand,"
+            " unnest(generate_series(greatest(1, p - 14), least(16, p)))"
+            " AS t(s)), "
+            "votes AS (SELECT doc_id, i, x, fixed, count(*) AS hits FROM aff"
+            " WHERE kmer IN (SELECT kmer FROM solid) GROUP BY 1, 2, 3, 4), "
+            "w2 AS (SELECT doc_id, i, fixed FROM (SELECT doc_id, i, fixed,"
+            " hits, row_number() OVER (PARTITION BY doc_id, i"
+            " ORDER BY hits DESC, x) AS rn FROM votes)"
+            " WHERE rn = 1 AND hits > 0), "
+            "rep AS (SELECT coalesce(w2.fixed, s.seq) AS seq FROM sus2 s"
+            " LEFT JOIN w2 ON s.doc_id = w2.doc_id AND s.i = w2.i) "
+            "SELECT seq FROM clean UNION ALL SELECT seq FROM rep"
         ),
         "embedding_dedup": (
             "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
