@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reflexiv_spark.operators.containment import contained_row_ids
 from reflexiv_spark.plans.layout import spread
 
 
@@ -71,89 +72,15 @@ def drop_contained(
     shorter than ``w`` are broadcast against the full set (they are rare
     and tiny by definition).
     """
-    t, i = F.col(text_col), F.col(id_col)
-    # Lazy-materialize the projected base: 6 self-join branches hang off
-    # it, and without the barrier Catalyst inlines any expensive caller
-    # expressions into each branch's per-shingle lambda (recomputing them
-    # per array element). Mirrors the reference's DISK_ONLY persist before
-    # its dedup fan-out (``ReflexivDSDynamicKmerDedup.java:200``).
-    base = spread(
-        df.select(i.alias("__id"), t.alias("__text"), F.length(t).alias("__len"))
-    ).localCheckpoint(eager=False)
-    long_rows = base.where(F.col("__len") >= w)
-    short_rows = base.where((F.col("__len") < w) & (F.col("__len") > 0))
-
-    # Candidate generation joins (id, shingle-HASH) pairs ONLY — each
-    # shingle is collapsed to an 8-byte xxhash64 before the exchange
-    # (containment of the hash set follows from containment of the shingle
-    # set; collisions only add candidates, which the `contains` verify
-    # removes), and texts rejoin by id afterwards, so the explode never
-    # shuffles document bodies. Sides derive from the same plan —
-    # alias-qualify to avoid self-join attribute ambiguity.
-    hashed = F.array_distinct(F.transform(shingle_array("__text", w), lambda x: F.xxhash64(x)))
-    idx = long_rows.select(
-        F.col("__id").alias("sup_id"),
-        F.col("__len").alias("sup_len"),
-        F.explode(hashed).alias("sh"),
-    ).alias("Dside")
-    probe = long_rows.select(
-        F.col("__id").alias("sub_id"),
-        F.col("__len").alias("sub_len"),
-        F.array_min(hashed).alias("sh"),
-    ).alias("pside")
-    len_pred = (F.col("Dside.sup_id") != F.col("pside.sub_id")) & (
-        (F.col("Dside.sup_len") > F.col("pside.sub_len"))
-        | (
-            (F.col("Dside.sup_len") == F.col("pside.sub_len"))
-            & (F.col("Dside.sup_id") < F.col("pside.sub_id"))
-        )
+    dropped = contained_row_ids(
+        df,
+        text_col,
+        id_col,
+        w,
+        shingles=lambda c: shingle_array(c, w),
+        verify=lambda sup, sub: F.contains(sup, sub),
     )
-    cand = (
-        probe.join(idx, F.col("pside.sh") == F.col("Dside.sh"))
-        .where(len_pred)
-        .select("sub_id", "sup_id")
-        .dropDuplicates()
-    )
-    sub_texts = long_rows.select(
-        F.col("__id").alias("sub_id"), F.col("__text").alias("sub_text")
-    )
-    sup_texts = long_rows.select(
-        F.col("__id").alias("sup_id"), F.col("__text").alias("sup_text")
-    )
-    dropped_long = (
-        cand.join(sub_texts, "sub_id")
-        .join(sup_texts, "sup_id")
-        .where(F.contains(F.col("sup_text"), F.col("sub_text")))
-        .select(F.col("sub_id").alias("__id"))
-    )
-    # Short rows: broadcast the (tiny) short side against every row. Both
-    # sides derive from `base`, so qualify with aliases to avoid Spark's
-    # self-join attribute ambiguity.
-    short_probe = short_rows.select(
-        F.col("__id").alias("sub_id"),
-        F.col("__text").alias("sub_text"),
-        F.col("__len").alias("sub_len"),
-    ).alias("pside")
-    dropped_short = (
-        base.alias("Dside")
-        .join(F.broadcast(short_probe))
-        .where(
-            (F.col("Dside.__id") != F.col("pside.sub_id"))
-            & (
-                (F.col("Dside.__len") > F.col("pside.sub_len"))
-                | (
-                    (F.col("Dside.__len") == F.col("pside.sub_len"))
-                    & (F.col("Dside.__id") < F.col("pside.sub_id"))
-                )
-            )
-            & F.contains(F.col("Dside.__text"), F.col("pside.sub_text"))
-        )
-        .select(F.col("pside.sub_id").alias("__id"))
-    )
-    dropped = dropped_long.unionByName(dropped_short).distinct()
-    return (
-        df.join(dropped, i == dropped["__id"], "left_anti")
-    )
+    return df.join(dropped, F.col(id_col) == dropped["__id"], "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -171,11 +98,23 @@ def ngram_jaccard_pairs(
     directly. Scale path for very hot shingles is the MinHash variant
     (:func:`minhash_lsh_pairs`); this operator is the oracle-checkable
     exact form.
+
+    Shingles collapse to 8-byte xxhash64 values before the exchange (~w×
+    smaller than shipping raw shingle strings; a 64-bit collision would
+    need two distinct shingles of the same doc-pair to collide — vanishing
+    at any realistic corpus size, and it only perturbs one count by 1).
     """
     t, i = F.col(text_col), F.col(id_col)
     sh = (
         spread(df.where(F.length(t) >= w))
-        .select(i.alias("id"), F.explode(F.array_distinct(shingle_array(text_col, w))).alias("sh"))
+        .select(
+            i.alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingle_array(text_col, w), lambda x: F.xxhash64(x))
+                )
+            ).alias("sh"),
+        )
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id1"), "sh")

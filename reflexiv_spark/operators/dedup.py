@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from reflexiv_spark.functions.kmer import canonical_kmer, reverse_complement
-from reflexiv_spark.plans.layout import spread
+from reflexiv_spark.operators.containment import contained_row_ids
 
 
 def _canon_shingles(col, w: int):
@@ -63,91 +63,16 @@ def drop_contained_contigs(
     probe's minimum canonical w-shingle; only (id, shingle) pairs ride the
     candidate join — sequences rejoin by id for the verify step.
     """
-    s, i = F.col(seq_col), F.col(id_col)
-    # Materialize the projected base once (lazily): the operator fans out
-    # into 6 self-join branches, and without a barrier Catalyst collapses
-    # the caller's seq-producing expressions INTO the per-shingle lambdas
-    # (re-running them once per array element per branch). The reference
-    # persists DISK_ONLY at the same spot
-    # (``ReflexivDSDynamicKmerDedup.java:200``).
-    base = spread(
-        contigs.select(i.alias("__id"), s.alias("__seq"), F.length(s).alias("__len"))
-    ).localCheckpoint(eager=False)
-    long_rows = base.where(F.col("__len") >= w)
-    short_rows = base.where((F.col("__len") < w) & (F.col("__len") > 0))
-
-    # Canonical shingles collapse to 8-byte xxhash64 values before the
-    # candidate exchange (hash-set containment follows from shingle-set
-    # containment; collisions only add candidates that the contains-verify
-    # step removes).
-    hashed = F.array_distinct(F.transform(_canon_shingles("__seq", w), lambda x: F.xxhash64(x)))
-    idx = long_rows.select(
-        F.col("__id").alias("sup_id"),
-        F.col("__len").alias("sup_len"),
-        F.explode(hashed).alias("sh"),
-    ).alias("supside")
-    probe = long_rows.select(
-        F.col("__id").alias("sub_id"),
-        F.col("__len").alias("sub_len"),
-        F.array_min(hashed).alias("sh"),
-    ).alias("subside")
-    len_pred = (F.col("supside.sup_id") != F.col("subside.sub_id")) & (
-        (F.col("supside.sup_len") > F.col("subside.sub_len"))
-        | (
-            (F.col("supside.sup_len") == F.col("subside.sub_len"))
-            & (F.col("supside.sup_id") < F.col("subside.sub_id"))
-        )
+    dropped = contained_row_ids(
+        contigs,
+        seq_col,
+        id_col,
+        w,
+        shingles=lambda c: _canon_shingles(c, w),
+        verify=lambda sup, sub: F.contains(sup, sub)
+        | F.contains(sup, reverse_complement(sub)),
     )
-    cand = (
-        probe.join(idx, F.col("subside.sh") == F.col("supside.sh"))
-        .where(len_pred)
-        .select("sub_id", "sup_id")
-        .dropDuplicates()
-    )
-    sub_seqs = long_rows.select(
-        F.col("__id").alias("sub_id"), F.col("__seq").alias("sub_seq")
-    )
-    sup_seqs = long_rows.select(
-        F.col("__id").alias("sup_id"), F.col("__seq").alias("sup_seq")
-    )
-    rc_contains = F.contains(
-        F.col("sup_seq"), F.col("sub_seq")
-    ) | F.contains(F.col("sup_seq"), reverse_complement(F.col("sub_seq")))
-    dropped_long = (
-        cand.join(sub_seqs, "sub_id")
-        .join(sup_seqs, "sup_id")
-        .where(rc_contains)
-        .select(F.col("sub_id").alias("__id"))
-    )
-    short_probe = short_rows.select(
-        F.col("__id").alias("sub_id"),
-        F.col("__seq").alias("sub_seq"),
-        F.col("__len").alias("sub_len"),
-    ).alias("subside")
-    dropped_short = (
-        base.alias("supside")
-        .join(F.broadcast(short_probe))
-        .where(
-            (F.col("supside.__id") != F.col("subside.sub_id"))
-            & (
-                (F.col("supside.__len") > F.col("subside.sub_len"))
-                | (
-                    (F.col("supside.__len") == F.col("subside.sub_len"))
-                    & (F.col("supside.__id") < F.col("subside.sub_id"))
-                )
-            )
-            & (
-                F.contains(F.col("supside.__seq"), F.col("subside.sub_seq"))
-                | F.contains(
-                    F.col("supside.__seq"),
-                    reverse_complement(F.col("subside.sub_seq")),
-                )
-            )
-        )
-        .select(F.col("subside.sub_id").alias("__id"))
-    )
-    dropped = dropped_long.unionByName(dropped_short).distinct()
-    return contigs.join(dropped, i == dropped["__id"], "left_anti")
+    return contigs.join(dropped, F.col(id_col) == dropped["__id"], "left_anti")
 
 
 def dedup_contigs(
