@@ -71,6 +71,47 @@ def _sql_counts(k: int, min_cov: int = 2, src: str = "dna", name: str = "counts"
 
 _SQL_RC = "reverse(translate(kmer, 'ACGT', 'TGCA'))"
 
+
+def _sql_md5l(expr: str) -> str:
+    """First 60 bits of md5 as BIGINT — DuckDB twin of
+    ``reflexiv_spark.datapipe.dedup.md5_long`` (Spark:
+    ``conv(substring(md5(x), 1, 15), 16, 10)``)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_lsh_buckets(n_probes: int, n_planes: int, dim: int, seed: int = 42) -> str:
+    """CTE chain ``pl, qv, bits, bk`` replaying
+    ``reflexiv_spark.datapipe.similarity.lsh_buckets(plane_family='md5')``:
+    md5-derived integer planes × floor-quantized int vectors → exact int64
+    sign bits → bucket id per (probe, vec)."""
+    h = _sql_md5l(
+        f"CAST({seed} + 1000 * pr AS VARCHAR) || '_' || CAST(p AS VARCHAR)"
+        " || '_' || CAST(d AS VARCHAR)"
+    )
+    return (
+        f"pl AS (SELECT pr, p, d, (({h} % 2001) - 1000) AS w"
+        f" FROM unnest(generate_series(0, {n_probes - 1})) t1(pr),"
+        f" unnest(generate_series(0, {n_planes - 1})) t2(p),"
+        f" unnest(generate_series(0, {dim - 1})) t3(d)), "
+        "qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS d,"
+        " CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000)"
+        " AS BIGINT) AS q FROM embeddings,"
+        f" unnest(generate_series(1, {dim})) t(i)), "
+        "bits AS (SELECT pr, vec_id, p, CASE WHEN sum(q * w) > 0"
+        " THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b"
+        " FROM qv JOIN pl USING (d) GROUP BY 1, 2, 3), "
+        "bk AS (SELECT pr, vec_id, sum(b << p) AS bucket FROM bits"
+        " GROUP BY 1, 2)"
+    )
+
+
+# normalized vectors + exact cosine — shared by the embedding oracles
+_SQL_VNORM = (
+    "n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,"
+    " sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
+)
+
 _SQL_EXPANDED = (
     f"{_SQL_DNA}, {_sql_counts(15)}, expanded AS ("
     "SELECT DISTINCT kmer, count FROM ("
@@ -383,20 +424,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datapipe: MinHash/LSH near-dup pairs (rows-only: hash fns are not
-    SQL-reproducible)."""
+    """datapipe: MinHash/LSH near-dup pairs. The md5 hash family makes the
+    full pipeline (shingle hash → 32 minima → 8 banded buckets → candidate
+    join → signature-agreement estimate) bit-replayable by the SQL oracle;
+    production keeps the xxhash64 default."""
     from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), w=8, num_hashes=64, bands=16, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        w=8,
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
     )
 
 
 def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datapipe: SimHash near-dup pairs (rows-only)."""
+    """datapipe: SimHash near-dup pairs (md5 family: 60-bit signature,
+    15-bit pigeonhole chunks — exactly replayed by the SQL oracle)."""
     from reflexiv_spark.datapipe.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    df = simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, hash_family="md5"
+    )
+    return df.select("id1", "id2", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,11 +509,19 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datapipe: LSH-bucketed approximate NN (rows-only: random planes)."""
+    """datapipe: LSH-bucketed approximate NN. md5-derived integer planes +
+    floor-quantized vectors make the bucketing exact int64 arithmetic, so
+    the SQL oracle replays candidates AND the cosine re-rank; production
+    uses gaussian planes (plane_family default)."""
     from reflexiv_spark.datapipe.similarity import ann_topk
 
     return ann_topk(
-        _t(spark, sf_dir, "embeddings"), dim=64, k=3, n_planes=8, n_probes=2
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        k=3,
+        n_planes=8,
+        n_probes=2,
+        plane_family="md5",
     )
 
 
@@ -585,12 +645,20 @@ def q_error_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datapipe: embedding cosine near-dup dedup (exact oracle form; the
-    scale path is the LSH-bucketed exact=False variant)."""
+    """datapipe: embedding cosine near-dup dedup via the 100 TB path —
+    LSH-bucketed candidates + exact cosine verify (exact=False). The md5
+    plane family lets the SQL oracle replay the same candidates; the
+    exact=True all-pairs variant stays as the pytest baseline."""
     from reflexiv_spark.datapipe.similarity import embedding_dedup
 
     return embedding_dedup(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, exact=True
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        exact=False,
+        dim=64,
+        n_planes=8,
+        n_probes=2,
+        plane_family="md5",
     ).select("vec_id")
 
 
@@ -878,6 +946,54 @@ def oracle_sql() -> dict[str, str]:
             " FROM it JOIN sz s1 ON it.id1 = s1.id JOIN sz s2 ON it.id2 = s2.id"
             " WHERE inter / (s1.n + s2.n - inter) >= 0.5"
         ),
+        "minhash_near_dup": (
+            # bit-exact replay of minhash_lsh_pairs(hash_family='md5'):
+            # shingle → md5 long → 32 rehashed minima → 8 bands (r=4) →
+            # banded candidate join → agreement estimate
+            "WITH sh AS (SELECT DISTINCT doc_id AS id, "
+            + _sql_md5l("substr(text, CAST(i AS INT), 8)")
+            + " AS h FROM documents,"
+            " unnest(generate_series(1, length(text) - 7)) AS t(i)"
+            " WHERE length(text) >= 8), "
+            "mins AS (SELECT id, CAST(j AS INT) AS j, min("
+            + _sql_md5l("CAST(h AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+            + ") AS m FROM sh, unnest(generate_series(0, 31)) AS u(j)"
+            " GROUP BY 1, 2), "
+            "bnd AS (SELECT id, j // 4 AS band_idx,"
+            " string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key"
+            " FROM mins GROUP BY 1, 2), "
+            "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bnd a"
+            " JOIN bnd b ON a.band_idx = b.band_idx"
+            " AND a.band_key = b.band_key AND a.id < b.id), "
+            "ag AS (SELECT c.id1, c.id2,"
+            " sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS est"
+            " FROM cand c JOIN mins ma ON ma.id = c.id1"
+            " JOIN mins mb ON mb.id = c.id2 AND mb.j = ma.j GROUP BY 1, 2) "
+            "SELECT id1, id2, round(est, 6) AS est_jaccard FROM ag"
+            " WHERE round(est, 6) >= 0.5"
+        ),
+        "simhash_dup": (
+            # replay of simhash_pairs(hash_family='md5'): 60-bit sign
+            # signature over token hashes, 4×15-bit pigeonhole chunks
+            r"WITH toks AS (SELECT doc_id AS id, "
+            + _sql_md5l("t")
+            + r" AS h FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)), "
+            "bsum AS (SELECT id, CAST(b AS INT) AS b, CASE WHEN"
+            " sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1"
+            " END) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            " AS bit FROM toks, unnest(generate_series(0, 59)) AS u(b)"
+            " GROUP BY 1, 2), "
+            "sims AS (SELECT id, sum(bit << b) AS s FROM bsum GROUP BY id), "
+            "ch AS (SELECT id, s, CAST(c AS INT) AS c,"
+            " ((s >> (CAST(c AS INT) * 15)) & 32767) AS chunk FROM sims,"
+            " unnest(generate_series(0, 3)) AS u(c)), "
+            "cand AS (SELECT DISTINCT a.id AS id1, a.s AS s1, b.id AS id2,"
+            " b.s AS s2 FROM ch a JOIN ch b ON a.c = b.c"
+            " AND a.chunk = b.chunk AND a.id < b.id) "
+            "SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT)"
+            " AS hamming FROM cand WHERE bit_count(xor(s1, s2)) <= 8"
+        ),
         "text_stats": (
             "WITH c AS (SELECT doc_id, length(text) AS n_chars,"
             r" length(regexp_extract_all(text, '\S+')) AS n_tokens,"
@@ -940,6 +1056,40 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn FROM p)"
             " WHERE rn <= 3"
         ),
+        "ann_lsh": (
+            # replay of ann_topk(plane_family='md5'): md5 integer planes,
+            # quantized sign bits, bucket equi-join, exact cosine re-rank
+            "WITH "
+            + _sql_lsh_buckets(n_probes=2, n_planes=8, dim=64)
+            + ", cand AS (SELECT DISTINCT a.vec_id AS vec_id,"
+            " b.vec_id AS neighbor_id FROM bk a JOIN bk b ON a.pr = b.pr"
+            " AND a.bucket = b.bucket AND a.vec_id != b.vec_id), "
+            + _SQL_VNORM
+            + ", p AS (SELECT c.vec_id, c.neighbor_id,"
+            " round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)"
+            " AS score FROM cand c JOIN n a ON a.vec_id = c.vec_id"
+            " JOIN n b ON b.vec_id = c.neighbor_id) "
+            "SELECT vec_id, neighbor_id, score FROM ("
+            "SELECT vec_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn"
+            " FROM p) WHERE rn <= 3"
+        ),
+        "embedding_dedup": (
+            # replay of embedding_dedup(exact=False, plane_family='md5'):
+            # LSH candidates + exact cosine verify, drop larger id
+            "WITH "
+            + _sql_lsh_buckets(n_probes=2, n_planes=8, dim=64)
+            + ", cand AS (SELECT DISTINCT a.vec_id AS id1,"
+            " b.vec_id AS id2 FROM bk a JOIN bk b ON a.pr = b.pr"
+            " AND a.bucket = b.bucket AND a.vec_id < b.vec_id), "
+            + _SQL_VNORM
+            + ", drp AS (SELECT DISTINCT c.id2 FROM cand c"
+            " JOIN n a ON a.vec_id = c.id1 JOIN n b ON b.vec_id = c.id2"
+            " WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)"
+            " >= 0.3) "
+            "SELECT vec_id FROM embeddings"
+            " WHERE vec_id NOT IN (SELECT id2 FROM drp)"
+        ),
         "binary_meta": (
             "SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,"
             " md5(text) AS digest FROM documents"
@@ -956,6 +1106,70 @@ def oracle_sql() -> dict[str, str]:
             " FROM r, t, unnest(generate_series(1,"
             " length(t.seq) - length(r.rseq) + 1)) AS u(o)"
             " WHERE substr(t.seq, CAST(o AS INT), length(r.rseq)) = r.rseq"
+        ),
+        "end_extend": (
+            # replay of extend_contigs_with_reads: seed equi-join mapping
+            # (equivalent to brute-force offset enumeration — any exact
+            # >=15bp overlap shares a 15-mer seed at that offset), weighted
+            # per-position majority vote, prefix-contiguous extension
+            # (min_depth=1 ⇒ the depth/contiguity gates are identities:
+            # voted positions form prefixes [1..n] with depth >= 1)
+            "WITH dn AS (SELECT CAST(doc_id AS VARCHAR) AS contig_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS fs"
+            " FROM documents), "
+            "dna2 AS (SELECT contig_id, fs FROM dn WHERE length(fs) >= 60), "
+            "ctg AS (SELECT contig_id, substr(fs, 1,"
+            " CAST(floor(length(fs) * 0.6) AS INT)) AS seq FROM dna2), "
+            "r0 AS (SELECT substr(fs, CAST(i AS INT), 24) AS seq FROM dna2,"
+            " unnest(generate_series(1, length(fs) - 23, 5)) AS t(i)), "
+            "rds AS (SELECT seq AS rseq, count(*) AS wt FROM ("
+            "SELECT seq FROM r0 UNION ALL"
+            " SELECT reverse(translate(seq, 'ACGT', 'TGCA')) FROM r0)"
+            " GROUP BY seq), "
+            "ends AS (SELECT contig_id, 'R' AS side, CASE WHEN"
+            " length(seq) <= 100 THEN seq ELSE substr(seq, length(seq) - 99)"
+            " END AS es FROM ctg UNION ALL SELECT contig_id, 'L',"
+            " CASE WHEN length(seq) <= 100 THEN"
+            " reverse(translate(seq, 'ACGT', 'TGCA')) ELSE"
+            " substr(reverse(translate(seq, 'ACGT', 'TGCA')),"
+            " length(seq) - 99) END FROM ctg), "
+            "rk AS (SELECT rseq, wt, CAST(i AS INT) AS rpos,"
+            " substr(rseq, CAST(i AS INT), 15) AS kmer FROM rds,"
+            " unnest(generate_series(1, length(rseq) - 14)) AS t(i)), "
+            "tk AS (SELECT contig_id, side, es, length(es) AS elen,"
+            " CAST(i AS INT) AS tpos, substr(es, CAST(i AS INT), 15) AS kmer"
+            " FROM ends, unnest(generate_series(1, length(es) - 14))"
+            " AS t(i)), "
+            "cnd AS (SELECT DISTINCT contig_id, side, rseq, wt, es, elen,"
+            " tpos - rpos + 1 AS o FROM rk JOIN tk USING (kmer)), "
+            "ver AS (SELECT contig_id, side, rseq, wt, es, elen, o,"
+            " greatest(1, 2 - o) AS rs, greatest(1, o) AS ts,"
+            " least(length(rseq) - greatest(1, 2 - o) + 1,"
+            " elen - greatest(1, o) + 1) AS nn FROM cnd), "
+            "mpd AS (SELECT contig_id, side, rseq, wt, elen - o + 2 AS fo"
+            " FROM ver WHERE nn >= 15 AND"
+            " substr(rseq, CAST(rs AS INT), CAST(nn AS INT))"
+            " = substr(es, CAST(ts AS INT), CAST(nn AS INT))), "
+            "vts AS (SELECT contig_id, side, wt,"
+            " CAST(p AS INT) - fo + 1 AS q,"
+            " substr(rseq, CAST(p AS INT), 1) AS base FROM mpd,"
+            " unnest(generate_series(fo, length(rseq))) AS t(p)"
+            " WHERE fo >= 1 AND fo <= length(rseq)), "
+            "cnt AS (SELECT contig_id, side, q, base, sum(wt) AS depth"
+            " FROM vts GROUP BY 1, 2, 3, 4), "
+            "bst AS (SELECT contig_id, side, q, base FROM ("
+            "SELECT contig_id, side, q, base, row_number() OVER ("
+            "PARTITION BY contig_id, side, q ORDER BY depth DESC, base)"
+            " AS rn FROM cnt) WHERE rn = 1), "
+            "ext AS (SELECT contig_id, side,"
+            " string_agg(base, '' ORDER BY q) AS e FROM bst GROUP BY 1, 2) "
+            "SELECT c.contig_id, CAST(length(c.seq)"
+            " + coalesce(length(er.e), 0) + coalesce(length(el.e), 0)"
+            " AS BIGINT) AS ext_len FROM ctg c"
+            " LEFT JOIN ext er ON er.contig_id = c.contig_id"
+            " AND er.side = 'R'"
+            " LEFT JOIN ext el ON el.contig_id = c.contig_id"
+            " AND el.side = 'L'"
         ),
         "pair_merge": (
             "WITH dnap AS (SELECT doc_id,"
@@ -1030,13 +1244,5 @@ def oracle_sql() -> dict[str, str]:
             "rep AS (SELECT coalesce(w2.fixed, s.seq) AS seq FROM sus2 s"
             " LEFT JOIN w2 ON s.doc_id = w2.doc_id AND s.i = w2.i) "
             "SELECT seq FROM clean UNION ALL SELECT seq FROM rep"
-        ),
-        "embedding_dedup": (
-            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
-            " FROM embeddings), "
-            "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v) "
-            "SELECT a.vec_id FROM n a WHERE NOT EXISTS ("
-            "SELECT 1 FROM n b WHERE b.vec_id < a.vec_id"
-            " AND round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.3)"
         ),
     }

@@ -20,6 +20,18 @@ from reflexiv_spark.operators.containment import contained_row_ids
 from reflexiv_spark.plans.layout import spread
 
 
+def md5_long(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint.
+
+    The cross-engine-reproducible hash family: DuckDB computes the same
+    value as ``('0x' || substr(md5(x), 1, 15))::BIGINT``, so operators
+    parameterized on it are exactly replayable by an ANSI-SQL oracle.
+    xxhash64 stays the production default (one JVM intrinsic vs a digest),
+    selected per call via ``hash_family``.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, trim, collapse
     whitespace runs."""
@@ -142,6 +154,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     w: int = 8,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """DataFrame[id, sig: array<bigint>] MinHash signatures.
 
@@ -152,21 +165,34 @@ def minhash_signatures(
     hashes rehash that 8-byte long (seeded by position), which is ~w×
     cheaper than hashing the string ``num_hashes`` times and equally a
     universal family for min-hashing.
+
+    ``hash_family="md5"`` swaps both levels to :func:`md5_long`
+    (``md5(shingle)`` then ``md5(base || ':' || i)``) — bit-identical to
+    the DuckDB oracle's formulation, so the whole LSH pipeline becomes
+    exactly checkable; xxhash64 remains the production default.
     """
+    if hash_family == "md5":
+        base_hash = md5_long
+        rehash = lambda h, i: md5_long(  # noqa: E731
+            F.concat(h.cast("string"), F.lit(f":{i}"))
+        )
+    else:
+        base_hash = F.xxhash64
+        rehash = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
     sh = (
         spread(df.where(F.length(text_col) >= w))
         .select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(
-                    F.transform(shingle_array(text_col, w), lambda x: F.xxhash64(x))
+                    F.transform(shingle_array(text_col, w), lambda x: base_hash(x))
                 )
             ).alias("h"),
         )
     )
     mins = sh.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            F.min(rehash(F.col("h"), i)).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -183,6 +209,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding (LSH).
 
@@ -190,25 +217,29 @@ def minhash_lsh_pairs(
     signature (bucketed equi-join — never all-pairs); est_jaccard is the
     fraction of agreeing signature positions. With 64 hashes / 16 bands
     (r=4), P(candidate) = 1-(1-j^4)^16 — steep around j≈0.5.
+
+    With ``hash_family="md5"`` the band key stays the raw comma-joined
+    minima string (SQL ``string_agg`` equivalent) instead of re-hashing it,
+    keeping the plan oracle-replayable end to end.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, w, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, w, num_hashes, hash_family)
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return key if hash_family == "md5" else F.xxhash64(key)
+
     banded = sigs.select(
         "id",
         "sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.array(*[band_key(b) for b in range(bands)])
         ).alias("band_idx", "band_key"),
     ).select("id", "sig", "band_idx", "band_key")
     a = banded.select(
@@ -245,37 +276,52 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Drop every row that has a near-duplicate with a smaller id."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, w, num_hashes, bands, threshold)
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, w, num_hashes, bands, threshold, hash_family
+    )
     dropped = pairs.select(F.col("id2").alias("__drop")).distinct()
     return df.join(dropped, F.col(id_col) == F.col("__drop"), "left_anti")
 
 
-def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """DataFrame[id, simhash: bigint] — 63-bit SimHash over word tokens.
+def simhash_bits(hash_family: str = "xxhash64") -> int:
+    """Signature width per family: 63 sign-safe bits of xxhash64, 60 bits
+    of the md5-derived long."""
+    return 60 if hash_family == "md5" else 63
 
-    Per token, xxhash64 supplies the bit pattern; each bit position
+
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DataFrame[id, simhash: bigint] — SimHash over word tokens.
+
+    Per token, the family hash supplies the bit pattern; each bit position
     accumulates +1/-1 across tokens and the sign becomes the output bit
-    (bit 63 unused to stay in positive long range). Single shuffle with 63
-    partial-aggregated sums.
+    (63 bits for xxhash64 — bit 63 unused to stay in positive long range —
+    60 for the oracle-replayable md5 family). Single shuffle with one
+    partial-aggregated sum per bit.
     """
+    nbits = simhash_bits(hash_family)
+    tok_hash = md5_long if hash_family == "md5" else F.xxhash64
     toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash(F.col("tok")))
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(63)
+            for i in range(nbits)
         ]
     )
     sim = None
-    for i in range(63):
+    for i in range(nbits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
@@ -287,21 +333,27 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, banded on 16-bit chunks.
+    """Near-dup pairs by SimHash Hamming distance, banded on 4 chunks.
 
-    Two 63-bit hashes within Hamming distance 3 must agree on at least one
-    of the four 16-bit chunks (pigeonhole), so candidates come from a
-    chunk equi-join — never all-pairs.
+    Two hashes within Hamming distance 3 must agree on at least one of the
+    four chunks (pigeonhole — 16 bits each for the 63-bit xxhash64 family,
+    15 for the 60-bit md5 family), so candidates come from a chunk
+    equi-join — never all-pairs. Beyond distance 3 the candidate set is
+    the algorithm's own (recall < 1), which the md5-family oracle replays
+    exactly.
     """
-    sims = simhash64(df, text_col, id_col)
+    cw = (simhash_bits(hash_family) + 3) // 4  # chunk width: 16 or 15
+    mask = (1 << cw) - 1
+    sims = simhash64(df, text_col, id_col, hash_family)
     chunked = sims.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), j * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("simhash"), j * cw).bitwiseAND(F.lit(mask))
                     for j in range(4)
                 ]
             )

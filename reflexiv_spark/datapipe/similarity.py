@@ -179,6 +179,7 @@ def embedding_dedup(
     dim: int | None = None,
     n_planes: int = 12,
     n_probes: int = 4,
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Drop every row whose embedding has a near-duplicate (cosine ≥
     threshold) with a smaller id — the embedding flavor of the dedup
@@ -197,7 +198,9 @@ def embedding_dedup(
             raise ValueError("dim is required for the LSH (exact=False) path")
         probed = None
         for p in range(n_probes):
-            bp = lsh_buckets(df, dim, n_planes, 42 + 1000 * p, id_col, vec_col)
+            bp = lsh_buckets(
+                df, dim, n_planes, 42 + 1000 * p, id_col, vec_col, plane_family
+            )
             bp = bp.select(id_col, vec_col, F.lit(p).alias("probe"), "bucket")
             probed = bp if probed is None else probed.unionByName(bp)
         v = with_norm(probed, vec_col)
@@ -226,6 +229,28 @@ def embedding_dedup(
     return df.join(dropped, F.col(id_col) == F.col("__drop"), "left_anti")
 
 
+def md5_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic integer hyperplanes derived from md5 — the
+    cross-engine-reproducible plane family.
+
+    ``planes[p, d] = (int(md5(f"{seed}_{p}_{d}")[:15hex], 16) % 2001) - 1000``
+    matches the DuckDB expression
+    ``(('0x' || substr(md5(seed || '_' || p || '_' || d), 1, 15))::BIGINT
+    % 2001) - 1000`` exactly, so an ANSI-SQL oracle can replay the
+    bucketing bit for bit.
+    """
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()[:15], 16
+            )
+            out[p, d] = (h % 2001) - 1000
+    return out
+
+
 def lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -233,26 +258,39 @@ def lsh_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector.
 
     The projection is a numpy matmul inside an Arrow-batched pandas UDF —
     the sanctioned Python path for embedding math (one matrix multiply per
     record batch, no per-row Python).
+
+    ``plane_family="md5"`` uses :func:`md5_planes` and quantizes vector
+    components to ``floor(v * 1000)`` so the sign decision is exact int64
+    arithmetic — identical in numpy and in the SQL oracle, immune to
+    float summation order. Gaussian planes remain the production default.
     """
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    if plane_family == "md5":
+        planes = md5_planes(dim, n_planes, seed)
+    else:
+        planes = np.random.RandomState(seed).randn(n_planes, dim)
+    quantize = plane_family == "md5"
 
     @pandas_udf(LongType())
     def bucket_of(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
+        if quantize:
+            m = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
         bits = (m @ planes.T) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series(bits.astype(np.int64) @ weights)
 
+    v = F.col(vec_col).cast("array<double>") if quantize else F.col(vec_col)
     return df.select(
-        F.col(id_col), F.col(vec_col), bucket_of(F.col(vec_col)).alias("bucket")
+        F.col(id_col), v.alias(vec_col), bucket_of(v).alias("bucket")
     )
 
 
@@ -265,6 +303,7 @@ def ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_family: str = "gaussian",
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-probe hyperplane LSH.
 
@@ -275,7 +314,9 @@ def ann_topk(
     """
     probed = None
     for p in range(n_probes):
-        bp = lsh_buckets(df, dim, n_planes, seed + 1000 * p, id_col, vec_col)
+        bp = lsh_buckets(
+            df, dim, n_planes, seed + 1000 * p, id_col, vec_col, plane_family
+        )
         bp = bp.select(id_col, vec_col, F.lit(p).alias("probe"), "bucket")
         probed = bp if probed is None else probed.unionByName(bp)
 

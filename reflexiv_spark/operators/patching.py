@@ -23,12 +23,20 @@ from reflexiv_spark.functions.kmer import canonical_kmer
 
 
 def count_pair_support(
-    pairs: DataFrame, left_col: str, right_col: str, out_col: str = "support"
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    out_col: str = "support",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """A4: support count per (left, right) connection pair."""
-    return pairs.groupBy(left_col, right_col).agg(
-        F.count(F.lit(1)).alias(out_col)
-    )
+    """A4: support count per (left, right) connection pair.
+
+    ``weight_col`` carries read multiplicity when the caller collapsed
+    duplicate reads to one row (content-deterministic ids)."""
+    agg = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    ).alias(out_col)
+    return pairs.groupBy(left_col, right_col).agg(agg)
 
 
 def best_connection(

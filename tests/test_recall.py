@@ -1,0 +1,153 @@
+"""Recall harness for the approximate operators' PRODUCTION hash families.
+
+The driver oracle now replays the md5-family variants bit for bit; these
+tests close the remaining gap by checking that the default families
+(xxhash64 minhash/simhash, gaussian LSH planes) actually FIND the
+near-duplicates on a seeded corpus — recall against the exact siblings
+(``ngram_jaccard_pairs``, ``cosine_topk``), which are themselves
+oracle-checked.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu".split()
+)
+
+
+def _seeded_near_dup_corpus(n_base: int = 40, seed: int = 7):
+    """Docs 0..n-1 are random word soup; each base doc i also appears as
+    doc i+1000 with ONE word substituted — a guaranteed high-Jaccard pair."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        toks = [rng.choice(WORDS) for _ in range(60)]
+        rows.append((i, " ".join(toks)))
+        edited = list(toks)
+        edited[rng.randrange(len(edited))] = rng.choice(WORDS)
+        rows.append((i + 1000, " ".join(edited)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    return spark.createDataFrame(
+        _seeded_near_dup_corpus(), ["doc_id", "text"]
+    ).cache()
+
+
+def _exact_pairs(docs, threshold):
+    from reflexiv_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs, w=8, threshold=threshold).collect()
+    return {(r.id1, r.id2) for r in rows}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, near_dup_docs):
+    from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+    truth = _exact_pairs(near_dup_docs, threshold=0.8)
+    assert len(truth) >= 30  # the corpus really contains planted pairs
+    found = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(
+            near_dup_docs, w=8, num_hashes=64, bands=16, threshold=0.6
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} on planted near-dups"
+
+
+def test_minhash_md5_family_same_planted_recall(spark, near_dup_docs):
+    """The oracle-checkable md5 family finds the same planted pairs as the
+    production family at matched parameters."""
+    from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+    truth = _exact_pairs(near_dup_docs, threshold=0.8)
+    found = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(
+            near_dup_docs,
+            w=8,
+            num_hashes=64,
+            bands=16,
+            threshold=0.6,
+            hash_family="md5",
+        ).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"md5-family recall {recall:.2f}"
+
+
+def test_simhash_finds_planted_pairs(spark, near_dup_docs):
+    from reflexiv_spark.datapipe.dedup import simhash_pairs
+
+    for family in ("xxhash64", "md5"):
+        found = {
+            (r.id1, r.id2)
+            for r in simhash_pairs(
+                near_dup_docs, max_hamming=10, hash_family=family
+            ).collect()
+        }
+        planted = {(i, i + 1000) for i in range(40)}
+        recall = len(planted & found) / len(planted)
+        assert recall >= 0.9, f"simhash[{family}] recall {recall:.2f}"
+
+
+def _planted_embeddings(n=60, dim=32, seed=11):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, dim)
+    rows = []
+    for i in range(n):
+        rows.append((i, base[i].tolist()))
+        # i+1000 is a tiny perturbation of i -> cosine ~0.999
+        rows.append((i + 1000, (base[i] + 0.02 * rng.randn(dim)).tolist()))
+    return rows
+
+
+def test_ann_gaussian_recall_vs_exact_top1(spark):
+    """Production (gaussian-plane) ANN recovers the true top-1 neighbor of
+    every planted near-duplicate."""
+    from reflexiv_spark.datapipe.similarity import ann_topk, cosine_topk
+
+    emb = spark.createDataFrame(
+        _planted_embeddings(), ["vec_id", "embedding"]
+    ).cache()
+    exact_top1 = {
+        r.vec_id: r.neighbor_id
+        for r in cosine_topk(emb, k=1).collect()
+    }
+    ann = ann_topk(emb, dim=32, k=3, n_planes=8, n_probes=4).collect()
+    ann_by_vec: dict[int, set] = {}
+    for r in ann:
+        ann_by_vec.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    planted = [i for i in exact_top1 if i < 1000 and exact_top1[i] == i + 1000]
+    assert len(planted) >= 50
+    hits = sum(1 for i in planted if (i + 1000) in ann_by_vec.get(i, set()))
+    recall = hits / len(planted)
+    assert recall >= 0.9, f"ann recall@planted {recall:.2f}"
+
+
+def test_embedding_dedup_lsh_drops_planted_dups(spark):
+    from reflexiv_spark.datapipe.similarity import embedding_dedup
+
+    emb = spark.createDataFrame(
+        _planted_embeddings(), ["vec_id", "embedding"]
+    )
+    kept = {
+        r.vec_id
+        for r in embedding_dedup(
+            emb, threshold=0.99, dim=32, n_planes=8, n_probes=4
+        ).collect()
+    }
+    dropped = {i + 1000 for i in range(60)} - kept
+    assert len(dropped) >= 54  # >=90% of planted dups deduplicated
+    assert all(i in kept for i in range(60))  # originals always survive
