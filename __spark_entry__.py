@@ -662,6 +662,140 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+def _dna_docs(spark: SparkSession, sf_dir: str, min_len: int) -> DataFrame:
+    """(doc_id, fs) ACGT-extracts of at least ``min_len`` bases."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id"),
+            F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("fs"),
+        )
+        .where(F.length("fs") >= min_len)
+        .localCheckpoint(eager=False)
+    )
+
+
+def q_patch_contigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+J4+W6 composed (`reflexiv patch`): each doc's DNA splits into
+    two adjacent contigs; 40bp reads spanning the junction must support
+    the A→B connection; the full stage (seed joins → weighted pair count
+    → best-per-right window) runs against a SQL replay."""
+    from reflexiv_spark.operators.patching import patch_contigs
+
+    d2 = (
+        _dna_docs(spark, sf_dir, 80)
+        .withColumn("L", F.length("fs"))
+        .withColumn("h", F.ceil(F.col("L") / F.lit(2)).cast("int"))
+    )
+    contigs = d2.select(
+        F.concat(F.lit("A"), F.col("doc_id").cast("string")).alias("contig_id"),
+        F.expr("substring(fs, 1, h)").alias("seq"),
+    ).unionByName(
+        d2.select(
+            F.concat(F.lit("B"), F.col("doc_id").cast("string")).alias("contig_id"),
+            F.expr("substring(fs, h + 1)").alias("seq"),
+        )
+    )
+    reads = d2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("L") - F.lit(39), F.lit(3)),
+                lambda i: F.col("fs").substr(i, F.lit(40)),
+            )
+        ).alias("seq")
+    )
+    out = patch_contigs(reads, contigs, seed_k=15, min_support=1)
+    return out.select(
+        F.col("left").alias("left_id"),
+        F.col("right").alias("right_id"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+def q_stitch_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stitch core (`reflexiv stitch` bridge finding): contig pairs with
+    a coverage gap, bridged by single reads carrying the left END seed
+    before the right START seed; three window picks choose the winning
+    (distance, partner) — oracle replays seed joins and picks exactly."""
+    from reflexiv_spark.pipelines.stitch import stitch_bridges
+
+    d2 = _dna_docs(spark, sf_dir, 80).withColumn("L", F.length("fs"))
+    a_end = F.floor(F.col("L") * 0.4).cast("int")
+    b_start = F.floor(F.col("L") * 0.6).cast("int") + 1
+    contigs = d2.select(
+        F.concat(F.lit("A"), F.col("doc_id").cast("string")).alias("contig_id"),
+        F.col("fs").substr(F.lit(1), a_end).alias("seq"),
+    ).unionByName(
+        d2.select(
+            F.concat(F.lit("B"), F.col("doc_id").cast("string")).alias("contig_id"),
+            F.col("fs").substr(b_start, F.col("L")).alias("seq"),
+        )
+    )
+    reads = d2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("L") - F.lit(79), F.lit(3)),
+                lambda i: F.col("fs").substr(i, F.lit(80)),
+            )
+        ).alias("seq")
+    )
+    out = stitch_bridges(reads, contigs, k=15, min_support=1)
+    return out.select(
+        F.col("left").alias("left_id"),
+        F.col("right").alias("right_id"),
+        F.col("d").cast("bigint").alias("d"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J8 composed (`reflexiv reassembler`, rows-only: contains the
+    iterative contraction): gene fragments (middle slices of each doc's
+    DNA) extend through contigs assembled from 60bp read windows."""
+    from reflexiv_spark.pipelines.reassemble import reassemble
+
+    d2 = _dna_docs(spark, sf_dir, 80).withColumn("L", F.length("fs"))
+    frags = d2.select(
+        F.concat(F.lit("frag"), F.col("doc_id").cast("string")).alias("frag_id"),
+        F.expr(
+            "substring(fs, cast(L * 0.3 as int) + 1,"
+            " cast(L * 0.5 as int) - cast(L * 0.3 as int))"
+        ).alias("seq"),
+    ).where(F.length("seq") >= 16)
+    reads = d2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("L") - F.lit(59), F.lit(7)),
+                lambda i: F.col("fs").substr(i, F.lit(60)),
+            )
+        ).alias("seq")
+    )
+    out = reassemble(reads, frags, k=15, min_coverage=2, min_overlap=15)
+    return out.select(
+        "frag_id", F.length("seq").cast("bigint").alias("final_len")
+    )
+
+
+def q_meta_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 composed (`reflexiv meta`, rows-only: iterative multi-k ladder +
+    junction fixing + dedup): the k=11→15 ladder over 60bp read windows."""
+    from reflexiv_spark.pipelines.meta import meta_assemble
+
+    d2 = _dna_docs(spark, sf_dir, 80).withColumn("L", F.length("fs"))
+    reads = d2.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("L") - F.lit(59), F.lit(7)),
+                lambda i: F.col("fs").substr(i, F.lit(60)),
+            )
+        ).alias("seq")
+    )
+    out = meta_assemble(
+        reads, klist=(11, 15), min_coverage=2, min_contig=20
+    )
+    return out.select(F.col("seq").alias("contig_seq"))
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -720,6 +854,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
         "end_extend": q_end_extend,
+        "patch_contigs": q_patch_contigs,
+        "stitch_bridges": q_stitch_bridges,
+        "reassemble": q_reassemble,
+        "meta_assemble": q_meta_assemble,
         "pair_merge": q_pair_merge,
         "error_correct": q_error_correct,
         "embedding_dedup": q_embedding_dedup,
@@ -1170,6 +1308,100 @@ def oracle_sql() -> dict[str, str]:
             " AND er.side = 'R'"
             " LEFT JOIN ext el ON el.contig_id = c.contig_id"
             " AND el.side = 'L'"
+        ),
+        "patch_contigs": (
+            # replay of patch_contigs: canonical 15-mer seed joins, weighted
+            # distinct-(read,left,right) support, best-per-right window
+            "WITH dn AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS fs"
+            " FROM documents), "
+            "d2 AS (SELECT doc_id, fs, length(fs) AS L,"
+            " CAST(ceil(length(fs) / 2.0) AS INT) AS h FROM dn"
+            " WHERE length(fs) >= 80), "
+            "ctg AS (SELECT 'A' || CAST(doc_id AS VARCHAR) AS cid,"
+            " substr(fs, 1, h) AS cseq FROM d2 UNION ALL"
+            " SELECT 'B' || CAST(doc_id AS VARCHAR), substr(fs, h + 1)"
+            " FROM d2), "
+            "r0 AS (SELECT substr(fs, CAST(i AS INT), 40) AS seq FROM d2,"
+            " unnest(generate_series(1, L - 39, 3)) AS t(i)), "
+            "rds AS (SELECT seq, count(*) AS wt FROM r0 GROUP BY seq), "
+            "rk AS (SELECT DISTINCT seq, wt, least(sub,"
+            " reverse(translate(sub, 'ACGT', 'TGCA'))) AS seed FROM ("
+            "SELECT seq, wt, substr(seq, CAST(i AS INT), 15) AS sub"
+            " FROM rds, unnest(generate_series(1, 26)) AS t(i))), "
+            "ls AS (SELECT cid AS lid, least(tail,"
+            " reverse(translate(tail, 'ACGT', 'TGCA'))) AS seed FROM ("
+            "SELECT cid, substr(cseq, length(cseq) - 14) AS tail FROM ctg)), "
+            "rs AS (SELECT cid AS rid, least(hd,"
+            " reverse(translate(hd, 'ACGT', 'TGCA'))) AS seed FROM ("
+            "SELECT cid, substr(cseq, 1, 15) AS hd FROM ctg)), "
+            "lh AS (SELECT DISTINCT r.seq, r.wt, l.lid FROM rk r"
+            " JOIN ls l ON r.seed = l.seed), "
+            "rh AS (SELECT DISTINCT r.seq, s.rid FROM rk r"
+            " JOIN rs s ON r.seed = s.seed), "
+            "pr AS (SELECT DISTINCT lh.seq, lh.wt, lh.lid, rh.rid FROM lh"
+            " JOIN rh ON lh.seq = rh.seq WHERE lh.lid != rh.rid), "
+            "sup AS (SELECT lid, rid, sum(wt) AS support FROM pr"
+            " GROUP BY 1, 2) "
+            "SELECT lid AS left_id, rid AS right_id,"
+            " CAST(support AS BIGINT) AS support FROM ("
+            "SELECT lid, rid, support, row_number() OVER ("
+            "PARTITION BY rid ORDER BY support DESC, lid) AS rn FROM sup)"
+            " WHERE rn = 1 AND support >= 1"
+        ),
+        "stitch_bridges": (
+            # replay of stitch_bridges: both-strand reads and contigs, raw
+            # 15-mer positional seed joins, distinct-read support per
+            # (left, right, distance), then the distance/out/in window picks
+            "WITH dn AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS fs"
+            " FROM documents), "
+            "d2 AS (SELECT doc_id, fs, length(fs) AS L FROM dn"
+            " WHERE length(fs) >= 80), "
+            "ctg0 AS (SELECT 'A' || CAST(doc_id AS VARCHAR) AS cid,"
+            " substr(fs, 1, CAST(floor(L * 0.4) AS INT)) AS cseq FROM d2"
+            " UNION ALL SELECT 'B' || CAST(doc_id AS VARCHAR),"
+            " substr(fs, CAST(floor(L * 0.6) AS INT) + 1) FROM d2), "
+            "ori AS (SELECT cid, cseq FROM ctg0 UNION ALL"
+            " SELECT cid || '(-)', reverse(translate(cseq, 'ACGT', 'TGCA'))"
+            " FROM ctg0), "
+            "orik AS (SELECT cid, cseq FROM ori WHERE length(cseq) >= 15), "
+            "r0 AS (SELECT substr(fs, CAST(i AS INT), 80) AS seq FROM d2,"
+            " unnest(generate_series(1, L - 79, 3)) AS t(i)), "
+            "stranded AS (SELECT DISTINCT seq AS rseq FROM ("
+            "SELECT seq FROM r0 UNION ALL"
+            " SELECT reverse(translate(seq, 'ACGT', 'TGCA')) FROM r0)), "
+            "pk AS (SELECT rseq, CAST(i AS INT) AS pos,"
+            " substr(rseq, CAST(i AS INT), 15) AS kmer FROM stranded,"
+            " unnest(generate_series(1, length(rseq) - 14)) AS t(i)), "
+            "es AS (SELECT cid AS lid, substr(cseq, length(cseq) - 14)"
+            " AS kmer FROM orik), "
+            "ss AS (SELECT cid AS rid, substr(cseq, 1, 15) AS kmer"
+            " FROM orik), "
+            "lh AS (SELECT pk.rseq, pk.pos AS pl, es.lid FROM pk"
+            " JOIN es ON pk.kmer = es.kmer), "
+            "rh AS (SELECT pk.rseq, pk.pos AS pr2, ss.rid FROM pk"
+            " JOIN ss ON pk.kmer = ss.kmer), "
+            "br AS (SELECT lh.rseq, lh.lid, rh.rid,"
+            " rh.pr2 - lh.pl AS d FROM lh JOIN rh ON lh.rseq = rh.rseq"
+            r" WHERE regexp_replace(lh.lid, '\(-\)$', '')"
+            r" != regexp_replace(rh.rid, '\(-\)$', '')"
+            " AND rh.pr2 > lh.pl), "
+            "sup AS (SELECT lid, rid, d, count(DISTINCT rseq) AS support"
+            " FROM br GROUP BY 1, 2, 3), "
+            "cd AS (SELECT lid, rid, d, support FROM ("
+            "SELECT lid, rid, d, support, row_number() OVER ("
+            "PARTITION BY lid, rid ORDER BY support DESC, d) AS rn"
+            " FROM sup) WHERE rn = 1 AND support >= 1), "
+            "co AS (SELECT lid, rid, d, support FROM ("
+            "SELECT lid, rid, d, support, row_number() OVER ("
+            "PARTITION BY lid ORDER BY support DESC, rid) AS rn FROM cd)"
+            " WHERE rn = 1) "
+            "SELECT lid AS left_id, rid AS right_id, CAST(d AS BIGINT) AS d,"
+            " CAST(support AS BIGINT) AS support FROM ("
+            "SELECT lid, rid, d, support, row_number() OVER ("
+            "PARTITION BY rid ORDER BY support DESC, lid) AS rn FROM co)"
+            " WHERE rn = 1"
         ),
         "pair_merge": (
             "WITH dnap AS (SELECT doc_id,"

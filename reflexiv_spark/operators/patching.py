@@ -86,17 +86,24 @@ def patch_contigs(
     re-expression of ``ReflexivDSDynamicKmerPatching.java:250-301``:
     two equi-joins on the seed (Catalyst picks broadcast when the contig
     side is small), one pair-count aggregate, one window pick.
+
+    Read ids are content hashes (identical reads collapse to one row
+    whose multiplicity rides a weight column): the id never depends on
+    partition recompute order, and the two seed-join branches below reuse
+    the same exploded frame without the
+    ``monotonically_increasing_id``-under-recompute hazard.
     """
     from reflexiv_spark.functions.kmer import explode_kmers
 
+    r = (
+        reads.select(F.upper(F.col(read_seq)).alias("__rs"))
+        .groupBy("__rs")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .withColumn("read_id", F.xxhash64("__rs"))
+    )
     read_kmers = explode_kmers(
-        reads.select(
-            F.monotonically_increasing_id().alias("read_id"), F.col(read_seq)
-        ),
-        seed_k,
-        seq_col=read_seq,
-        keep_cols=["read_id"],
-    ).select("read_id", F.col("kmer").alias("seed"))
+        r, seed_k, seq_col="__rs", keep_cols=["read_id", "weight"]
+    ).select("read_id", "weight", F.col("kmer").alias("seed"))
 
     left_seeds = contigs.select(
         F.col(contig_id).alias("left"),
@@ -106,9 +113,16 @@ def patch_contigs(
         F.col(contig_id).alias("right"),
         _seed_expr(F.col(contig_seq), seed_k, from_end=False).alias("seed"),
     )
-    lefts = read_kmers.join(left_seeds, "seed").select("read_id", "left")
+    lefts = read_kmers.join(left_seeds, "seed").select(
+        "read_id", "weight", "left"
+    )
     rights = read_kmers.join(right_seeds, "seed").select("read_id", "right")
     pairs = lefts.join(rights, "read_id").where(F.col("left") != F.col("right"))
-    support = count_pair_support(pairs.dropDuplicates(), "left", "right")
+    support = count_pair_support(
+        pairs.dropDuplicates(["read_id", "left", "right"]),
+        "left",
+        "right",
+        weight_col="weight",
+    )
     best = best_connection(support, "left", "right")
     return best.where(F.col("support") >= min_support)
