@@ -33,6 +33,11 @@ HEADLINE = [
     "mercy",
     "contig_dedup",
     "junction_support",
+    # the RDK contraction loop itself (W3/J1/I1/I2) and the composed
+    # patch/stitch stages — the engine's core, timed end-to-end
+    "assemble_paths",
+    "patch_contigs",
+    "stitch_bridges",
     # datapipe headliners (present when implemented; skipped otherwise)
     "exact_dedup",
     "minhash_near_dup",
@@ -47,7 +52,8 @@ HEADLINE = [
     # X2 mapping stage: seed-join mapper + consensus end extension
     "read_mapping",
     "end_extend",
-    # embedding near-dup dedup (exact form; LSH variant is ann_lsh-shaped)
+    # embedding near-dup dedup (LSH candidates + exact cosine verify —
+    # the 100 TB path; the all-pairs GEMM baseline stays pytest-only)
     "embedding_dedup",
 ]
 

@@ -24,6 +24,10 @@ def _read_reads(spark, path: str, fmt: str):
 
 
 def _read_contigs(spark, path: str):
+    if path.endswith(".csv") or path.endswith(".csv.gz"):
+        from reflexiv_spark.sources.fastq import read_contig_csv
+
+        return read_contig_csv(spark, path)
     from pyspark.sql import functions as F
 
     from reflexiv_spark.sources.records import read_fasta

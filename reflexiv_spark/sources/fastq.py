@@ -41,6 +41,56 @@ def read_fastq_seqs_heuristic(spark: SparkSession, path: str) -> DataFrame:
     return lines.where(cond).select(F.upper(v).alias("seq"))
 
 
+def read_text_4mc(
+    spark: SparkSession,
+    path: str,
+    input_format: str = "com.hadoop.mapreduce.FourMcTextInputFormat",
+) -> DataFrame:
+    """S2: splittable-LZ4 (4mc) text scan escape hatch.
+
+    The reference reads 4mc-compressed FASTQ through
+    ``sc.newAPIHadoopFile(path, FourMcTextInputFormat, LongWritable, Text)``
+    (``ReflexivDataFrameCounter.java:161-176``; the 4mc dependency at
+    ``pom.xml:38-48``). Parquet/zstd is the sanctioned substitute in this
+    engine (SURVEY.md §2 S2) — this hatch exists for drop-in parity when
+    the 4mc jar is on the executor classpath. Raises ``RuntimeError`` with
+    a clear message when it is not.
+
+    The RDD crossing is confined to this one reader: values convert to a
+    DataFrame[value] immediately, so everything downstream (the S3 filter,
+    k-mer counting) stays in Catalyst.
+    """
+    sc = spark.sparkContext
+    try:
+        rdd = sc.newAPIHadoopFile(
+            path,
+            input_format,
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
+    except Exception as e:  # noqa: BLE001 — py4j raises opaque Java errors
+        raise RuntimeError(
+            f"4mc input format {input_format!r} is not on the classpath "
+            "(add the 4mc jar via spark.jars) — or convert the input to "
+            "Parquet/zstd and use the standard readers"
+        ) from e
+    return rdd.values().map(lambda t: (t,)).toDF(["value"])
+
+
+def read_contig_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S6: 2-column contig CSV scan → DataFrame[contig_id, seq]
+    (``ReflexivDSDynamicKmerMapping.java:320-323`` reads the previous
+    stage's CSV dump with ``spark.read().csv``).
+
+    Explicit schema (no inference pass); rows with a missing sequence are
+    dropped like the reference's ``OldContig2Row`` parser skips blanks.
+    """
+    df = spark.read.csv(path, schema="contig_id string, seq string")
+    return df.where(
+        F.col("seq").isNotNull() & (F.length("seq") > 0)
+    ).select("contig_id", F.upper(F.col("seq")).alias("seq"))
+
+
 def read_kmer_counts(spark: SparkSession, path: str) -> DataFrame:
     """S4: k-mer count CSV scan — read ``Count_*/part*.csv[.gz]`` back as
     DataFrame[kmer, count] (``ReflexivDSKmerLeftAndRightSorting.java:164``;

@@ -128,3 +128,33 @@ def test_kmer_count_csv_roundtrip(spark, tmp_path_factory):
     back = read_kmer_counts(spark, out)
     assert back.schema.simpleString() == "struct<kmer:string,count:bigint>"
     assert {(r["kmer"], r["count"]) for r in back.collect()} == expected
+
+
+def test_contig_csv_scan(spark, tmp_path_factory):
+    """S6: 2-col contig CSV → DataFrame[contig_id, seq], blanks dropped."""
+    import csv
+
+    from reflexiv_spark.sources.fastq import read_contig_csv
+
+    d = tmp_path_factory.mktemp("ctgcsv")
+    p = d / "contigs.csv"
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["c1", "acgtACGT"])
+        w.writerow(["c2", "TTTT"])
+        w.writerow(["c3", ""])  # blank seq: dropped
+    got = {(r.contig_id, r.seq) for r in read_contig_csv(spark, str(p)).collect()}
+    assert got == {("c1", "ACGTACGT"), ("c2", "TTTT")}
+
+
+def test_4mc_escape_hatch_reports_missing_jar(spark, tmp_path_factory):
+    """S2: without the 4mc jar the hatch must fail loudly and actionably,
+    not with an opaque py4j stack."""
+    import pytest as _pytest
+
+    from reflexiv_spark.sources.fastq import read_text_4mc
+
+    d = tmp_path_factory.mktemp("mc4")
+    (d / "x.4mc").write_bytes(b"\x00")
+    with _pytest.raises(RuntimeError, match="4mc.*classpath|Parquet"):
+        read_text_4mc(spark, str(d / "x.4mc")).collect()
