@@ -72,6 +72,52 @@ def _sql_counts(k: int, min_cov: int = 2, src: str = "dna", name: str = "counts"
 _SQL_RC = "reverse(translate(kmer, 'ACGT', 'TGCA'))"
 
 
+def _rc(e: str) -> str:
+    """DuckDB reverse-complement of an arbitrary expression."""
+    return f"reverse(translate({e}, 'ACGT', 'TGCA'))"
+
+
+def _sql_pruned_edges(k: int, counts: str, gate: int | None = None) -> str:
+    """CTE chain ``exp2, ff, f1, rr, prn, edges`` replaying
+    expand_orientations → prune_forks (optional minErrorCoverage ``gate``)
+    → the (k-1)-mer edge view of the surviving k-mers, on top of an
+    existing ``counts(kmer, count)`` CTE. Feed ``edges`` to ``_sql_walk``."""
+    gexp = "" if gate is None else f" AND (n = 1 OR count >= {gate})"
+    nexp = "" if gate is None else ", count(*) OVER (PARTITION BY {key}) AS n"
+    fwd_key = f"substr(kmer, 1, {k - 1})"
+    refl_key = f"substr(kmer, 2, {k - 1})"
+    return (
+        f"exp2 AS (SELECT DISTINCT kmer, count FROM ("
+        f"SELECT kmer, count FROM {counts}"
+        f" UNION ALL SELECT {_rc('kmer')} AS kmer, count FROM {counts})), "
+        f"ff AS (SELECT kmer, count, row_number() OVER ("
+        f"PARTITION BY {fwd_key} ORDER BY count DESC, kmer DESC) AS rn"
+        f"{nexp.format(key=fwd_key)} FROM exp2), "
+        f"f1 AS (SELECT kmer, count FROM ff WHERE rn = 1{gexp}), "
+        f"rr AS (SELECT kmer, count, row_number() OVER ("
+        f"PARTITION BY {refl_key} ORDER BY count DESC, kmer DESC) AS rn"
+        f"{nexp.format(key=refl_key)} FROM f1), "
+        f"prn AS (SELECT kmer, count FROM rr WHERE rn = 1{gexp}), "
+        f"edges AS (SELECT substr(kmer, 1, {k - 1}) AS src,"
+        f" substr(kmer, 2, {k - 1}) AS dst, kmer, count FROM prn)"
+    )
+
+
+def _sql_walk(k: int, edges: str = "edges", name: str = "walk") -> str:
+    """Recursive-CTE unitig walk over ``edges(src, dst, kmer, count)`` —
+    the order-free definition of what the randomized contraction loop
+    converges to (anchored paths; cycles are unreachable from in-degree-0
+    starts and excluded on both sides). Requires WITH RECURSIVE."""
+    return (
+        f"{name}(cur, seq, left_cover, right_cover) AS ("
+        f"SELECT e.dst, e.kmer, e.count, e.count FROM {edges} e"
+        f" WHERE e.src NOT IN (SELECT dst FROM {edges})"
+        f" UNION ALL "
+        f"SELECT e.dst, w.seq || substr(e.kmer, {k}, 1), w.left_cover,"
+        f" e.count FROM {name} w JOIN {edges} e ON e.src = w.cur)"
+    )
+
+
 def _sql_md5l(expr: str) -> str:
     """First 60 bits of md5 as BIGINT — DuckDB twin of
     ``reflexiv_spark.datapipe.dedup.md5_long`` (Spark:
@@ -749,11 +795,24 @@ def q_stitch_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7/J8 composed (`reflexiv reassembler`, rows-only: contains the
-    iterative contraction): gene fragments (middle slices of each doc's
-    DNA) extend through contigs assembled from 60bp read windows."""
+    """S7/J8 composed (`reflexiv reassembler`): gene fragments (middle
+    slices of each doc's DNA) extend through contigs assembled from 60bp
+    read windows. The contig stage rides the anchored-walk form (the same
+    order-free unitig definition `assemble_paths` proves against its
+    recursive-CTE oracle, with cid = the sequence itself), so the whole
+    composed stage — containment adoption + both-end best-overlap
+    extension — is replayed exactly by the SQL oracle."""
+    from reflexiv_spark.functions.kmer import (
+        canonical_kmer,
+        prefix_subkmer,
+        suffix_subkmer,
+    )
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.extension import extend_to_convergence, to_paths
+    from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
     from reflexiv_spark.pipelines.reassemble import reassemble
 
+    k = 15
     d2 = _dna_docs(spark, sf_dir, 80).withColumn("L", F.length("fs"))
     frags = d2.select(
         F.concat(F.lit("frag"), F.col("doc_id").cast("string")).alias("frag_id"),
@@ -769,8 +828,23 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.col("fs").substr(i, F.lit(60)),
             )
         ).alias("seq")
+    ).localCheckpoint(eager=False)
+    counts = count_kmers(reads, k, min_coverage=2)
+    pruned = prune_forks(expand_orientations(counts), k).localCheckpoint(eager=False)
+    paths = extend_to_convergence(to_paths(pruned.select("kmer", "count")), k)
+    dsts = pruned.select(suffix_subkmer("kmer", k).alias("__dst")).distinct()
+    anchored = paths.join(
+        dsts, prefix_subkmer("seq", k) == F.col("__dst"), "left_anti"
     )
-    out = reassemble(reads, frags, k=15, min_coverage=2, min_overlap=15)
+    contigs = (
+        anchored.where(F.length("seq") >= k + 1)
+        .select(canonical_kmer("seq").alias("seq"))
+        .distinct()
+        .select(F.col("seq").alias("contig_id"), "seq")
+    )
+    out = reassemble(
+        reads, frags, k=k, min_coverage=2, min_overlap=15, contigs=contigs
+    )
     return out.select(
         "frag_id", F.length("seq").cast("bigint").alias("final_len")
     )
@@ -1402,6 +1476,96 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lid, rid, d, support, row_number() OVER ("
             "PARTITION BY rid ORDER BY support DESC, lid) AS rn FROM co)"
             " WHERE rn = 1"
+        ),
+        "reassemble": (
+            # full replay of q_reassemble: 60bp read windows → k=15 counts
+            # → fork prune → anchored unitig walk → canonical contigs
+            # (cid = seq) → both strands → containment adoption window →
+            # best suffix→prefix overlap extension, right end then (via
+            # RC) left end — lengths out
+            "WITH RECURSIVE dn AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS fs"
+            " FROM documents), "
+            "d2 AS (SELECT doc_id, fs, length(fs) AS L FROM dn"
+            " WHERE length(fs) >= 80), "
+            "frg AS (SELECT 'frag' || CAST(doc_id AS VARCHAR) AS fid,"
+            " substr(fs, CAST(floor(L * 0.3) AS INT) + 1,"
+            " CAST(floor(L * 0.5) AS INT) - CAST(floor(L * 0.3) AS INT))"
+            " AS fsq FROM d2), "
+            "frgk AS (SELECT fid, fsq FROM frg WHERE length(fsq) >= 16), "
+            "r0 AS (SELECT substr(fs, CAST(i AS INT), 60) AS seq FROM d2,"
+            " unnest(generate_series(1, L - 59, 7)) AS t(i)), "
+            "km AS (SELECT least(sub, " + _rc("sub") + ") AS kmer FROM ("
+            "SELECT substr(seq, CAST(i AS INT), 15) AS sub FROM r0,"
+            " unnest(generate_series(1, 46)) AS t(i))), "
+            "cnt AS (SELECT kmer, count(*) AS count FROM km GROUP BY kmer"
+            " HAVING count(*) >= 2), "
+            + _sql_pruned_edges(15, "cnt")
+            + ", "
+            + _sql_walk(15)
+            + ", ctg AS MATERIALIZED (SELECT DISTINCT least(seq, "
+            + _rc("seq")
+            + ") AS cs FROM (SELECT seq FROM walk w WHERE NOT EXISTS ("
+            "SELECT 1 FROM edges e WHERE e.src = w.cur)) paths"
+            " WHERE length(seq) >= 16), "
+            "strands AS MATERIALIZED ("
+            "SELECT cs AS cid, cs AS sq FROM ctg UNION ALL"
+            " SELECT cs || '(-)', " + _rc("cs") + " FROM ctg), "
+            "heads AS MATERIALIZED (SELECT cid, length(sq) AS lb,"
+            " substr(sq, 1, 15) AS seed FROM strands"
+            " WHERE length(sq) >= 15), "
+            "adopt AS MATERIALIZED (SELECT fid, sq FROM ("
+            "SELECT g.fid, s.sq, row_number() OVER (PARTITION BY g.fid"
+            " ORDER BY length(s.sq) DESC, s.cid) AS rn"
+            " FROM frgk g JOIN strands s ON contains(s.sq, g.fsq))"
+            " WHERE rn = 1), "
+            "rest AS MATERIALIZED (SELECT fid, fsq FROM frgk"
+            " WHERE fid NOT IN (SELECT fid FROM adopt)), "
+            "t1 AS (SELECT fid, length(fsq) AS la, CAST(i AS INT) AS p,"
+            " substr(fsq, CAST(i AS INT), 15) AS seed FROM rest,"
+            " unnest(generate_series(1, length(fsq) - 14)) AS t(i)), "
+            "c1 AS (SELECT DISTINCT t.fid, h.cid, t.la - t.p + 1 AS ov"
+            " FROM t1 t JOIN heads h USING (seed)"
+            " WHERE t.la - t.p + 1 >= 15 AND t.la - t.p + 1 <= h.lb), "
+            "p1 AS (SELECT c.fid, c.cid, max(c.ov) AS ov FROM c1 c"
+            " JOIN rest g ON c.fid = g.fid JOIN strands s ON c.cid = s.cid"
+            " WHERE substr(g.fsq, length(g.fsq) - CAST(c.ov AS INT) + 1,"
+            " CAST(c.ov AS INT)) = substr(s.sq, 1, CAST(c.ov AS INT))"
+            " GROUP BY 1, 2), "
+            "b1 AS (SELECT fid, cid, ov FROM (SELECT fid, cid, ov,"
+            " row_number() OVER (PARTITION BY fid ORDER BY ov DESC, cid)"
+            " AS rn FROM p1) WHERE rn = 1), "
+            "e1 AS MATERIALIZED ("
+            "SELECT b.fid, g.fsq || substr(s.sq, b.ov + 1) AS fsq"
+            " FROM b1 b JOIN rest g ON b.fid = g.fid"
+            " JOIN strands s ON b.cid = s.cid), "
+            "flip AS MATERIALIZED (SELECT fid, " + _rc("fsq")
+            + " AS fsq FROM (SELECT fid, fsq FROM e1 UNION ALL"
+            " SELECT fid, fsq FROM rest"
+            " WHERE fid NOT IN (SELECT fid FROM e1)) r1), "
+            "t2 AS (SELECT fid, length(fsq) AS la, CAST(i AS INT) AS p,"
+            " substr(fsq, CAST(i AS INT), 15) AS seed FROM flip,"
+            " unnest(generate_series(1, length(fsq) - 14)) AS t(i)), "
+            "c2 AS (SELECT DISTINCT t.fid, h.cid, t.la - t.p + 1 AS ov"
+            " FROM t2 t JOIN heads h USING (seed)"
+            " WHERE t.la - t.p + 1 >= 15 AND t.la - t.p + 1 <= h.lb), "
+            "p2 AS (SELECT c.fid, c.cid, max(c.ov) AS ov FROM c2 c"
+            " JOIN flip g ON c.fid = g.fid JOIN strands s ON c.cid = s.cid"
+            " WHERE substr(g.fsq, length(g.fsq) - CAST(c.ov AS INT) + 1,"
+            " CAST(c.ov AS INT)) = substr(s.sq, 1, CAST(c.ov AS INT))"
+            " GROUP BY 1, 2), "
+            "b2 AS (SELECT fid, cid, ov FROM (SELECT fid, cid, ov,"
+            " row_number() OVER (PARTITION BY fid ORDER BY ov DESC, cid)"
+            " AS rn FROM p2) WHERE rn = 1), "
+            "e2 AS MATERIALIZED ("
+            "SELECT b.fid, g.fsq || substr(s.sq, b.ov + 1) AS fsq"
+            " FROM b2 b JOIN flip g ON b.fid = g.fid"
+            " JOIN strands s ON b.cid = s.cid), "
+            "r2 AS (SELECT fid, fsq FROM e2 UNION ALL SELECT fid, fsq"
+            " FROM flip WHERE fid NOT IN (SELECT fid FROM e2)) "
+            "SELECT fid AS frag_id, CAST(length(fsq) AS BIGINT)"
+            " AS final_len FROM r2"
+            " UNION ALL SELECT fid, CAST(length(sq) AS BIGINT) FROM adopt"
         ),
         "pair_merge": (
             "WITH dnap AS (SELECT doc_id,"

@@ -3,9 +3,11 @@
 Reference: ``ContigReader.java:60-140`` loads the fragment FASTA into
 **driver-side hash maps** (primer → name) that executors consult — the
 one pattern the 100 TB rule forbids (SURVEY.md §7.2 item 5). Here the
-fragment set stays a DataFrame: fragments are few and small by
-definition, so they ride an explicit ``F.broadcast`` join (J8 as a
-broadcast join, not a driver lookup) and nothing is collected.
+fragment set stays a DataFrame end to end: containment candidates come
+from a seed-index equi-join (fragment's leading shingle hash vs contig
+shingle hashes — J8 as a relational join, not a driver lookup), so the
+stage stays bounded at any fragment count; only sub-seed fragments ride
+a broadcast fallback, and nothing is collected.
 
 Flow: assemble the reads → orientation-expand the contigs → (1) a
 fragment fully contained in a contig adopts that contig (oriented to
@@ -65,6 +67,49 @@ def _extend_right(frags: DataFrame, ctgs: DataFrame, min_overlap: int) -> DataFr
     return extended.unionByName(untouched)
 
 
+def _containment_hits(ctgs: DataFrame, fr: DataFrame, seed_k: int) -> DataFrame:
+    """(frag_id, frag_seq) × (cid, seq) pairs where the contig contains the
+    fragment — via a seed-index equi-join, never an unbounded nested loop.
+
+    Index side: every ``seed_k``-shingle hash of every contig strand.
+    Probe side: each fragment's leading ``seed_k``-mer hash (a container
+    must contain the fragment's leading shingle). Hash collisions only add
+    candidates; the exact ``contains`` verify removes them. Fragments
+    shorter than ``seed_k`` have no probe shingle — they are rare and tiny
+    by definition and ride a broadcast nested-loop fallback, the same
+    split :func:`reflexiv_spark.operators.containment.contained_row_ids`
+    uses for sub-``w`` rows.
+    """
+    long_fr = fr.where(F.length("frag_seq") >= seed_k)
+    short_fr = fr.where(F.length("frag_seq") < seed_k)
+    idx = ctgs.select(
+        "cid",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("seq") - F.lit(seed_k - 1)),
+                    lambda i: F.xxhash64(F.col("seq").substr(i, F.lit(seed_k))),
+                )
+            )
+        ).alias("__sh"),
+    ).where(F.length("seq") >= seed_k)
+    probe = long_fr.select(
+        "frag_id",
+        "frag_seq",
+        F.xxhash64(F.col("frag_seq").substr(F.lit(1), F.lit(seed_k))).alias("__sh"),
+    )
+    cand = probe.join(idx, "__sh").select("frag_id", "frag_seq", "cid").dropDuplicates()
+    long_hits = (
+        cand.join(ctgs, "cid")
+        .where(F.contains(F.col("seq"), F.col("frag_seq")))
+        .select("cid", "seq", "frag_id", "frag_seq")
+    )
+    short_hits = ctgs.join(
+        F.broadcast(short_fr), F.contains(F.col("seq"), F.col("frag_seq"))
+    ).select("cid", "seq", "frag_id", "frag_seq")
+    return long_hits.unionByName(short_hits)
+
+
 def reassemble(
     reads: DataFrame,
     fragments: DataFrame,
@@ -73,30 +118,33 @@ def reassemble(
     min_overlap: int = 31,
     frag_id: str = "frag_id",
     frag_seq: str = "seq",
+    contigs: DataFrame | None = None,
 ) -> DataFrame:
     """Extend gene fragments with read-assembled contigs.
 
     Returns DataFrame[frag_id, seq]. Deterministic picks: containment
     prefers the longest contig (tie: id); end extension prefers the
-    longest overlap (tie: id).
+    longest overlap (tie: id). ``contigs`` (DataFrame[contig_id, seq],
+    canonical strand) skips the internal assembly — callers that already
+    hold contigs (or need a replayable contig set) pass them directly.
     """
     frags = fragments.select(
         F.col(frag_id).alias("frag_id"), F.upper(F.col(frag_seq)).alias("seq")
     )
-    contigs = assemble(
-        reads, k=k, min_coverage=min_coverage, min_contig=k + 1
-    ).select("contig_id", "seq").localCheckpoint(eager=True)
+    if contigs is None:
+        contigs = assemble(
+            reads, k=k, min_coverage=min_coverage, min_contig=k + 1
+        ).select("contig_id", "seq")
+    contigs = contigs.localCheckpoint(eager=True)
     ctgs = _both_strands(contigs)
 
     # (1) containment: fragment inside a contig → adopt the contig,
-    # already oriented since both strands are candidates (J8: the small
-    # fragment side is broadcast)
+    # already oriented since both strands are candidates (J8 re-expressed:
+    # seed-index equi-join + exact verify, bounded at any fragment count)
     fr = frags.select(
         F.col("frag_id"), F.col("seq").alias("frag_seq")
     )
-    hits = ctgs.join(
-        F.broadcast(fr), F.contains(F.col("seq"), F.col("frag_seq"))
-    )
+    hits = _containment_hits(ctgs, fr, seed_k=min(min_overlap, 15))
     w = Window.partitionBy("frag_id").orderBy(
         F.length("seq").desc(), F.col("cid")
     )
