@@ -77,29 +77,32 @@ def _rc(e: str) -> str:
     return f"reverse(translate({e}, 'ACGT', 'TGCA'))"
 
 
-def _sql_pruned_edges(k: int, counts: str, gate: int | None = None) -> str:
-    """CTE chain ``exp2, ff, f1, rr, prn, edges`` replaying
-    expand_orientations → prune_forks (optional minErrorCoverage ``gate``)
-    → the (k-1)-mer edge view of the surviving k-mers, on top of an
-    existing ``counts(kmer, count)`` CTE. Feed ``edges`` to ``_sql_walk``."""
+def _sql_pruned_edges(
+    k: int, counts: str, gate: int | None = None, pfx: str = ""
+) -> str:
+    """CTE chain ``{pfx}exp2, …, {pfx}edges`` replaying
+    expand_orientations → prune_forks (optional minErrorCoverage ``gate``,
+    applied only to actual fork winners — group size > 1) → the (k-1)-mer
+    edge view of the surviving k-mers, on top of an existing
+    ``counts(kmer, count)`` CTE. Feed ``{pfx}edges`` to ``_sql_walk``."""
     gexp = "" if gate is None else f" AND (n = 1 OR count >= {gate})"
     nexp = "" if gate is None else ", count(*) OVER (PARTITION BY {key}) AS n"
     fwd_key = f"substr(kmer, 1, {k - 1})"
     refl_key = f"substr(kmer, 2, {k - 1})"
     return (
-        f"exp2 AS (SELECT DISTINCT kmer, count FROM ("
+        f"{pfx}exp2 AS (SELECT DISTINCT kmer, count FROM ("
         f"SELECT kmer, count FROM {counts}"
         f" UNION ALL SELECT {_rc('kmer')} AS kmer, count FROM {counts})), "
-        f"ff AS (SELECT kmer, count, row_number() OVER ("
+        f"{pfx}ff AS (SELECT kmer, count, row_number() OVER ("
         f"PARTITION BY {fwd_key} ORDER BY count DESC, kmer DESC) AS rn"
-        f"{nexp.format(key=fwd_key)} FROM exp2), "
-        f"f1 AS (SELECT kmer, count FROM ff WHERE rn = 1{gexp}), "
-        f"rr AS (SELECT kmer, count, row_number() OVER ("
+        f"{nexp.format(key=fwd_key)} FROM {pfx}exp2), "
+        f"{pfx}f1 AS (SELECT kmer, count FROM {pfx}ff WHERE rn = 1{gexp}), "
+        f"{pfx}rr AS (SELECT kmer, count, row_number() OVER ("
         f"PARTITION BY {refl_key} ORDER BY count DESC, kmer DESC) AS rn"
-        f"{nexp.format(key=refl_key)} FROM f1), "
-        f"prn AS (SELECT kmer, count FROM rr WHERE rn = 1{gexp}), "
-        f"edges AS (SELECT substr(kmer, 1, {k - 1}) AS src,"
-        f" substr(kmer, 2, {k - 1}) AS dst, kmer, count FROM prn)"
+        f"{nexp.format(key=refl_key)} FROM {pfx}f1), "
+        f"{pfx}prn AS (SELECT kmer, count FROM {pfx}rr WHERE rn = 1{gexp}), "
+        f"{pfx}edges AS (SELECT substr(kmer, 1, {k - 1}) AS src,"
+        f" substr(kmer, 2, {k - 1}) AS dst, kmer, count FROM {pfx}prn)"
     )
 
 
@@ -851,8 +854,11 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_meta_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3 composed (`reflexiv meta`, rows-only: iterative multi-k ladder +
-    junction fixing + dedup): the k=11→15 ladder over 60bp read windows."""
+    """I3 composed (`reflexiv meta`): the full k=11→15 ladder over 60bp
+    read windows — round-1 contigs boost round-2 counts, then junction
+    fixing (fix_k=14) and containment dedup. Replayed end-to-end by a
+    two-round recursive-CTE oracle (per-k unitig walks + a contig-level
+    unique-junction walk + the NOT-EXISTS dedup form)."""
     from reflexiv_spark.pipelines.meta import meta_assemble
 
     d2 = _dna_docs(spark, sf_dir, 80).withColumn("L", F.length("fs"))
@@ -1566,6 +1572,80 @@ def oracle_sql() -> dict[str, str]:
             "SELECT fid AS frag_id, CAST(length(fsq) AS BIGINT)"
             " AS final_len FROM r2"
             " UNION ALL SELECT fid, CAST(length(sq) AS BIGINT) FROM adopt"
+        ),
+        "meta_assemble": (
+            # full replay of the k=11→15 meta ladder: round-1 unitig walk
+            # → contigs seed round-2 counts (weight = min_coverage) →
+            # round-2 walk → unique-junction contig fusion (fix_k=14) →
+            # md5-id containment dedup → min_contig filter
+            "WITH RECURSIVE dn AS (SELECT doc_id,"
+            " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS fs"
+            " FROM documents), "
+            "d2 AS (SELECT doc_id, fs, length(fs) AS L FROM dn"
+            " WHERE length(fs) >= 80), "
+            "r0 AS (SELECT substr(fs, CAST(i AS INT), 60) AS seq FROM d2,"
+            " unnest(generate_series(1, L - 59, 7)) AS t(i)), "
+            "km11 AS (SELECT least(sub, " + _rc("sub") + ") AS kmer FROM ("
+            "SELECT substr(seq, CAST(i AS INT), 11) AS sub FROM r0,"
+            " unnest(generate_series(1, 50)) AS t(i))), "
+            "cnt11 AS (SELECT kmer, count(*) AS count FROM km11"
+            " GROUP BY kmer HAVING count(*) >= 2), "
+            + _sql_pruned_edges(11, "cnt11", gate=8, pfx="a")
+            + ", "
+            + _sql_walk(11, "aedges", "awalk")
+            + ", ctg1 AS MATERIALIZED (SELECT DISTINCT least(seq, "
+            + _rc("seq")
+            + ") AS cs FROM (SELECT seq FROM awalk w WHERE NOT EXISTS ("
+            "SELECT 1 FROM aedges e WHERE e.src = w.cur)) p"
+            " WHERE length(seq) >= 12), "
+            "km15 AS (SELECT least(sub, " + _rc("sub") + ") AS kmer FROM ("
+            "SELECT substr(seq, CAST(i AS INT), 15) AS sub FROM r0,"
+            " unnest(generate_series(1, 46)) AS t(i))), "
+            "cnt15 AS (SELECT kmer, count(*) AS count FROM km15"
+            " GROUP BY kmer), "
+            "ck15 AS (SELECT DISTINCT least(sub, " + _rc("sub")
+            + ") AS kmer FROM (SELECT substr(cs, CAST(i AS INT), 15) AS sub"
+            " FROM ctg1, unnest(generate_series(1, length(cs) - 14)) AS t(i)"
+            " WHERE length(cs) >= 15)), "
+            "cmb AS (SELECT kmer, sum(count) AS count FROM ("
+            "SELECT kmer, count FROM cnt15"
+            " UNION ALL SELECT kmer, 2 FROM ck15) GROUP BY kmer"
+            " HAVING sum(count) >= 2 AND sum(count) <= 10000000), "
+            + _sql_pruned_edges(15, "cmb", gate=8, pfx="b")
+            + ", "
+            + _sql_walk(15, "bedges", "bwalk")
+            + ", ctg2 AS MATERIALIZED (SELECT DISTINCT least(seq, "
+            + _rc("seq")
+            + ") AS cs FROM (SELECT seq FROM bwalk w WHERE NOT EXISTS ("
+            "SELECT 1 FROM bedges e WHERE e.src = w.cur)) p"
+            " WHERE length(seq) >= 16), "
+            "hj AS (SELECT substr(cs, 1, 14) AS kmer, 1 AS is_start"
+            " FROM ctg2 UNION ALL"
+            " SELECT substr(cs, length(cs) - 13), 0 FROM ctg2), "
+            "uj AS (SELECT kmer FROM (SELECT kmer, sum(is_start) AS s,"
+            " sum(1 - is_start) AS e FROM hj GROUP BY 1)"
+            " WHERE s = 1 AND e = 1), "
+            "ce AS MATERIALIZED (SELECT a.cs AS src, b.cs AS dst"
+            " FROM ctg2 a JOIN ctg2 b"
+            " ON substr(a.cs, length(a.cs) - 13) = substr(b.cs, 1, 14)"
+            " AND a.cs != b.cs"
+            " WHERE substr(b.cs, 1, 14) IN (SELECT kmer FROM uj)), "
+            "fw(cur, seq) AS (SELECT c.cs, c.cs FROM ctg2 c"
+            " WHERE c.cs NOT IN (SELECT dst FROM ce)"
+            " UNION ALL SELECT e.dst, w.seq || substr(e.dst, 15)"
+            " FROM fw w JOIN ce e ON e.src = w.cur), "
+            "fixed AS MATERIALIZED (SELECT DISTINCT seq FROM fw w"
+            " WHERE w.cur NOT IN (SELECT src FROM ce)), "
+            "wid AS MATERIALIZED (SELECT 'Contig-' ||"
+            " CAST(length(seq) AS VARCHAR) || '-' || md5(seq) AS cid, seq"
+            " FROM fixed) "
+            "SELECT x.seq AS contig_seq FROM wid x"
+            " WHERE length(x.seq) >= 20 AND NOT EXISTS ("
+            "SELECT 1 FROM wid y WHERE y.cid != x.cid"
+            " AND (contains(y.seq, x.seq) OR contains(y.seq, "
+            + _rc("x.seq")
+            + ")) AND (length(y.seq) > length(x.seq)"
+            " OR (length(y.seq) = length(x.seq) AND y.cid < x.cid)))"
         ),
         "pair_merge": (
             "WITH dnap AS (SELECT doc_id,"

@@ -116,12 +116,15 @@ def meta_assemble(
     fixed = fix_junctions(
         contigs.select("seq"), fix_k=fix_k or (sorted(klist)[-1] - 1)
     )
+    # md5-based ids (not xxhash64): equally deterministic and shuffle-free,
+    # but replayable by the ANSI-SQL oracle, which must follow the dedup
+    # stage's equal-length id tie-breaks. Per-contig cost, not per-k-mer.
     with_ids = fixed.select(
         F.concat(
             F.lit("Contig-"),
             F.length("seq"),
             F.lit("-"),
-            F.lower(F.hex(F.xxhash64("seq"))),
+            F.md5("seq"),
         ).alias("contig_id"),
         "seq",
     )
