@@ -329,14 +329,22 @@ def q_multi_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a proper timestamp, whatever the parquet
+    physical type: TIMESTAMP(NANOS) (older generators; Spark's vectorized
+    reader rejects it without ``nanosAsLong``) or TIMESTAMP(MICROS)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style tumbling-window aggregation (batch form)."""
-    # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    # reader rejects; read nanos as long and convert.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -356,11 +364,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionize operator (batch form): 30-min-gap sessions."""
     from reflexiv_spark.streaming.windows import sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
-    )
+    ev = _events(spark, sf_dir).select("user_id", "ts")
     out = sessionize(ev, key="user_id", gap="30 minutes")
     return out.select(
         "user_id",

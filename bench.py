@@ -40,22 +40,63 @@ HEADLINE = [
     "stitch_bridges",
     # datapipe headliners (present when implemented; skipped otherwise)
     "exact_dedup",
-    "minhash_near_dup",
+    # production hash families (xxhash64 shingles / gaussian planes) — what
+    # minhash_lsh_pairs/ann_topk/embedding_dedup ship by default. The
+    # driver's correctness entries run the md5 families (bit-replayable by
+    # the SQL oracles) and are deliberately NOT the headline: md5 costs 3
+    # chained string ops + a digest per shingle/rehash vs one xxhash64
+    # intrinsic, a family production never runs.
+    "minhash_near_dup_xxh64",
     "text_stats",
-    # ann_lsh, not embedding_topk: the brute-force cosine is the O(n²)
-    # correctness baseline; the LSH-bucketed path is the scale design.
-    # Likewise ngram_jaccard (exact inverted-index join, hot-shingle
-    # quadratic) stays a correctness entry; minhash_near_dup is its
+    # ann_lsh_gauss, not embedding_topk: the brute-force cosine is the
+    # O(n²) correctness baseline; the LSH-bucketed path is the scale
+    # design. Likewise ngram_jaccard (exact inverted-index join,
+    # hot-shingle quadratic) stays a correctness entry; MinHash is its
     # scale-path headline.
-    "ann_lsh",
+    "ann_lsh_gauss",
     "contained_dedup",
     # X2 mapping stage: seed-join mapper + consensus end extension
     "read_mapping",
     "end_extend",
     # embedding near-dup dedup (LSH candidates + exact cosine verify —
     # the 100 TB path; the all-pairs GEMM baseline stays pytest-only)
-    "embedding_dedup",
+    "embedding_dedup_gauss",
 ]
+
+
+def _bench_only_queries():
+    """Production-family variants of the three family-parameterized
+    queries. Bench-only: the md5-family twins stay in
+    ``__spark_entry__.queries()`` for the oracle gate; these time the
+    default families production actually runs (VERDICT r3 item 4)."""
+
+    def minhash_near_dup_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(
+            docs, w=8, num_hashes=32, bands=8, threshold=0.5
+        )
+
+    def ann_lsh_gauss(spark, sf_dir):
+        from reflexiv_spark.datapipe.similarity import ann_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann_topk(emb, dim=64, k=3, n_planes=8, n_probes=2)
+
+    def embedding_dedup_gauss(spark, sf_dir):
+        from reflexiv_spark.datapipe.similarity import embedding_dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dedup(
+            emb, threshold=0.3, exact=False, dim=64, n_planes=8, n_probes=2
+        ).select("vec_id")
+
+    return {
+        "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
+        "ann_lsh_gauss": ann_lsh_gauss,
+        "embedding_dedup_gauss": embedding_dedup_gauss,
+    }
 
 
 def main() -> None:
@@ -66,7 +107,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="reflexiv-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = ent.queries()
+    qs = {**ent.queries(), **_bench_only_queries()}
 
     def run(name: str, d: str) -> float:
         t0 = time.time()

@@ -1,0 +1,151 @@
+"""Real (non-stub) multimodal decode paths: PNG via stdlib zlib+numpy,
+canonical PCM16 WAV frame RMS via Catalyst header parsing + numpy."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from reflexiv_spark.datapipe.multimodal import (
+    decode_images,
+    decode_png,
+    sample_audio_frames,
+)
+
+
+def _encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA) applying the requested
+    filter type per scanline — exercises every unfilter branch."""
+    h, w, ch = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = pixels.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]]) if stride > ch else np.zeros(stride, np.int32)
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]]) if stride > ch else np.zeros(stride, np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            enc = (line - (left + prev) // 2) & 0xFF
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = (line - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+            1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+        )
+        + data
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_decode_png_roundtrip_all_filters(ch):
+    rng = np.random.RandomState(7 + ch)
+    pixels = rng.randint(0, 256, size=(5, 6, ch), dtype=np.uint8)
+    blob = _encode_png(pixels, filters=[0, 1, 2, 3, 4])
+    w, h, channels, mean = decode_png(blob)
+    assert (w, h, channels) == (6, 5, ch)
+    assert mean == pytest.approx(float(pixels.mean()), abs=1e-9)
+
+
+def test_decode_images_real_png_in_spark(spark):
+    rng = np.random.RandomState(11)
+    imgs = {
+        1: rng.randint(0, 256, size=(4, 3, 3), dtype=np.uint8),
+        2: rng.randint(0, 256, size=(2, 8, 1), dtype=np.uint8),
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(_encode_png(p, filters=[4] * p.shape[0]))) for i, p in imgs.items()],
+        "id long, blob binary",
+    )
+    out = {r.id: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (3, 4, 3)
+    assert out[1].mean_value == pytest.approx(float(imgs[1].mean()))
+    assert (out[2].width, out[2].height, out[2].channels) == (8, 2, 1)
+    assert out[2].mean_value == pytest.approx(float(imgs[2].mean()))
+
+
+def test_decode_images_real_rejects_jpeg(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"j" * 40))], "id long, blob binary"
+    )
+    with pytest.raises(Exception, match="PNG|PIL"):
+        decode_images(df, fake=False).collect()
+
+
+def test_sample_audio_frames_real_pcm16(spark):
+    t = np.arange(48)
+    samples = (10000 * np.sin(2 * np.pi * t / 16)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm16(samples)))], "id long, blob binary"
+    )
+    # 48 samples × 2 bytes = 96 data bytes → frames of 32 bytes = 16 samples
+    out = sorted(
+        sample_audio_frames(df, frame_bytes=32, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.n_samples for r in out] == [16, 16, 16]
+    for i, r in enumerate(out):
+        seg = samples[i * 16 : (i + 1) * 16].astype(np.float64) / 32768.0
+        assert r.rms == pytest.approx(float(np.sqrt(np.mean(seg * seg))), abs=1e-6)
+
+
+def test_sample_audio_frames_real_rejects_non_wav(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"OggS" + b"\x00" * 100))], "id long, blob binary"
+    )
+    with pytest.raises(Exception, match="PCM16|soundfile"):
+        sample_audio_frames(df, fake=False).collect()
+
+
+def test_sample_audio_frames_real_truncated_last_frame(spark):
+    samples = np.arange(-20, 20, dtype=np.int16)  # 40 samples, 80 bytes
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_pcm16(samples)))], "id long, blob binary"
+    )
+    out = sorted(
+        sample_audio_frames(df, frame_bytes=64, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.n_samples for r in out] == [32, 8]
