@@ -353,6 +353,8 @@ def extend_contigs_with_reads(
         fwd.unionByName(rc)
         .groupBy("seq")
         .agg(F.count(F.lit(1)).alias("weight"))
+        # accepted ~n²/2⁶⁵ collision risk (see patch_contigs): a colliding
+        # pair of reads would pool their votes under one id
         .withColumn("read_id", F.xxhash64("seq"))
     )
 

@@ -151,7 +151,10 @@ def merge_contigs(
             chosen.select(F.col("id_b").alias("id_a")).distinct(),
             "id_a",
             "left_anti",
-        )
+        # chosen feeds four subplans (isEmpty, two merge joins, the used
+        # union): materialize once so the overlap-pairs windowing behind it
+        # isn't recomputed per consumer
+        ).localCheckpoint(eager=True)
         if chosen.isEmpty():
             break
         sa = cur.select(F.col("cid").alias("id_a"), F.col("seq").alias("seq_a"))

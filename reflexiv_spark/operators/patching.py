@@ -95,6 +95,11 @@ def patch_contigs(
     """
     from reflexiv_spark.functions.kmer import explode_kmers
 
+    # Accepted risk: a 64-bit content-hash collision between two distinct
+    # read sequences would join one read's left hits with the other's right
+    # hits, fabricating a support pair. P(collision) ≈ n²/2⁶⁵ — negligible
+    # even at 10¹⁰ distinct reads, and cheaper than shuffling sequences as
+    # join keys. Same trade in stitch_bridges / extend_contigs_with_reads.
     r = (
         reads.select(F.upper(F.col(read_seq)).alias("__rs"))
         .groupBy("__rs")

@@ -117,28 +117,32 @@ def correct_reads(
         reads, k, seq_col=seq_col, min_coverage=min_coverage, max_coverage=None
     ).select("kmer")
 
-    # rid is nondeterministic (monotonically_increasing_id); the plan below
-    # branches on `base` (clean/suspects/winners), so pin the assignment with
-    # an eager checkpoint — otherwise a recomputed branch could renumber
-    # reads and attach corrections to the wrong rows.
+    # Deterministic, recompute-stable identity: the sequence ITSELF is the
+    # key, with a multiplicity weight (identical reads get identical
+    # corrections, so analyzing each distinct sequence once and re-expanding
+    # at the end is semantics-preserving). This retires the last
+    # monotonically_increasing_id + pinning checkpoint in the engine — no
+    # ordering dependency, no collision caveat, and duplicate reads stop
+    # paying for duplicate analysis.
     base = (
         reads.select(F.upper(F.col(seq_col)).alias("seq"))
-        .withColumn("rid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).cast("int").alias("__w"))
     )
     pos_kmers = base.select(
-        "rid",
         "seq",
+        "__w",
         F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
     ).select(
-        "rid", "seq", (F.col("pos0") + 1).alias("s"), canonical_kmer("raw").alias("kmer")
+        "seq", "__w", (F.col("pos0") + 1).alias("s"),
+        canonical_kmer("raw").alias("kmer"),
     )
     marked = pos_kmers.join(
         solid.withColumn("__solid", F.lit(True)), "kmer", "left"
-    ).select("rid", "seq", "s", F.coalesce("__solid", F.lit(False)).alias("solid"))
+    ).select("seq", "__w", "s", F.coalesce("__solid", F.lit(False)).alias("solid"))
 
-    per_read = marked.groupBy("rid").agg(
-        F.first("seq").alias("seq"),
+    per_read = marked.groupBy("seq").agg(
+        F.max("__w").alias("__w"),
         F.count(F.lit(1)).alias("n_kmers"),
         F.sum(F.when(F.col("solid"), 0).otherwise(1)).alias("n_weak"),
         F.min(F.when(~F.col("solid"), F.col("s"))).alias("a"),
@@ -167,11 +171,11 @@ def correct_reads(
         | (width != F.col("n_weak"))
         | (width > k)
         | p_expr.isNull()
-    ).select("seq")
+    ).select("seq", "__w")
 
     # candidates: 3 substitutions at p; regenerate the affected k-mers
     cands = suspects.select(
-        "rid", "seq", "p",
+        "seq", "p",
         F.explode(
             F.filter(
                 F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T")),
@@ -187,7 +191,7 @@ def correct_reads(
         ),
     )
     affected = cands.select(
-        "rid", "x", "fixed",
+        "seq", "x", "fixed",
         F.explode(
             F.transform(
                 F.sequence(
@@ -200,17 +204,21 @@ def correct_reads(
     )
     votes = (
         affected.join(solid, "kmer", "left_semi")
-        .groupBy("rid", "x", "fixed")
+        .groupBy("seq", "x", "fixed")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
-    w = Window.partitionBy("rid").orderBy(F.col("hits").desc(), F.col("x"))
+    w = Window.partitionBy("seq").orderBy(F.col("hits").desc(), F.col("x"))
     winners = (
         votes.withColumn("__rn", F.row_number().over(w))
         .where((F.col("__rn") == 1) & (F.col("hits") > 0))
-        .select("rid", F.col("fixed").alias("corrected"))
+        .select("seq", F.col("fixed").alias("corrected"))
     )
     repaired = (
-        suspects.join(winners, "rid", "left")
-        .select(F.coalesce("corrected", "seq").alias("seq"))
+        suspects.join(winners, "seq", "left")
+        .select(F.coalesce("corrected", "seq").alias("seq"), "__w")
     )
-    return clean.unionByName(repaired).select(F.col("seq").alias(seq_col))
+    # re-expand to input multiplicity: one output row per input read
+    return (
+        clean.unionByName(repaired)
+        .select(F.explode(F.array_repeat(F.col("seq"), F.col("__w"))).alias(seq_col))
+    )

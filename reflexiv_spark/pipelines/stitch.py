@@ -63,7 +63,8 @@ def stitch_bridges(
     # under partition recompute, unlike monotonically_increasing_id, and
     # the distinct() dedupes identical reads before the k-mer explode.
     # Support below is count_distinct(rid) — distinct bridging sequences —
-    # so collapsing exact duplicates does not change it.
+    # so collapsing exact duplicates does not change it. Accepted risk: a
+    # 64-bit collision merges two reads' hits (≈n²/2⁶⁵, see patch_contigs).
     fwd = spread(reads.select(F.upper(F.col(read_seq)).alias("rseq")))
     stranded = (
         fwd.unionByName(fwd.select(reverse_complement("rseq").alias("rseq")))

@@ -69,11 +69,24 @@ def read_text_4mc(
             "org.apache.hadoop.io.Text",
         )
     except Exception as e:  # noqa: BLE001 — py4j raises opaque Java errors
-        raise RuntimeError(
-            f"4mc input format {input_format!r} is not on the classpath "
-            "(add the 4mc jar via spark.jars) — or convert the input to "
-            "Parquet/zstd and use the standard readers"
-        ) from e
+        # Blame the missing jar only when the Java exception actually is a
+        # class-loading failure; anything else (bad path, permissions)
+        # surfaces as-is rather than behind a misleading message.
+        jexc = getattr(e, "java_exception", None)
+        cls = ""
+        if jexc is not None:
+            try:
+                cls = jexc.getClass().getName()
+            except Exception:  # noqa: BLE001 — dead gateway etc.
+                cls = ""
+        blob = cls + str(e)
+        if "ClassNotFoundException" in blob or "NoClassDefFoundError" in blob:
+            raise RuntimeError(
+                f"4mc input format {input_format!r} is not on the classpath "
+                "(add the 4mc jar via spark.jars) — or convert the input to "
+                "Parquet/zstd and use the standard readers"
+            ) from e
+        raise
     return rdd.values().map(lambda t: (t,)).toDF(["value"])
 
 
@@ -82,8 +95,11 @@ def read_contig_csv(spark: SparkSession, path: str) -> DataFrame:
     (``ReflexivDSDynamicKmerMapping.java:320-323`` reads the previous
     stage's CSV dump with ``spark.read().csv``).
 
-    Explicit schema (no inference pass); rows with a missing sequence are
-    dropped like the reference's ``OldContig2Row`` parser skips blanks.
+    Explicit schema (no inference pass). Rows with a missing/empty
+    sequence are dropped — an intentional deviation from the reference
+    (its ``OldContig2Row`` parser copies rows verbatim,
+    ``ReflexivDSDynamicKmerMapping.java:352-366``): a blank contig is
+    never meaningful downstream and would crash the k-mer windows.
     """
     df = spark.read.csv(path, schema="contig_id string, seq string")
     return df.where(
