@@ -217,27 +217,25 @@ def q_prune_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/J1/I1/I2: the RDK contraction loop — the reference's core
     (``ReflexivDSDynamicKmerIteration.java:465-1249``). Counts → orientation
-    expansion → fork pruning → randomized contraction to convergence.
+    expansion → fork pruning → contraction to maximal anchored unitigs.
 
-    The fork-free graph decomposes into linear paths and pure cycles; a
-    cycle contracts to a rotation-dependent representative, so only
-    anchored paths (leading (k-1)-mer with in-degree 0) are emitted — those
-    are order-independent maximal unitigs, reproducible by a recursive-CTE
-    walk in the oracle.
+    Runs the pointer-doubling (list-ranking) kernel: O(rows × ~40 B)
+    exchanged per round on fixed-width k-mer ids instead of the randomized
+    scheme's O(corpus bytes) of growing sequences, deterministic
+    ceil(log2(longest path)) rounds instead of the randomized-pairing
+    minimum-iteration floor, sequences assembled once at the end. Output
+    is plan-invariant (tests/test_extension.py proves equality with
+    extend_to_convergence) — the same anchored maximal paths the
+    recursive-CTE oracle walks; cycles have no head on either side.
     """
-    from reflexiv_spark.functions.kmer import prefix_subkmer, suffix_subkmer
     from reflexiv_spark.operators.counter import count_kmers
-    from reflexiv_spark.operators.extension import extend_to_convergence, to_paths
+    from reflexiv_spark.operators.extension import rank_paths
     from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
 
     k = 15
     counts = count_kmers(_dna(spark, sf_dir), k, min_coverage=2)
-    pruned = prune_forks(expand_orientations(counts), k).localCheckpoint(eager=False)
-    paths = extend_to_convergence(to_paths(pruned.select("kmer", "count")), k)
-    dsts = pruned.select(suffix_subkmer("kmer", k).alias("__dst")).distinct()
-    anchored = paths.join(
-        dsts, prefix_subkmer("seq", k) == F.col("__dst"), "left_anti"
-    )
+    pruned = prune_forks(expand_orientations(counts), k)
+    anchored = rank_paths(pruned.select("kmer", "count"), k)
     return anchored.select(
         "seq",
         F.col("left_cover").cast("bigint").alias("left_cover"),

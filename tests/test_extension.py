@@ -63,3 +63,43 @@ def test_e2e_assembly_recovers_genome(spark, glen, k):
     # All contigs must be genuine genome substrings (no chimeras).
     for s in seqs:
         assert s in genome or revcomp(s) in genome
+
+
+def test_rank_paths_matches_contraction(spark):
+    """Pointer-doubling and randomized contraction are plan-equivalent on
+    fork-free path graphs (anchored set)."""
+    from reflexiv_spark.functions.kmer import prefix_subkmer, suffix_subkmer
+    from reflexiv_spark.operators.extension import rank_paths
+
+    g = random_genome(600, seed=9)
+    k = 15
+    # three disjoint fragments -> multiple maximal paths
+    frags = [g[0:220], g[240:430], g[450:600]]
+    kmers = sorted({f[i : i + k] for f in frags for i in range(len(f) - k + 1)})
+    df = spark.createDataFrame([(km, i % 5 + 1) for i, km in enumerate(kmers)], ["kmer", "count"])
+
+    ranked = rank_paths(df, k)
+    contracted = extend_to_convergence(to_paths(df), k)
+    dsts = df.select(suffix_subkmer("kmer", k).alias("__dst")).distinct()
+    anchored = contracted.join(
+        dsts, prefix_subkmer("seq", k) == F.col("__dst"), "left_anti"
+    )
+    r = {(x["seq"], x["left_cover"], x["right_cover"]) for x in ranked.collect()}
+    c = {(x["seq"], x["left_cover"], x["right_cover"]) for x in anchored.collect()}
+    assert r == c
+    assert {s for s, _, _ in r} == set(frags)
+
+
+def test_rank_paths_drops_cycles_keeps_paths(spark):
+    from reflexiv_spark.operators.extension import rank_paths
+
+    k = 5
+    # pure cycle: rotations of a cyclic sequence; plus one linear path
+    cyc = "ACGGTCA"  # cycle over ACGGT CGGTC GGTCA GTCAA? build rotations manually
+    cyc_kmers = {(cyc + cyc)[i : i + k] for i in range(len(cyc))}
+    lin = "TTTTCAGTA"
+    lin_kmers = {lin[i : i + k] for i in range(len(lin) - k + 1)}
+    rows = [(km, 1) for km in sorted(cyc_kmers | lin_kmers)]
+    df = spark.createDataFrame(rows, ["kmer", "count"])
+    out = [r["seq"] for r in rank_paths(df, k, max_rounds=12).collect()]
+    assert out == [lin]
