@@ -807,13 +807,9 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle, with cid = the sequence itself), so the whole
     composed stage — containment adoption + both-end best-overlap
     extension — is replayed exactly by the SQL oracle."""
-    from reflexiv_spark.functions.kmer import (
-        canonical_kmer,
-        prefix_subkmer,
-        suffix_subkmer,
-    )
+    from reflexiv_spark.functions.kmer import canonical_kmer
     from reflexiv_spark.operators.counter import count_kmers
-    from reflexiv_spark.operators.extension import extend_to_convergence, to_paths
+    from reflexiv_spark.operators.extension import rank_paths
     from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
     from reflexiv_spark.pipelines.reassemble import reassemble
 
@@ -835,12 +831,8 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq")
     ).localCheckpoint(eager=False)
     counts = count_kmers(reads, k, min_coverage=2)
-    pruned = prune_forks(expand_orientations(counts), k).localCheckpoint(eager=False)
-    paths = extend_to_convergence(to_paths(pruned.select("kmer", "count")), k)
-    dsts = pruned.select(suffix_subkmer("kmer", k).alias("__dst")).distinct()
-    anchored = paths.join(
-        dsts, prefix_subkmer("seq", k) == F.col("__dst"), "left_anti"
-    )
+    pruned = prune_forks(expand_orientations(counts), k)
+    anchored = rank_paths(pruned.select("kmer", "count"), k)
     contigs = (
         anchored.where(F.length("seq") >= k + 1)
         .select(canonical_kmer("seq").alias("seq"))

@@ -80,12 +80,30 @@ def assemble_from_counts(
     min_contig: int = DEFAULT_MIN_CONTIG,
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
+    algorithm: str = "contract",
 ) -> DataFrame:
-    """kmer counts → DataFrame[contig_id, seq, left_cover, right_cover]."""
+    """kmer counts → DataFrame[contig_id, seq, left_cover, right_cover].
+
+    ``algorithm="contract"`` (default) is the reference-parity randomized
+    contraction: pure cycles (circular genomes/plasmids) survive as a
+    rotation-dependent representative, like the reference emits.
+    ``algorithm="rank"`` is the pointer-doubling kernel
+    (:func:`reflexiv_spark.operators.extension.rank_paths`): per-round
+    shuffle of fixed-width ids instead of growing sequences, deterministic
+    log-rounds — the 100 TB path — but cycles are dropped (anchored-paths
+    semantics, identical to the SQL-oracle definition).
+    """
     expanded = expand_orientations(kmer_counts)
     pruned = prune_forks(expanded, k, min_error_coverage=min_error_coverage)
-    paths = to_paths(pruned.select("kmer", "count"))
-    contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)
+    if algorithm == "rank":
+        from reflexiv_spark.operators.extension import rank_paths
+
+        contracted = rank_paths(pruned.select("kmer", "count"), k)
+    elif algorithm == "contract":
+        paths = to_paths(pruned.select("kmer", "count"))
+        contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     contigs = (
         contracted.where(F.length("seq") >= min_contig)
         # Both strands were assembled; canonicalize and keep one.

@@ -103,3 +103,22 @@ def test_rank_paths_drops_cycles_keeps_paths(spark):
     df = spark.createDataFrame(rows, ["kmer", "count"])
     out = [r["seq"] for r in rank_paths(df, k, max_rounds=12).collect()]
     assert out == [lin]
+
+
+def test_assemble_from_counts_rank_matches_contract(spark):
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.pipelines.assemble import assemble_from_counts
+
+    g = random_genome(800, seed=21)
+    reads = simulate_reads(g, read_len=80, coverage=12, seed=21)
+    df = spark.createDataFrame([(r,) for r in reads], ["seq"])
+    counts = count_kmers(df, 21, min_coverage=2).localCheckpoint(eager=True)
+    a = {
+        (r["seq"], r["left_cover"], r["right_cover"])
+        for r in assemble_from_counts(counts, 21, min_contig=22, algorithm="rank").collect()
+    }
+    b = {
+        (r["seq"], r["left_cover"], r["right_cover"])
+        for r in assemble_from_counts(counts, 21, min_contig=22, algorithm="contract").collect()
+    }
+    assert a == b and a  # linear genome: no cycles, identical contigs
