@@ -107,6 +107,34 @@ def read_contig_csv(spark: SparkSession, path: str) -> DataFrame:
     ).select("contig_id", F.upper(F.col("seq")).alias("seq"))
 
 
+def read_legacy_kmer_tuples(spark: SparkSession, path: str) -> DataFrame:
+    """S5: legacy ``(kmer,count)`` tuple-text scan → DataFrame[kmer, count].
+
+    The reference strips ``(`` / ``)`` from old RDD-era text dumps inside
+    its binarizers (``ReflexivDSDynamicKmerRuduction.java:3197-3207``,
+    marked obsolete by SURVEY.md §2 S5 — new dumps are normalized CSV at
+    write time). Kept as a one-function compatibility reader so archived
+    Count_* dumps stay loadable; malformed lines are dropped rather than
+    poisoning the count column.
+    """
+    lines = spark.read.text(path)
+    stripped = F.translate(F.col("value"), "() ", "")
+    parts = F.split(stripped, ",")
+    # F.get, not getItem: malformed lines split into fewer fields, and
+    # ANSI mode turns an out-of-bounds getItem into a job-killing error
+    return (
+        lines.select(
+            F.upper(F.get(parts, 0)).alias("kmer"),
+            F.get(parts, 1).cast("long").alias("count"),
+        )
+        .where(
+            F.col("count").isNotNull()
+            & (F.length("kmer") > 0)
+            & ~F.col("kmer").rlike("[^ACGTN]")
+        )
+    )
+
+
 def read_kmer_counts(spark: SparkSession, path: str) -> DataFrame:
     """S4: k-mer count CSV scan — read ``Count_*/part*.csv[.gz]`` back as
     DataFrame[kmer, count] (``ReflexivDSKmerLeftAndRightSorting.java:164``;

@@ -158,3 +158,12 @@ def test_4mc_escape_hatch_reports_missing_jar(spark, tmp_path_factory):
     (d / "x.4mc").write_bytes(b"\x00")
     with _pytest.raises(RuntimeError, match="4mc.*classpath|Parquet"):
         read_text_4mc(spark, str(d / "x.4mc")).collect()
+
+
+def test_read_legacy_kmer_tuples(spark, tmp_path):
+    from reflexiv_spark.sources.fastq import read_legacy_kmer_tuples
+
+    p = tmp_path / "legacy.txt"
+    p.write_text("(ACGTA,3)\n(tggca, 12)\nnot a tuple\n(NNNNN,1)\n(,5)\n")
+    rows = {r["kmer"]: r["count"] for r in read_legacy_kmer_tuples(spark, str(p)).collect()}
+    assert rows == {"ACGTA": 3, "TGGCA": 12, "NNNNN": 1}
