@@ -83,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--klist", default="23,31,41,53,67,81,95")
     d.add_argument("--min-cov", type=int, default=2)
 
+    me = add("meta", help="staged multi-k metagenome assembly (reflexiv meta)")
+    me.add_argument("--klist", default="23,31,41")
+    me.add_argument("--min-cov", type=int, default=2)
+    me.add_argument("--min-contig", type=int, default=500)
+    me.add_argument("--workdir", default=None,
+                    help="stage barrier dir: per-k rounds materialize here "
+                    "with _SUCCESS markers and completed rounds are skipped "
+                    "on re-run (the reference's step resume, I4)")
+    me.add_argument("--no-resume", action="store_true",
+                    help="rebuild every round even if its marker exists")
+
+    pp = add("preprocess", help="pair-merge + error-correct reads "
+             "(reflexiv preprocess)")
+    pp.add_argument("--in2", default=None,
+                    help="mate FASTQ (R2); omit for single-end input")
+    pp.add_argument("--min-overlap", type=int, default=10)
+    pp.add_argument("--correct", action="store_true",
+                    help="also run solid-k-mer error correction (X3)")
+    pp.add_argument("-k", type=int, default=21)
+    pp.add_argument("--min-cov", type=int, default=2)
+
     m = add("mercy", help="mercy k-mer rescue (reflexiv mercy)")
     m.add_argument("-k", type=int, default=31)
     m.add_argument("--min-cov", type=int, default=2)
@@ -156,6 +177,32 @@ def main(argv: list[str] | None = None) -> int:
             klist=klist, min_coverage=args.min_cov,
         )
         _write(out, args.output, args.outformat)
+    elif args.cmd == "meta":
+        from reflexiv_spark.pipelines.meta import meta_assemble
+
+        klist = tuple(int(x) for x in args.klist.split(","))
+        out = meta_assemble(
+            _read_reads(spark, args.input, args.informat),
+            klist=klist, min_coverage=args.min_cov,
+            min_contig=args.min_contig, workdir=args.workdir,
+            spark=spark, resume=not args.no_resume,
+        )
+        _write(out, args.output, args.outformat, id_col="contig_id")
+    elif args.cmd == "preprocess":
+        reads = _read_reads(spark, args.input, args.informat)
+        if args.in2:
+            from reflexiv_spark.operators.preprocess import merge_read_pairs
+
+            r2 = _read_reads(spark, args.in2, args.informat)
+            reads = merge_read_pairs(
+                reads, r2, id_col="read_id", seq_col="seq",
+                min_overlap=args.min_overlap,
+            ).select("read_id", "seq")
+        if args.correct:
+            from reflexiv_spark.operators.preprocess import correct_reads
+
+            reads = correct_reads(reads, k=args.k, min_coverage=args.min_cov)
+        _write(reads, args.output, args.outformat)
     elif args.cmd == "mercy":
         from reflexiv_spark.operators.counter import count_kmers
         from reflexiv_spark.operators.mercy import mercy_kmers

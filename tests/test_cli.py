@@ -1,0 +1,87 @@
+"""CLI surface tests — ``python -m reflexiv_spark`` subcommands invoked
+in-process, including the flagship ``meta`` with staged resume (I4)."""
+
+from __future__ import annotations
+
+import shutil
+
+from reflexiv_spark.__main__ import main
+from tests.conftest import random_genome, revcomp, simulate_reads
+
+
+def _write_reads(spark, path, reads):
+    spark.createDataFrame([(r,) for r in reads], ["seq"]).write.parquet(str(path))
+
+
+def test_cli_counter_and_run(spark, tmp_path):
+    g = random_genome(300, seed=17)
+    reads = simulate_reads(g, read_len=60, coverage=10, seed=17)
+    inp = tmp_path / "reads.parquet"
+    _write_reads(spark, inp, reads)
+
+    counts_out = tmp_path / "counts"
+    assert main([
+        "counter", "-i", str(inp), "-o", str(counts_out),
+        "--informat", "parquet", "-k", "15", "--min-cov", "2",
+    ]) == 0
+    counts = spark.read.parquet(str(counts_out))
+    assert counts.columns == ["kmer", "count"] and counts.count() > 0
+
+    run_out = tmp_path / "contigs"
+    assert main([
+        "run", "-i", str(inp), "-o", str(run_out),
+        "--informat", "parquet", "-k", "15", "--min-contig", "100",
+    ]) == 0
+    seqs = [r["seq"] for r in spark.read.parquet(str(run_out)).collect()]
+    assert seqs and all(s in g or revcomp(s) in g for s in seqs)
+
+
+def test_cli_meta_with_staged_resume(spark, tmp_path):
+    """meta --workdir: completed rounds are skipped on re-invocation —
+    the reference's _SUCCESS-gated step resume, exercised from the CLI
+    (kill-equivalent: round_k15 wiped, round_k11 must be reused)."""
+    g = random_genome(400, seed=5)
+    reads = simulate_reads(g, read_len=60, coverage=10, seed=5)
+    inp = tmp_path / "reads.parquet"
+    _write_reads(spark, inp, reads)
+    wd, out1, out2 = tmp_path / "wd", tmp_path / "o1", tmp_path / "o2"
+
+    argv = [
+        "meta", "-i", str(inp), "--informat", "parquet",
+        "--klist", "11,15", "--min-cov", "2", "--min-contig", "30",
+        "--workdir", str(wd),
+    ]
+    assert main(argv + ["-o", str(out1)]) == 0
+    marker = wd / "round_k11" / "_SUCCESS"
+    assert marker.exists() and (wd / "round_k15" / "_SUCCESS").exists()
+    m1 = marker.stat().st_mtime_ns
+
+    # simulate a mid-run death after round_k11: later stages gone
+    shutil.rmtree(wd / "round_k15")
+    assert main(argv + ["-o", str(out2)]) == 0
+    assert marker.stat().st_mtime_ns == m1, "round_k11 was rebuilt, not resumed"
+    assert (wd / "round_k15" / "_SUCCESS").exists()
+
+    s1 = {r["seq"] for r in spark.read.parquet(str(out1)).collect()}
+    s2 = {r["seq"] for r in spark.read.parquet(str(out2)).collect()}
+    assert s1 == s2 and s1
+
+
+def test_cli_preprocess_pair_merge_and_correct(spark, tmp_path):
+    g = random_genome(260, seed=8)
+    r1 = [(f"p{i}/1", g[i * 3 : i * 3 + 80]) for i in range(30)]
+    r2 = [(f"p{i}/2", revcomp(g[i * 3 + 40 : i * 3 + 120])) for i in range(30)]
+    p1, p2 = tmp_path / "r1.parquet", tmp_path / "r2.parquet"
+    spark.createDataFrame(r1, ["read_id", "seq"]).write.parquet(str(p1))
+    spark.createDataFrame(r2, ["read_id", "seq"]).write.parquet(str(p2))
+
+    out = tmp_path / "pp"
+    assert main([
+        "preprocess", "-i", str(p1), "--in2", str(p2), "-o", str(out),
+        "--informat", "parquet", "--correct", "-k", "15",
+    ]) == 0
+    merged = spark.read.parquet(str(out))
+    seqs = [r["seq"] for r in merged.collect()]
+    # overlapping mates fuse into 120 bp fragments
+    assert any(len(s) == 120 for s in seqs)
+    assert all(s in g or revcomp(s) in g for s in seqs)
