@@ -70,6 +70,9 @@ def stitch_bridges(
         fwd.unionByName(fwd.select(reverse_complement("rseq").alias("rseq")))
         .distinct()
         .withColumn("rid", F.xxhash64("rseq"))
+        # consumed by the k-mer explode AND the final representative-read
+        # join: materialize once instead of re-deriving per consumer
+        .localCheckpoint(eager=False)
     )
 
     poskmers = stranded.where(F.length("rseq") >= k).select(
@@ -85,17 +88,30 @@ def stitch_bridges(
     ori = _oriented(contigs, id_col, seq_col).where(
         F.length("cseq") >= k
     ).localCheckpoint(eager=False)
-    end_seeds = ori.select(
-        F.col("cid").alias("left"), F.substring("cseq", -k, k).alias("kmer")
+    # ONE tagged seed set → ONE pass over the exploded read k-mers (the
+    # dominant cost: reads × read_len rows). Two separate joins would
+    # recompute the explode and exchange it twice; the seed side is tiny
+    # (2 rows per contig strand) so the planner broadcasts it, and the
+    # matched-hits result is checkpointed for its two consumers.
+    seeds = ori.select(
+        F.lit("L").alias("__side"),
+        F.col("cid"),
+        F.substring("cseq", -k, k).alias("kmer"),
+    ).unionByName(
+        ori.select(
+            F.lit("R").alias("__side"),
+            F.col("cid"),
+            F.substring("cseq", 1, k).alias("kmer"),
+        )
     )
-    start_seeds = ori.select(
-        F.col("cid").alias("right"), F.substring("cseq", 1, k).alias("kmer")
+    hits = poskmers.join(seeds, "kmer").select(
+        "rid", "pos", "__side", "cid"
+    ).localCheckpoint(eager=False)
+    l_hits = hits.where(F.col("__side") == "L").select(
+        "rid", F.col("pos").alias("pl"), F.col("cid").alias("left")
     )
-    l_hits = poskmers.join(end_seeds, "kmer").select(
-        "rid", F.col("pos").alias("pl"), "left"
-    )
-    r_hits = poskmers.join(start_seeds, "kmer").select(
-        "rid", F.col("pos").alias("pr"), "right"
+    r_hits = hits.where(F.col("__side") == "R").select(
+        "rid", F.col("pos").alias("pr"), F.col("cid").alias("right")
     )
     br = (
         l_hits.join(r_hits, "rid")
