@@ -356,6 +356,9 @@ def extend_contigs_with_reads(
         # accepted ~n²/2⁶⁵ collision risk (see patch_contigs): a colliding
         # pair of reads would pool their votes under one id
         .withColumn("read_id", F.xxhash64("seq"))
+        # consumed by the seed mapper AND the consensus voter: materialize
+        # the dedup shuffle once instead of per consumer
+        .localCheckpoint(eager=False)
     )
 
     ends = extract_contig_ends(
@@ -378,7 +381,9 @@ def extend_contigs_with_reads(
         both,
         ends.withColumnRenamed(id_col, "contig_id"),
         min_depth=min_depth,
-    )
+    # the L/R splits below would otherwise re-run the whole mapping +
+    # voting pipeline once per side
+    ).localCheckpoint(eager=False)
     base = contigs.select(F.col(id_col), F.upper(F.col(seq_col)).alias("__seq"))
     r_ext = ext.where(F.col("side") == "R").select(
         F.col("contig_id").alias(id_col), F.col("extension").alias("__r")
