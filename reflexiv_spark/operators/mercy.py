@@ -40,7 +40,12 @@ def mercy_kmers(
     reach the output).
     """
     if read_id_col is None:
-        reads = reads.withColumn("__rid", F.monotonically_increasing_id())
+        # content-hash ids, not monotonically_increasing_id: `base` feeds
+        # both the k-mer explode and the final gap rejoin, and a recomputed
+        # branch must see identical ids. Identical reads share an id —
+        # harmless here (identical reads have identical gaps and the output
+        # is deduplicated); collision risk as documented in patch_contigs.
+        reads = reads.withColumn("__rid", F.xxhash64(F.upper(F.col(seq_col))))
         read_id_col = "__rid"
     # two selects: referencing an alias inside the same select's lambda
     # trips Spark's lateral-column-alias analysis
@@ -48,7 +53,7 @@ def mercy_kmers(
         reads.select(
             F.col(read_id_col).alias("rid"), F.upper(F.col(seq_col)).alias("seq")
         )
-    )
+    ).localCheckpoint(eager=False)
     # Shuffle hygiene: only (rid, pos, kmer) ride the explode → semi-join →
     # window path; the ~read-length× heavier seq column rejoins by rid only
     # for the (rare) gap rows. At sf0.1 this cuts the window exchange from
