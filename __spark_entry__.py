@@ -404,16 +404,15 @@ def q_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mercy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5/J5: rescue k-mers in intra-read coverage gaps (gap rule
-    k-1 ≤ g ≤ k+1 skipped as error footprints)."""
-    from reflexiv_spark.operators.counter import count_kmers
+    k-1 ≤ g ≤ k+1 skipped as error footprints). Fused form: the solid
+    set derives from the same exploded pass as the gap scan."""
     from reflexiv_spark.operators.mercy import mercy_kmers
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id"),
         F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("seq"),
-    ).localCheckpoint(eager=False)
-    solid = count_kmers(docs, 15, min_coverage=2)
-    return mercy_kmers(docs, solid, 15, read_id_col="doc_id")
+    )
+    return mercy_kmers(docs, None, 15, read_id_col="doc_id", min_coverage=2)
 
 
 def q_contig_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

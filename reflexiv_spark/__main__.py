@@ -204,12 +204,14 @@ def main(argv: list[str] | None = None) -> int:
             reads = correct_reads(reads, k=args.k, min_coverage=args.min_cov)
         _write(reads, args.output, args.outformat)
     elif args.cmd == "mercy":
-        from reflexiv_spark.operators.counter import count_kmers
         from reflexiv_spark.operators.mercy import mercy_kmers
 
         reads = _read_reads(spark, args.input, args.informat)
-        solid = count_kmers(reads, args.k, min_coverage=args.min_cov)
-        _write(mercy_kmers(reads, solid, args.k), args.output, args.outformat)
+        _write(
+            mercy_kmers(reads, None, args.k, min_coverage=args.min_cov),
+            args.output,
+            args.outformat,
+        )
     elif args.cmd == "dedup":
         from reflexiv_spark.operators.dedup import dedup_contigs
 

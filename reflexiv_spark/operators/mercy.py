@@ -27,17 +27,21 @@ from reflexiv_spark.plans.layout import spread
 
 def mercy_kmers(
     reads: DataFrame,
-    solid_kmers: DataFrame,
+    solid_kmers: DataFrame | None,
     k: int,
     seq_col: str = "seq",
     read_id_col: str | None = None,
+    min_coverage: int = 2,
 ) -> DataFrame:
     """DataFrame[kmer, count=1]: rescued k-mers in intra-read coverage gaps.
 
     ``solid_kmers`` needs a canonical ``kmer`` column (typically the
-    coverage-filtered counter output). When ``read_id_col`` is None a
-    synthetic id is attached (ids only key the per-read window; they never
-    reach the output).
+    coverage-filtered counter output). Pass ``solid_kmers=None`` to derive
+    the solid set (count ≥ ``min_coverage``) from the SAME exploded
+    (position, k-mer) pairs the gap scan uses — one pass over the reads
+    instead of a separate counter scan, identical counts by construction.
+    When ``read_id_col`` is None a synthetic id is attached (ids only key
+    the per-read window; they never reach the output).
     """
     if read_id_col is None:
         # content-hash ids, not monotonically_increasing_id: `base` feeds
@@ -58,7 +62,10 @@ def mercy_kmers(
     # window path; the ~read-length× heavier seq column rejoins by rid only
     # for the (rare) gap rows. At sf0.1 this cuts the window exchange from
     # ~seq_len× amplified bytes to a few MB.
-    pos_kmers = base.select(
+    # length guard BEFORE the window explode: kmer_array on a sub-k read
+    # yields a DESCENDING sequence of bogus positions whose partial
+    # substrings would otherwise pollute the fused solid-set derivation
+    pos_kmers = base.where(F.length("seq") >= k).select(
         "rid",
         F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
     ).select(
@@ -66,6 +73,18 @@ def mercy_kmers(
         (F.col("pos0") + 1).alias("pos"),  # 1-based k-mer start offset
         canonical_kmer("raw").alias("kmer"),
     )
+    if solid_kmers is None:
+        # fused counter: the explode is the stage's dominant cost, so the
+        # solid set comes from the same pass (materialized once)
+        pos_kmers = pos_kmers.localCheckpoint(eager=False)
+        solid_kmers = (
+            # same drop_invalid semantics as count_kmers: a non-ACGT k-mer
+            # must never enter the solid set
+            pos_kmers.where(~F.col("kmer").rlike("[^ACGT]"))
+            .groupBy("kmer")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") >= min_coverage)
+        )
     hits = pos_kmers.join(
         solid_kmers.select("kmer").dropDuplicates(), "kmer", "left_semi"
     ).select("rid", "pos")
