@@ -575,6 +575,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: IVF (inverted-file) approximate NN — the cell-probing
+    sibling of ann_lsh. Fixed-point centroid assignment (int64 dots /
+    exact int norms) makes cells and ranking engine-independent, so the
+    oracle replays assignment, probing AND the cosine re-rank exactly."""
+    from reflexiv_spark.datapipe.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=3,
+        n_centroids=16, n_probes=2,
+    )
+
+
 def q_read_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 mapper: exact read→target alignment via seed equi-join (the
     built-in minimap2 substitute). Reads are deterministic doc slices."""
@@ -924,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
         "end_extend": q_end_extend,
@@ -1275,6 +1289,42 @@ def oracle_sql() -> dict[str, str]:
             + ", cand AS (SELECT DISTINCT a.vec_id AS vec_id,"
             " b.vec_id AS neighbor_id FROM bk a JOIN bk b ON a.pr = b.pr"
             " AND a.bucket = b.bucket AND a.vec_id != b.vec_id), "
+            + _SQL_VNORM
+            + ", p AS (SELECT c.vec_id, c.neighbor_id,"
+            " round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)"
+            " AS score FROM cand c JOIN n a ON a.vec_id = c.vec_id"
+            " JOIN n b ON b.vec_id = c.neighbor_id) "
+            "SELECT vec_id, neighbor_id, score FROM ("
+            "SELECT vec_id, neighbor_id, score, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn"
+            " FROM p) WHERE rn <= 3"
+        ),
+        "ann_ivf": (
+            # replay of ivf_topk: fixed-point centroid assignment (int64
+            # dots / exact int centroid norms — IEEE divide+sqrt of
+            # identical ints match across engines), 2-probe cell join,
+            # exact cosine re-rank
+            "WITH qv AS (SELECT vec_id, CAST(i AS INT) - 1 AS d,"
+            " CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)"
+            " * 1000) AS BIGINT) AS q FROM embeddings,"
+            " unnest(generate_series(1, 64)) AS t(i)), "
+            "cents AS (SELECT vec_id AS cid FROM embeddings"
+            " ORDER BY vec_id LIMIT 16), "
+            "cq AS (SELECT c.cid, q.d, q.q FROM cents c"
+            " JOIN qv q ON q.vec_id = c.cid), "
+            "cn AS (SELECT cid, sum(q * q) AS n2 FROM cq GROUP BY cid), "
+            "dots AS (SELECT v.vec_id AS vid, c.cid, sum(v.q * c.q) AS dt"
+            " FROM qv v JOIN cq c ON v.d = c.d GROUP BY 1, 2), "
+            "sc AS (SELECT d.vid, d.cid, CAST(d.dt AS DOUBLE)"
+            " / sqrt(CAST(n.n2 AS DOUBLE)) AS cscore FROM dots d"
+            " JOIN cn n USING (cid)), "
+            "rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid"
+            " ORDER BY cscore DESC, cid) AS crank FROM sc), "
+            "asg AS (SELECT vid AS neighbor_id, cid FROM rk"
+            " WHERE crank = 1), "
+            "prb AS (SELECT vid AS vec_id, cid FROM rk WHERE crank <= 2), "
+            "cand AS (SELECT DISTINCT vec_id, neighbor_id FROM prb"
+            " JOIN asg USING (cid) WHERE vec_id != neighbor_id), "
             + _SQL_VNORM
             + ", p AS (SELECT c.vec_id, c.neighbor_id,"
             " round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)"

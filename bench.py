@@ -54,6 +54,12 @@ HEADLINE = [
     # hot-shingle quadratic) stays a correctness entry; MinHash is its
     # scale-path headline.
     "ann_lsh_gauss",
+    # ann_ivf is driver-checked + recall-tested but NOT a headline: IVF
+    # probes whole ~sqrt(n) cells (n·probes·sqrt(n) exact-cosine
+    # verifies — measured 42.6 s at sf1.0 adaptive vs LSH's 6.3 s, whose
+    # 2^planes buckets slice finer at equal recall on this corpus). Both
+    # ship; LSH is the recommended scale path. `ann_ivf_adaptive` stays
+    # a bench-only callable for manual comparison runs.
     "contained_dedup",
     # X2 mapping stage: seed-join mapper + consensus end extension
     "read_mapping",
@@ -92,10 +98,17 @@ def _bench_only_queries():
             emb, threshold=0.3, exact=False, dim=64, n_planes=8, n_probes=2
         ).select("vec_id")
 
+    def ann_ivf_adaptive(spark, sf_dir):
+        from reflexiv_spark.datapipe.similarity import ivf_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ivf_topk(emb, dim=64, k=3, n_probes=2)
+
     return {
         "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
         "ann_lsh_gauss": ann_lsh_gauss,
         "embedding_dedup_gauss": embedding_dedup_gauss,
+        "ann_ivf_adaptive": ann_ivf_adaptive,
     }
 
 

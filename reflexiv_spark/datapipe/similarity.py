@@ -243,6 +243,121 @@ def embedding_dedup(
     return df.join(dropped, F.col(id_col) == F.col("__drop"), "left_anti")
 
 
+def ivf_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_centroids: int | None = None,
+    n_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF (inverted-file)
+    coarse quantizer — the cell-probing sibling of :func:`ann_topk`'s
+    hyperplane LSH.
+
+    Coarse quantizer: the ``n_centroids`` vectors with the smallest ids
+    (a deterministic sample — production systems would k-means-refine;
+    sampling the corpus is the standard zero-training fallback and keeps
+    the operator fully reproducible). Each vector is ASSIGNED to its
+    nearest centroid's inverted list; each query PROBES its ``n_probes``
+    nearest lists; candidates are (query, member-of-probed-list) pairs —
+    a list equi-join, never all-pairs — and exact cosine re-ranks them.
+
+    Assignment arithmetic is fixed-point on floor(v·1000) int64 dot
+    products divided by the centroid's exact int norm — identical in any
+    engine (int sums are order-free; IEEE divide/sqrt of identical ints
+    are correctly rounded), so an ANSI-SQL oracle replays cells AND
+    ranking bit for bit. Candidates exchange ids only; vectors rejoin by
+    id for scoring (see ann_topk).
+
+    ``n_centroids=None`` (default) sizes the quantizer as ~√n (cells of
+    ~√n members — the standard IVF balance: candidate volume
+    n·probes·√n, and the cell join fans out across √n keys instead of a
+    handful). Pass an explicit count only when reproducibility of the
+    cell layout matters more than balance (e.g. the correctness oracle).
+    """
+    if n_centroids is None:
+        import math
+
+        n_centroids = max(16, math.isqrt(max(df.count(), 1)))
+    from reflexiv_spark.plans.layout import spread
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    # the centroid crossJoin amplifies every row n_centroids×: spread a
+    # small/few-partition scan first or the dot products serialize
+    qv = spread(df.select(F.col(id_col).alias("vid"), q.alias("qv")))
+    # orderBy+limit compiles to TakeOrdered (per-partition top-K + driver
+    # merge of K·partitions rows) — no global single-partition window
+    cents = (
+        qv.orderBy("vid")
+        .limit(n_centroids)
+        .select(F.col("vid").alias("cid"), F.col("qv").alias("qc"))
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qc"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cnorm2 = F.aggregate(
+        F.transform(F.col("qc"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored_cells = qv.crossJoin(F.broadcast(cents)).select(
+        "vid",
+        "cid",
+        (idot.cast("double") / F.sqrt(cnorm2.cast("double"))).alias("cscore"),
+    )
+    w_cell = Window.partitionBy("vid").orderBy(
+        F.col("cscore").desc(), F.col("cid")
+    )
+    ranked = scored_cells.select(
+        "vid", "cid", F.row_number().over(w_cell).alias("crank")
+    )
+    assign = ranked.where(F.col("crank") == 1).select(
+        F.col("vid").alias("neighbor_id"), "cid"
+    )
+    probes = ranked.where(F.col("crank") <= n_probes).select(
+        F.col("vid").alias("vec_id"), "cid"
+    )
+    cands = (
+        probes.join(assign, "cid")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    v = with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col)
+    va = v.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    scored = cands.join(va, "vec_id").join(vb, "neighbor_id").select(
+        "vec_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def md5_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic integer hyperplanes derived from md5 — the
     cross-engine-reproducible plane family.

@@ -151,3 +151,26 @@ def test_embedding_dedup_lsh_drops_planted_dups(spark):
     dropped = {i + 1000 for i in range(60)} - kept
     assert len(dropped) >= 54  # >=90% of planted dups deduplicated
     assert all(i in kept for i in range(60))  # originals always survive
+
+
+def test_ivf_recall_vs_exact_top1(spark):
+    """IVF cell probing recovers the true top-1 neighbor of every planted
+    near-duplicate (a planted pair is near-identical, so both land in the
+    same centroid cell; probing 4 cells covers boundary cases)."""
+    from reflexiv_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    emb = spark.createDataFrame(
+        _planted_embeddings(), ["vec_id", "embedding"]
+    ).cache()
+    exact_top1 = {
+        r.vec_id: r.neighbor_id for r in cosine_topk(emb, k=1).collect()
+    }
+    ivf = ivf_topk(emb, dim=32, k=3, n_centroids=12, n_probes=4).collect()
+    by_vec: dict[int, set] = {}
+    for r in ivf:
+        by_vec.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    planted = [i for i in exact_top1 if i < 1000 and exact_top1[i] == i + 1000]
+    assert len(planted) >= 50
+    hits = sum(1 for i in planted if (i + 1000) in by_vec.get(i, set()))
+    recall = hits / len(planted)
+    assert recall >= 0.9, f"ivf recall@planted {recall:.2f}"
