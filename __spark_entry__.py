@@ -1312,7 +1312,11 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY vec_id LIMIT 16), "
             "cq AS (SELECT c.cid, q.d, q.q FROM cents c"
             " JOIN qv q ON q.vec_id = c.cid), "
-            "cn AS (SELECT cid, sum(q * q) AS n2 FROM cq GROUP BY cid), "
+            # zero-norm cells are excluded on BOTH sides (a centroid whose
+            # components all quantize to 0 would divide by zero and rank
+            # NULL/NaN engine-dependently)
+            "cn AS (SELECT cid, sum(q * q) AS n2 FROM cq GROUP BY cid"
+            " HAVING sum(q * q) > 0), "
             "dots AS (SELECT v.vec_id AS vid, c.cid, sum(v.q * c.q) AS dt"
             " FROM qv v JOIN cq c ON v.d = c.d GROUP BY 1, 2), "
             "sc AS (SELECT d.vid, d.cid, CAST(d.dt AS DOUBLE)"

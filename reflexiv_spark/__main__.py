@@ -202,7 +202,28 @@ def main(argv: list[str] | None = None) -> int:
             from reflexiv_spark.operators.preprocess import correct_reads
 
             reads = correct_reads(reads, k=args.k, min_coverage=args.min_cov)
-        _write(reads, args.output, args.outformat)
+        if args.outformat == "fasta":
+            # preprocess output is read rows, not contigs: FASTA headers
+            # come from read_id. correct_reads returns bare sequences, so
+            # regenerate deterministic ids (content hash + a per-duplicate
+            # ordinal — no monotonically_increasing_id).
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            if "read_id" not in reads.columns:
+                w = Window.partitionBy("seq").orderBy(F.lit(1))
+                reads = reads.select(
+                    F.concat_ws(
+                        "-",
+                        F.lit("read"),
+                        F.lower(F.hex(F.xxhash64("seq"))),
+                        F.row_number().over(w).cast("string"),
+                    ).alias("read_id"),
+                    "seq",
+                )
+            _write(reads, args.output, "fasta", id_col="read_id")
+        else:
+            _write(reads, args.output, args.outformat)
     elif args.cmd == "mercy":
         from reflexiv_spark.operators.mercy import mercy_kmers
 

@@ -39,7 +39,9 @@ _MAGIC = {
 DECODED_IMAGE_SCHEMA = (
     "id bigint, width int, height int, channels int, mean_value double"
 )
-AUDIO_FRAMES_SCHEMA = "id bigint, frame_idx int, n_samples int, rms double"
+AUDIO_FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, n_samples int, rms double, status string"
+)
 RESIZED_IMAGE_SCHEMA = "id bigint, width int, height int, blob binary"
 VIDEO_FRAMES_SCHEMA = "id bigint, frame_idx int, frame binary, digest string"
 FEATURE_DIM = 64
@@ -142,16 +144,284 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
     return (w, h, channels, float(out.mean()))
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    """Orthonormal DCT-II basis: C[u,x] = a(u) cos((2x+1)uπ/16) with
+    a(0)=sqrt(1/8), a(u>0)=sqrt(2/8); inverse transform is C.T @ F @ C."""
+    import numpy as np
+
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    a = np.full(8, (2.0 / 8.0) ** 0.5)
+    a[0] = (1.0 / 8.0) ** 0.5
+    return a[:, None] * c
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    de-stuffing and restart-marker awareness."""
+
+    __slots__ = ("data", "pos", "bits", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bits = (self.bits << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via align_to_restart
+                    self.bits = (self.bits << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    # EOI or next segment: pad with zeros
+                    self.bits = (self.bits << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        out = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.bits &= (1 << self.nbits) - 1
+        return out
+
+    def align_to_restart(self):
+        """Byte-align and skip an RSTn marker (restart-interval resync)."""
+        self.bits = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _build_huffman(bits: list[int], values: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol map from a DHT segment's BITS/HUFFVAL."""
+    table = {}
+    code = 0
+    idx = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[idx]
+            idx += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map a t-bit magnitude to its signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, float | None]:
+    """Pure stdlib+numpy baseline JPEG decode → (width, height, channels,
+    mean). Marker walk → DQT/DHT/SOF0/SOS → Huffman-decoded MCUs →
+    dequantize → inverse zigzag → 2-D IDCT → chroma upsample →
+    YCbCr→RGB → true pixel mean. Supports baseline sequential (SOF0),
+    1 or 3 components, arbitrary sampling factors, restart intervals.
+    Progressive (SOF2) and arithmetic-coded streams return real
+    dimensions with mean=None. Raises ``ValueError`` on malformed data.
+    """
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → table
+    frame = None
+    progressive = False
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        seg = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = seg[s + 1 : s + 1 + n]
+                tbl = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                qt[tid] = tbl
+                s += 1 + n
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _build_huffman(bits, seg[s + 17 : s + 17 + n])
+                s += 17 + n
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = struct.unpack(
+                    ">BBB", seg[6 + ci * 3 : 9 + ci * 3]
+                )
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tabs = seg[1 + ci * 2], seg[2 + ci * 2]
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if frame is None:
+        raise ValueError("JPEG missing SOF frame header")
+    w, h, comps = frame
+    channels = len(comps)
+    if progressive or scan is None:
+        return (w, h, channels, None)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    idct = _idct_matrix()
+    zz = np.array(_ZIGZAG)
+
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), np.float64)
+    scan_tabs = {cid: (dc, ac) for cid, dc, ac in scan}
+
+    reader = _BitReader(blob[pos:])
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cid, ch, cv, tq in comps:
+                dc_t, ac_t = scan_tabs[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64, np.float64)
+                        t = _huff_decode(reader, huff[(0, dc_t)])
+                        diff = _extend(reader.read(t), t) if t else 0
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        kidx = 1
+                        while kidx < 64:
+                            rs = _huff_decode(reader, huff[(1, ac_t)])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    kidx += 16
+                                    continue
+                                break  # EOB
+                            kidx += r
+                            if kidx > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coef[kidx] = _extend(reader.read(s), s)
+                            kidx += 1
+                        # both coef and the DQT table are in zigzag order:
+                        # dequantize there, then scatter to natural order
+                        block = np.zeros(64, np.float64)
+                        block[zz] = coef * qt[tq]
+                        px = idct.T @ block.reshape(8, 8) @ idct
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
+
+    # upsample every plane to full resolution and crop
+    full = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        if ch < hmax or cv < vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if channels == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b])
+        out = np.clip(np.round(rgb), 0, 255)
+    else:
+        out = np.clip(np.round(full[0]), 0, 255)
+    return (w, h, channels, float(out.mean()))
+
+
 def decode_images(
     df: DataFrame, blob_col: str = "blob", id_col: str = "id", fake: bool = False
 ) -> DataFrame:
     """blob → (id, width, height, channels, mean_value) via mapInPandas.
 
     ``fake=False`` really decodes PNG payloads (:func:`decode_png` —
-    stdlib zlib + numpy unfilter, true pixel mean) and raises
-    ``NotImplementedError`` for formats that need an external decoder
-    (JPEG etc.). ``fake=True`` derives deterministic pseudo-dimensions
-    from the payload bytes (real batch shapes, fake pixels).
+    stdlib zlib + numpy unfilter) and baseline JPEG payloads
+    (:func:`decode_jpeg` — numpy Huffman + dequant + IDCT), both with a
+    true pixel mean, and raises ``NotImplementedError`` for formats that
+    need an external decoder (webp etc.). ``fake=True`` derives
+    deterministic pseudo-dimensions from the payload bytes (real batch
+    shapes, fake pixels).
     """
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
 
@@ -163,13 +433,18 @@ def decode_images(
                 rows = []
                 for i, b in zip(pdf["id"], pdf["blob"]):
                     b = bytes(b or b"")
-                    if b[: len(_PNG_SIG)] != _PNG_SIG:
+                    if b[: len(_PNG_SIG)] == _PNG_SIG:
+                        w, h, ch, mean = decode_png(b)
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, ch, mean = decode_jpeg(b)
+                    else:
                         raise NotImplementedError(
-                            "only PNG decodes natively (stdlib zlib); other "
-                            "image formats require PIL/opencv — not available "
-                            "in this container. Pass fake=True for the stub"
+                            "only PNG (stdlib zlib) and baseline JPEG "
+                            "(numpy Huffman+IDCT) decode natively; other "
+                            "image formats require PIL/opencv — not "
+                            "available in this container. Pass fake=True "
+                            "for the stub"
                         )
-                    w, h, ch, mean = decode_png(b)
                     rows.append((i, w, h, ch, mean))
                 yield pd.DataFrame(
                     rows, columns=["id", "width", "height", "channels", "mean_value"]
@@ -221,6 +496,28 @@ def _is_canonical_pcm16(blob: Column) -> Column:
     )
 
 
+def _wav_reject_reason(head: bytes) -> str:
+    """Diagnose why a payload failed the canonical-PCM16 fast path by
+    walking its RIFF chunks: extra-chunk / truncated PCM WAV (common —
+    LIST/fact chunks before ``data``) is distinguished from genuinely
+    compressed formats and from non-WAV payloads."""
+    if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        return "not_wav"
+    pos = 12
+    while pos + 8 <= len(head):
+        cid = head[pos : pos + 4]
+        ln = int.from_bytes(head[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            if pos + 10 > len(head):
+                return "truncated_header"
+            tag = int.from_bytes(head[pos + 8 : pos + 10], "little")
+            if tag == 1:
+                return "pcm_noncanonical_header"
+            return f"compressed_format_{tag}"
+        pos += 8 + ln + (ln & 1)
+    return "truncated_header"
+
+
 def sample_audio_frames(
     df: DataFrame,
     blob_col: str = "blob",
@@ -239,9 +536,14 @@ def sample_audio_frames(
     (stdlib/struct-level parsing, no audio library): the header is
     validated and the data offset located with Catalyst byte arithmetic,
     frames are carved on the sample grid, and each frame's RMS is computed
-    from its int16 samples (normalized to [-1, 1]). Compressed audio
-    raises ``NotImplementedError``. ``fake=True`` keeps the deterministic
-    stub over raw byte chunks.
+    from its int16 samples (normalized to [-1, 1]). Undecodable rows do
+    NOT kill the job: each yields one row with null ``n_samples``/``rms``
+    and a per-row ``status`` naming the actual reason — a chunk walk of
+    the header distinguishes extra-chunk/truncated PCM
+    (``pcm_noncanonical_header``) from genuinely compressed formats
+    (``compressed_format_<tag>``) and non-WAV payloads (``not_wav``).
+    Decoded rows carry ``status='ok'``. ``fake=True`` keeps the
+    deterministic stub over raw byte chunks.
     """
     if not fake and frame_bytes % 2:
         raise ValueError("frame_bytes must be even for int16 sample alignment")
@@ -270,8 +572,9 @@ def sample_audio_frames(
         data_end = F.least(
             F.lit(44) + _le32(blob, 41), F.length(blob).cast("bigint")
         ).cast("int")
-        # non-PCM rows keep one sentinel frame so the python stage can
-        # raise an honest NotImplementedError instead of silently dropping
+        # undecodable rows keep one sentinel frame (the header bytes) so
+        # the python stage can report a per-row status instead of
+        # dropping the row or killing the batch
         offs = F.when(
             pcm, F.sequence(F.lit(45), F.greatest(data_end, F.lit(45)), F.lit(frame_bytes))
         ).otherwise(F.array(F.lit(1)))
@@ -286,16 +589,21 @@ def sample_audio_frames(
             .select(
                 "id",
                 "frame_idx",
-                F.substring(
-                    F.col("blob"),
-                    F.col("off"),
-                    F.least(
-                        F.lit(frame_bytes), F.col("__end") - F.col("off") + 1
+                F.when(
+                    F.col("__pcm"),
+                    F.substring(
+                        F.col("blob"),
+                        F.col("off"),
+                        F.least(
+                            F.lit(frame_bytes), F.col("__end") - F.col("off") + 1
+                        ),
                     ),
-                ).alias("frame"),
+                )
+                .otherwise(F.substring(F.col("blob"), 1, frame_bytes))
+                .alias("frame"),
                 "__pcm",
             )
-            .where(F.length("frame") > 0)
+            .where(~F.col("__pcm") | (F.length("frame") > 0))
         )
 
     def featurize(batches: Iterator) -> Iterator:
@@ -304,28 +612,28 @@ def sample_audio_frames(
 
         for pdf in batches:
             if not fake:
-                if not bool(pdf["__pcm"].all()):
-                    raise NotImplementedError(
-                        "only canonical-header PCM16 WAV decodes natively; "
-                        "compressed audio requires soundfile/librosa — not "
-                        "available in this container. Pass fake=True for the "
-                        "stub"
-                    )
-                ns, rms = [], []
-                for fr in pdf["frame"]:
+                ns, rms, status = [], [], []
+                for ok, fr in zip(pdf["__pcm"], pdf["frame"]):
                     fr = bytes(fr or b"")
+                    if not ok:
+                        ns.append(None)
+                        rms.append(None)
+                        status.append(_wav_reject_reason(fr))
+                        continue
                     arr = np.frombuffer(fr[: len(fr) // 2 * 2], dtype="<i2")
                     ns.append(len(arr))
                     x = arr.astype(np.float64) / 32768.0
                     rms.append(
                         round(float(np.sqrt(np.mean(x * x))), 6) if len(arr) else 0.0
                     )
+                    status.append("ok")
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"],
                         "frame_idx": pdf["frame_idx"],
-                        "n_samples": ns,
+                        "n_samples": pd.array(ns, dtype="Int32"),
                         "rms": rms,
+                        "status": status,
                     }
                 )
                 continue
@@ -336,6 +644,7 @@ def sample_audio_frames(
                     "frame_idx": pdf["frame_idx"],
                     "n_samples": n // 2,
                     "rms": ((n % 97) / 96.0).round(6),
+                    "status": "ok",
                 }
             )
 

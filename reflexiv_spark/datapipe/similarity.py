@@ -251,6 +251,7 @@ def ivf_topk(
     n_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_cap: int = 4096,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF (inverted-file)
     coarse quantizer — the cell-probing sibling of :func:`ann_topk`'s
@@ -259,95 +260,190 @@ def ivf_topk(
     Coarse quantizer: the ``n_centroids`` vectors with the smallest ids
     (a deterministic sample — production systems would k-means-refine;
     sampling the corpus is the standard zero-training fallback and keeps
-    the operator fully reproducible). Each vector is ASSIGNED to its
-    nearest centroid's inverted list; each query PROBES its ``n_probes``
-    nearest lists; candidates are (query, member-of-probed-list) pairs —
-    a list equi-join, never all-pairs — and exact cosine re-ranks them.
+    the operator fully reproducible). The quantizer matrix is collected to
+    the driver ONCE (bounded: ≤ centroid_cap × dim int64s, the same
+    footprint as a broadcast dim table — this is how every IVF system
+    trains/ships its coarse quantizer) and shipped to executors inside an
+    Arrow-batched ``mapInPandas``: cell assignment is one int64 GEMM per
+    record batch instead of an n × n_centroids interpreted expression
+    join. Fixed-point floor(v·1000) int64 dots divided by the centroid's
+    exact int norm are identical in any engine (int sums are order-free;
+    IEEE divide/sqrt of identical ints are correctly rounded), so an
+    ANSI-SQL oracle replays cells AND ranking bit for bit. Zero-norm
+    centroids (all components quantizing to 0) are excluded up front —
+    they would otherwise divide by zero and rank NULL/NaN engine-
+    dependently.
 
-    Assignment arithmetic is fixed-point on floor(v·1000) int64 dot
-    products divided by the centroid's exact int norm — identical in any
-    engine (int sums are order-free; IEEE divide/sqrt of identical ints
-    are correctly rounded), so an ANSI-SQL oracle replays cells AND
-    ranking bit for bit. Candidates exchange ids only; vectors rejoin by
-    id for scoring (see ann_topk).
+    Each vector is ASSIGNED to its nearest centroid's inverted list; each
+    query PROBES its ``n_probes`` nearest lists. Scoring groups each
+    cell's members and probers into blocks and re-ranks with one float64
+    GEMM per (prober-block, member-chunk) — the
+    :func:`cosine_dup_pairs` blocked-GEMM shape; a vector's assigned cell
+    is unique, so (query, member) candidates are already distinct and no
+    pair-dedup shuffle exists. Per-cell top-k then a global window over
+    ≤ n_probes·k survivors per query gives exact top-k over the probed
+    cells.
 
-    ``n_centroids=None`` (default) sizes the quantizer as ~√n (cells of
-    ~√n members — the standard IVF balance: candidate volume
-    n·probes·√n, and the cell join fans out across √n keys instead of a
-    handful). Pass an explicit count only when reproducibility of the
-    cell layout matters more than balance (e.g. the correctness oracle).
+    ``n_centroids=None`` (default) sizes the quantizer as
+    min(√n, centroid_cap): √n balances assignment (n·C dots) against
+    probing (n·probes·n/C verifies) at moderate n, and the cap bounds
+    quantizer memory. Cost model: GEMM assignment is n·C·dim flops in
+    BLAS (trivial up to C=4096); verify work is n·probes·(n/C)·dim flops
+    — the inherent IVF-flat probe cost, also BLAS. Member chunks are
+    capped (~1024 rows) so no single collect_list row grows with cell
+    size.
     """
-    if n_centroids is None:
-        import math
+    import math
 
-        n_centroids = max(16, math.isqrt(max(df.count(), 1)))
-    from reflexiv_spark.plans.layout import spread
+    if n_centroids is None:
+        n_total = df.count()
+        n_centroids = max(16, min(math.isqrt(max(n_total, 1)), centroid_cap))
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     q = F.transform(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.floor(x * 1000).cast("long"),
     )
-    # the centroid crossJoin amplifies every row n_centroids×: spread a
-    # small/few-partition scan first or the dot products serialize
-    qv = spread(df.select(F.col(id_col).alias("vid"), q.alias("qv")))
+    qv = df.select(F.col(id_col).alias("vid"), q.alias("qv"))
     # orderBy+limit compiles to TakeOrdered (per-partition top-K + driver
-    # merge of K·partitions rows) — no global single-partition window
-    cents = (
-        qv.orderBy("vid")
-        .limit(n_centroids)
-        .select(F.col("vid").alias("cid"), F.col("qv").alias("qc"))
+    # merge) — the quantizer collect is the one sanctioned driver
+    # materialization: ≤ centroid_cap rows, the IVF coarse-quantizer
+    # "model" every implementation holds centrally.
+    cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
+    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
+    cids = np.array([r["vid"] for r in cent_rows], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    keep = cnorm > 0.0  # zero-norm guard: never divide by a null cell
+    cmat, cids, cnorm = cmat[keep], cids[keep], cnorm[keep]
+    n_probes_eff = min(n_probes, len(cids))
+
+    rank_schema = StructType(
+        [
+            StructField("vid", LongType(), False),
+            StructField("cid", LongType(), False),
+            StructField("crank", IntegerType(), False),
+        ]
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("qc"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    cnorm2 = F.aggregate(
-        F.transform(F.col("qc"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored_cells = qv.crossJoin(F.broadcast(cents)).select(
-        "vid",
-        "cid",
-        (idot.cast("double") / F.sqrt(cnorm2.cast("double"))).alias("cscore"),
-    )
-    w_cell = Window.partitionBy("vid").orderBy(
-        F.col("cscore").desc(), F.col("cid")
-    )
-    ranked = scored_cells.select(
-        "vid", "cid", F.row_number().over(w_cell).alias("crank")
-    )
+
+    def assign_cells(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # (B, dim)
+            s = (m @ cmat.T).astype(np.float64) / cnorm  # (B, C)
+            # stable argsort on -score tie-breaks by column index, and
+            # columns are in ascending-cid order (TakeOrdered output) —
+            # identical to ORDER BY cscore DESC, cid
+            order = np.argsort(-s, axis=1, kind="stable")[:, :n_probes_eff]
+            b = len(m)
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].to_numpy(), n_probes_eff),
+                    "cid": cids[order].reshape(-1),
+                    "crank": np.tile(
+                        np.arange(1, n_probes_eff + 1, dtype=np.int32), b
+                    ),
+                }
+            )
+
+    ranked = qv.mapInPandas(assign_cells, rank_schema)
     assign = ranked.where(F.col("crank") == 1).select(
         F.col("vid").alias("neighbor_id"), "cid"
     )
-    probes = ranked.where(F.col("crank") <= n_probes).select(
+    probes = ranked.where(F.col("crank") <= n_probes_eff).select(
         F.col("vid").alias("vec_id"), "cid"
     )
-    cands = (
-        probes.join(assign, "cid")
-        .where(F.col("vec_id") != F.col("neighbor_id"))
-        .select("vec_id", "neighbor_id")
-        .dropDuplicates()
+
+    # Blocked-GEMM verify: members group per (cell, chunk) — chunk count
+    # derives from the average cell size so no single block row grows
+    # with n — probers group per cell, and each (prober-block,
+    # member-chunk) pair scores in one float64 matmul. A member belongs
+    # to exactly one cell ⇒ (query, member) pairs are already unique.
+    v = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    v = with_norm(df.select(F.col(id_col), F.col(vec_col)), vec_col)
-    va = v.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("va"),
-        F.col("norm").alias("na"),
+    mem = assign.join(v, assign["neighbor_id"] == v["id"]).select(
+        "cid", F.struct(v["id"].alias("mid"), "vec").alias("m")
     )
-    vb = v.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vb"),
-        F.col("norm").alias("nb"),
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(F.count(F.lit(1)).over(Window.partitionBy("cid")) / F.lit(1024)),
     )
-    scored = cands.join(va, "vec_id").join(vb, "neighbor_id").select(
-        "vec_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
-        ).alias("score"),
+    mem = mem.withColumn(
+        "chunk", F.pmod(F.xxhash64(F.col("m.mid")), n_chunks)
     )
+    mem_blocks = mem.groupBy("cid", "chunk").agg(
+        F.collect_list("m").alias("members")
+    )
+    prob = probes.join(v, probes["vec_id"] == v["id"]).select(
+        "cid", F.struct(v["id"].alias("pid"), "vec").alias("p")
+    )
+    prob_blocks = prob.groupBy("cid").agg(F.collect_list("p").alias("probers"))
+    grid = prob_blocks.join(mem_blocks, "cid")
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("score", DoubleType(), False),
+        ]
+    )
+    kk = int(k)
+
+    def cell_gemm(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                pidv = np.array(
+                    [p["pid"] for p in row["probers"]], dtype=np.int64
+                )
+                midv = np.array(
+                    [m["mid"] for m in row["members"]], dtype=np.int64
+                )
+                pm = np.stack([np.asarray(p["vec"]) for p in row["probers"]])
+                mm = np.stack([np.asarray(m["vec"]) for m in row["members"]])
+                pn = np.linalg.norm(pm, axis=1)
+                mn = np.linalg.norm(mm, axis=1)
+                s = np.round((pm @ mm.T) / (pn[:, None] * mn[None, :]), 4)
+                # per-prober top-k inside the chunk: (-score, neighbor_id)
+                # lexsort matches ORDER BY score DESC, neighbor_id
+                for i in range(len(pidv)):
+                    mask = midv != pidv[i]
+                    nb, sc = midv[mask], s[i, mask]
+                    if not len(nb):
+                        continue
+                    top = np.lexsort((nb, -sc))[:kk]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": np.full(len(top), pidv[i]),
+                                "neighbor_id": nb[top],
+                                "score": sc[top],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(
+                    {"vec_id": [], "neighbor_id": [], "score": []}
+                ).astype(
+                    {
+                        "vec_id": "int64",
+                        "neighbor_id": "int64",
+                        "score": "float64",
+                    }
+                )
+            )
+
+    scored = grid.mapInPandas(cell_gemm, out_schema)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

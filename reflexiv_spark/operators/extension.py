@@ -40,6 +40,8 @@ per ``check_every`` rounds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -189,7 +191,15 @@ def rank_paths(
     # but off == 1, so it is NOT a head and correctly never converges)
     heads = state.where(F.col("off") == 0).select(F.col("kmer").alias("anc"))
 
-    for r in range(1, max_rounds + 1):
+    # Rounds are bounded by ceil(log2(n)): after that many doublings every
+    # head-reachable pointer has converged (path length ≤ n), so surviving
+    # CYCLES — whose members keep moving forever unless their length is a
+    # power of two — cannot pin the loop at max_rounds. state is already
+    # materialized by the eager checkpoint, so this count is a cheap scan.
+    n_rows = state.count()
+    rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
+
+    for r in range(1, rounds + 1):
         jump = state.select(
             F.col("kmer").alias("anc"),
             F.col("anc").alias("__anc2"),

@@ -118,31 +118,25 @@ def correct_reads(
     ).select("kmer")
 
     # Deterministic, recompute-stable identity: the sequence ITSELF is the
-    # key, with a multiplicity weight (identical reads get identical
-    # corrections, so analyzing each distinct sequence once and re-expanding
-    # at the end is semantics-preserving). This retires the last
+    # key (identical reads get identical corrections, so each distinct
+    # sequence is analyzed once and the corrections join back to the
+    # original reads at the end). This retires the last
     # monotonically_increasing_id + pinning checkpoint in the engine — no
     # ordering dependency, no collision caveat, and duplicate reads stop
     # paying for duplicate analysis.
-    base = (
-        reads.select(F.upper(F.col(seq_col)).alias("seq"))
-        .groupBy("seq")
-        .agg(F.count(F.lit(1)).cast("int").alias("__w"))
-    )
+    base = reads.select(F.upper(F.col(seq_col)).alias("seq")).distinct()
     pos_kmers = base.select(
         "seq",
-        "__w",
         F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
     ).select(
-        "seq", "__w", (F.col("pos0") + 1).alias("s"),
+        "seq", (F.col("pos0") + 1).alias("s"),
         canonical_kmer("raw").alias("kmer"),
     )
     marked = pos_kmers.join(
         solid.withColumn("__solid", F.lit(True)), "kmer", "left"
-    ).select("seq", "__w", "s", F.coalesce("__solid", F.lit(False)).alias("solid"))
+    ).select("seq", "s", F.coalesce("__solid", F.lit(False)).alias("solid"))
 
     per_read = marked.groupBy("seq").agg(
-        F.max("__w").alias("__w"),
         F.count(F.lit(1)).alias("n_kmers"),
         F.sum(F.when(F.col("solid"), 0).otherwise(1)).alias("n_weak"),
         F.min(F.when(~F.col("solid"), F.col("s"))).alias("a"),
@@ -163,15 +157,6 @@ def correct_reads(
         & (width == F.col("n_weak"))  # contiguous run
         & (width <= k)
     ).withColumn("p", p_expr).where(F.col("p").isNotNull())
-
-    # not-correctable reads pass through untouched, including ambiguous
-    # patterns (multiple weak runs / run wider than k / clipped p miss)
-    clean = per_read.where(
-        (F.col("n_weak") == 0)
-        | (width != F.col("n_weak"))
-        | (width > k)
-        | p_expr.isNull()
-    ).select("seq", "__w")
 
     # candidates: 3 substitutions at p; regenerate the affected k-mers
     cands = suspects.select(
@@ -213,12 +198,20 @@ def correct_reads(
         .where((F.col("__rn") == 1) & (F.col("hits") > 0))
         .select("seq", F.col("fixed").alias("corrected"))
     )
-    repaired = (
+    # Multiplicity is restored with a JOIN, not array_repeat: keying the
+    # per-distinct-seq corrections back to the original reads keeps output
+    # at one row per input row with O(1) memory per row — a single
+    # ultra-duplicated read (adapter/poly-A, routinely 10^6-10^8 copies)
+    # must never materialize multiplicity×len bytes in one executor row.
+    mapping = (
         suspects.join(winners, "seq", "left")
-        .select(F.coalesce("corrected", "seq").alias("seq"), "__w")
+        .select(
+            F.col("seq").alias("__orig"),
+            F.coalesce("corrected", "seq").alias("__fixed"),
+        )
     )
-    # re-expand to input multiplicity: one output row per input read
     return (
-        clean.unionByName(repaired)
-        .select(F.explode(F.array_repeat(F.col("seq"), F.col("__w"))).alias(seq_col))
+        reads.select(F.upper(F.col(seq_col)).alias("__orig"))
+        .join(mapping, "__orig", "left")
+        .select(F.coalesce("__fixed", "__orig").alias(seq_col))
     )

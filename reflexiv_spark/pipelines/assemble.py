@@ -98,7 +98,9 @@ def assemble_from_counts(
     if algorithm == "rank":
         from reflexiv_spark.operators.extension import rank_paths
 
-        contracted = rank_paths(pruned.select("kmer", "count"), k)
+        contracted = rank_paths(
+            pruned.select("kmer", "count"), k, max_rounds=max_iterations
+        )
     elif algorithm == "contract":
         paths = to_paths(pruned.select("kmer", "count"))
         contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)

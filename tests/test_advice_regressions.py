@@ -1,5 +1,6 @@
-"""Regression tests for the round-2 ADVICE findings.
+"""Regression tests for ADVICE findings (rounds 2 and 4).
 
+Round 2:
 1. merge_read_pairs must not accept overlaps shorter than min_overlap when
    one mate is shorter than min_overlap (descending F.sequence range).
 2. merge_contigs must not emit a contig's bases into two merged outputs in
@@ -8,6 +9,14 @@
    count_kmers — not an empty result.
 4. extend_contigs_with_reads vote depth must count read multiplicity even
    though reads are content-deduplicated (deterministic xxhash64 ids).
+
+Round 4:
+5. correct_reads restores multiplicity by JOIN (one output row per input
+   row) — never explode(array_repeat(...)) which materializes one
+   multiplicity×len row.
+6. rank_paths drops cycles but still assembles linear paths, and
+   assemble_from_counts(algorithm="rank") threads max_iterations.
+7. ivf_topk excludes zero-norm centroids instead of dividing by zero.
 """
 
 from __future__ import annotations
@@ -84,3 +93,72 @@ def test_extend_votes_count_duplicate_reads(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].seq == g[:340]  # right end grew by the read's overhang
+
+
+def test_correct_reads_one_row_per_input_under_duplication(spark):
+    from reflexiv_spark.operators.preprocess import correct_reads
+
+    g = random_genome(200, seed=75)
+    clean = simulate_reads(g, read_len=50, coverage=10, seed=76, rc_prob=0.0)
+    # one read with a single-base error, duplicated 3× (below min_coverage
+    # so its error k-mers stay weak): output must stay exactly one row per
+    # input row — multiplicity restored by JOIN, not array_repeat — and
+    # every copy gets the same correction
+    orig = g[10:60]
+    bad = ("T" if orig[0] != "T" else "A") + orig[1:]
+    reads = spark.createDataFrame(
+        [(r,) for r in clean] + [(bad,)] * 3, "seq string"
+    )
+    out = correct_reads(reads, k=21, min_coverage=4).collect()
+    assert len(out) == len(clean) + 3
+    assert sum(1 for r in out if r.seq == orig) >= 3
+
+
+def test_rank_paths_drops_cycles_keeps_paths_and_threads_iterations(spark):
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.functions.kmer import kmer_array
+    from reflexiv_spark.operators.extension import rank_paths
+
+    k = 5
+    # seeds chosen so line + wrapped-cycle k-mers form a fork-free graph
+    # (every (k-1)-prefix/suffix key unique)
+    line = random_genome(40, seed=37)
+    circ = random_genome(12, seed=3)
+    circ_wrapped = circ + circ[: k - 1]  # 12 k-mers forming a pure cycle
+    rows = spark.createDataFrame(
+        [(x,) for x in [line, circ_wrapped]], "seq string"
+    ).select(F.explode(kmer_array(F.col("seq"), k)).alias("kmer"))
+    counts = rows.groupBy("kmer").agg(
+        F.count(F.lit(1)).cast("int").alias("count")
+    )
+    out = rank_paths(counts, k, max_rounds=40).collect()
+    seqs = sorted(r.seq for r in out)
+    # the anchored path assembles; the cycle (no in-degree-0 head, length
+    # 12 — not a power of two) is dropped rather than spinning the loop
+    assert seqs == [line]
+    # max_rounds threads through: 1 doubling round reaches ancestors ≤ 2
+    # hops away, so the 36-k-mer path cannot fully assemble
+    short = rank_paths(counts, k, max_rounds=1).collect()
+    assert max(len(r.seq) for r in short) < len(line)
+
+
+def test_ivf_topk_excludes_zero_norm_centroids(spark):
+    import numpy as np
+
+    from reflexiv_spark.datapipe.similarity import ivf_topk
+
+    rng = np.random.RandomState(79)
+    rows = []
+    # ids 1-2: all components quantize to 0 (floor(0.0004*1000) = 0) —
+    # as centroids these must be excluded, not divided by
+    for i in (1, 2):
+        rows.append((i, [0.0004] * 16))
+    for i in range(3, 23):
+        rows.append((i, rng.randn(16).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ivf_topk(df, dim=16, k=2, n_centroids=3, n_probes=2).collect()
+    assert out, "zero-norm centroids must not empty the result"
+    assert all(r.score is not None and r.score == r.score for r in out)
+    # queries were assigned via the surviving centroid(s) only
+    assert {r.vec_id for r in out} >= set(range(3, 23))

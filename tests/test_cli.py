@@ -85,3 +85,23 @@ def test_cli_preprocess_pair_merge_and_correct(spark, tmp_path):
     # overlapping mates fuse into 120 bp fragments
     assert any(len(s) == 120 for s in seqs)
     assert all(s in g or revcomp(s) in g for s in seqs)
+
+
+def test_cli_preprocess_fasta_output(spark, tmp_path):
+    """ADVICE r4: preprocess --outformat fasta must not crash on the
+    missing contig_id column — read ids are (re)generated as needed."""
+    g = random_genome(200, seed=9)
+    inp = tmp_path / "reads.parquet"
+    _write_reads(spark, inp, simulate_reads(g, read_len=60, coverage=8, seed=9))
+
+    out = tmp_path / "pp.fasta"
+    assert main([
+        "preprocess", "-i", str(inp), "-o", str(out),
+        "--informat", "parquet", "--outformat", "fasta",
+        "--correct", "-k", "15",
+    ]) == 0
+    from reflexiv_spark.sources.records import read_fasta
+
+    back = read_fasta(spark, str(out)).collect()
+    assert back and all(r.id.startswith("read-") for r in back)
+    assert all(r.seq in g or revcomp(r.seq) in g for r in back)

@@ -1,4 +1,5 @@
 """Real (non-stub) multimodal decode paths: PNG via stdlib zlib+numpy,
+baseline JPEG via numpy Huffman+IDCT (crafted by tests/jpeg_encoder.py),
 canonical PCM16 WAV frame RMS via Catalyst header parsing + numpy."""
 
 from __future__ import annotations
@@ -11,9 +12,11 @@ import pytest
 
 from reflexiv_spark.datapipe.multimodal import (
     decode_images,
+    decode_jpeg,
     decode_png,
     sample_audio_frames,
 )
+from tests.jpeg_encoder import encode_jpeg
 
 
 def _encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
@@ -106,11 +109,64 @@ def test_decode_images_real_png_in_spark(spark):
     assert out[2].mean_value == pytest.approx(float(imgs[2].mean()))
 
 
-def test_decode_images_real_rejects_jpeg(spark):
+def test_decode_jpeg_roundtrip_gray_multi_mcu():
+    rng = np.random.RandomState(21)
+    px = rng.randint(0, 256, size=(16, 24)).astype(float)
+    w, h, ch, mean = decode_jpeg(encode_jpeg(px))
+    assert (w, h, ch) == (24, 16, 1)
+    # all-ones quant tables: only DCT-coefficient rounding error survives
+    assert mean == pytest.approx(float(px.mean()), abs=0.25)
+
+
+def test_decode_jpeg_roundtrip_rgb444():
+    rng = np.random.RandomState(22)
+    px = rng.randint(0, 256, size=(8, 16, 3)).astype(float)
+    w, h, ch, mean = decode_jpeg(encode_jpeg(px))
+    assert (w, h, ch) == (16, 8, 3)
+    assert mean == pytest.approx(float(px.mean()), abs=0.5)
+
+
+def test_decode_jpeg_subsampled_420_solid_exact():
+    px = np.full((16, 16, 3), [200.0, 30.0, 90.0])
+    w, h, ch, mean = decode_jpeg(encode_jpeg(px, subsample=True))
+    assert (w, h, ch) == (16, 16, 3)
+    # solid color survives 2x2 chroma downsample+upsample exactly
+    assert mean == pytest.approx(float(px.mean()), abs=1e-9)
+
+
+def test_decode_jpeg_restart_interval():
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, size=(16, 16)).astype(float)
+    blob = encode_jpeg(px, restart_interval=1)
+    assert b"\xff\xd0" in blob or b"\xff\xd1" in blob  # RSTn present
+    w, h, ch, mean = decode_jpeg(blob)
+    assert (w, h, ch) == (16, 16, 1)
+    assert mean == pytest.approx(float(px.mean()), abs=0.25)
+
+
+def test_decode_images_real_mixed_png_jpeg(spark):
+    rng = np.random.RandomState(24)
+    png_px = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    jpg_px = rng.randint(0, 256, size=(8, 8)).astype(float)
     df = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"j" * 40))], "id long, blob binary"
+        [
+            (1, bytearray(_encode_png(png_px))),
+            (2, bytearray(encode_jpeg(jpg_px))),
+        ],
+        "id long, blob binary",
     )
-    with pytest.raises(Exception, match="PNG|PIL"):
+    out = {r.id: r for r in decode_images(df, fake=False).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (6, 4, 3)
+    assert out[1].mean_value == pytest.approx(float(png_px.mean()))
+    assert (out[2].width, out[2].height, out[2].channels) == (8, 8, 1)
+    assert out[2].mean_value == pytest.approx(float(jpg_px.mean()), abs=0.25)
+
+
+def test_decode_images_real_rejects_unknown_format(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxWEBP" + b"w" * 40))], "id long, blob binary"
+    )
+    with pytest.raises(Exception, match="PNG|JPEG|PIL"):
         decode_images(df, fake=False).collect()
 
 
@@ -131,12 +187,51 @@ def test_sample_audio_frames_real_pcm16(spark):
         assert r.rms == pytest.approx(float(np.sqrt(np.mean(seg * seg))), abs=1e-6)
 
 
-def test_sample_audio_frames_real_rejects_non_wav(spark):
-    df = spark.createDataFrame(
-        [(1, bytearray(b"OggS" + b"\x00" * 100))], "id long, blob binary"
+def test_sample_audio_frames_real_reports_per_row_status(spark):
+    """Undecodable rows yield a per-row status instead of killing the
+    batch, and decodable rows in the same batch still decode."""
+    samples = np.arange(16, dtype=np.int16)
+    good = _wav_pcm16(samples)
+    # PCM WAV with an extra LIST chunk before fmt — decodable in
+    # principle, non-canonical header here
+    listed = (
+        struct.pack("<4sI4s", b"RIFF", 94, b"WAVE")
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16
+        )
+        + struct.pack("<4sI", b"data", 32)
+        + samples.astype("<i2").tobytes()
     )
-    with pytest.raises(Exception, match="PCM16|soundfile"):
-        sample_audio_frames(df, fake=False).collect()
+    # mu-law WAV (format tag 7): genuinely not PCM16
+    mulaw = (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + 8, b"WAVE", b"fmt ", 16,
+            7, 1, 8000, 8000, 1, 8, b"data", 8,
+        )
+        + b"\x00" * 8
+    )
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"OggS" + b"\x00" * 100)),
+            (3, bytearray(listed)),
+            (4, bytearray(mulaw)),
+        ],
+        "id long, blob binary",
+    )
+    rows = sample_audio_frames(df, frame_bytes=64, fake=False).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    assert all(r.status == "ok" for r in by_id[1])
+    assert by_id[1][0].n_samples == 16
+    assert [ (r.status, r.n_samples, r.rms) for r in by_id[2] ] == [
+        ("not_wav", None, None)
+    ]
+    assert [r.status for r in by_id[3]] == ["pcm_noncanonical_header"]
+    assert [r.status for r in by_id[4]] == ["compressed_format_7"]
 
 
 def test_sample_audio_frames_real_truncated_last_frame(spark):
