@@ -10,14 +10,23 @@ container):
   zlib-inflate, scanline unfilter (filters 0-4), true pixel mean — for
   8-bit gray/RGB/(A) images; palette/16-bit return real dimensions with a
   null mean.
+- **baseline JPEG** (``decode_images(fake=False)``): full decode —
+  marker walk, Huffman entropy decode, dequantize, IDCT, chroma
+  upsample, YCbCr→RGB, true pixel mean — for SOF0 streams (1 or 3
+  components, any sampling, restart intervals); progressive returns
+  real dimensions with a null mean.
 - **WAV PCM16** (``sample_audio_frames(fake=False)``): canonical-header
   files are frame-chunked JVM-side (aligned to the sample grid) and each
-  frame's RMS is computed from the real int16 samples.
+  frame's RMS is computed from the real int16 samples; undecodable rows
+  get a per-row status, never a batch failure.
+- **AVI video** (``sample_video_frames(fake=False)``): struct-level
+  RIFF container parse (idx1-indexed random access or sequential movi
+  walk), keyframe sampling; MJPEG frames are baseline JPEG and chain
+  into ``decode_jpeg``.
 
-JPEG decode, image resampling, video keyframes and learned feature
-extraction still require external libraries/models; those bodies raise
-``NotImplementedError`` unless ``fake=True`` (deterministic stubs with
-the production batch shapes).
+Image resampling and learned feature extraction still require external
+libraries/models; those bodies raise ``NotImplementedError`` unless
+``fake=True`` (deterministic stubs with the production batch shapes).
 """
 
 from __future__ import annotations
@@ -43,7 +52,9 @@ AUDIO_FRAMES_SCHEMA = (
     "id bigint, frame_idx int, n_samples int, rms double, status string"
 )
 RESIZED_IMAGE_SCHEMA = "id bigint, width int, height int, blob binary"
-VIDEO_FRAMES_SCHEMA = "id bigint, frame_idx int, frame binary, digest string"
+VIDEO_FRAMES_SCHEMA = (
+    "id bigint, frame_idx int, frame binary, digest string, status string"
+)
 FEATURE_DIM = 64
 
 
@@ -81,6 +92,13 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
     16-bit and interlaced images return real dimensions with mean=None.
     Raises ``ValueError`` on a malformed stream.
     """
+    w, h, ch, px = _png_pixels(blob)
+    return (w, h, ch, float(px.mean()) if px is not None else None)
+
+
+def _png_pixels(blob: bytes):
+    """PNG → (width, height, channels, pixels (h, w, ch) uint8 or None
+    for palette/16-bit/interlaced)."""
     import struct
     import zlib
 
@@ -107,7 +125,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
     if channels is None:
         raise ValueError(f"PNG unknown color type {ctype}")
     if depth != 8 or ctype == 3 or interlace != 0:
-        return (w, h, channels, None)
+        return (w, h, channels, None)  # real dims, undecoded pixels
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     stride, bpp = w * channels, channels
     if len(raw) != h * (stride + 1):
@@ -141,7 +159,7 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
         else:
             raise ValueError(f"PNG bad filter type {f}")
         out[y] = rec.astype(np.uint8)
-    return (w, h, channels, float(out.mean()))
+    return (w, h, channels, out.reshape(h, w, channels))
 
 
 _ZIGZAG = [
@@ -263,6 +281,13 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, float | None]:
     Progressive (SOF2) and arithmetic-coded streams return real
     dimensions with mean=None. Raises ``ValueError`` on malformed data.
     """
+    w, h, ch, px = _jpeg_pixels(blob)
+    return (w, h, ch, float(px.mean()) if px is not None else None)
+
+
+def _jpeg_pixels(blob: bytes):
+    """JPEG → (width, height, channels, pixels (h, w, ch) uint8 or None
+    for progressive streams)."""
     import struct
 
     import numpy as np
@@ -403,11 +428,11 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, float | None]:
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
-        rgb = np.stack([r, g, b])
+        rgb = np.stack([r, g, b], axis=-1)
         out = np.clip(np.round(rgb), 0, 255)
     else:
-        out = np.clip(np.round(full[0]), 0, 255)
-    return (w, h, channels, float(out.mean()))
+        out = np.clip(np.round(full[0]), 0, 255)[..., None]
+    return (w, h, channels, out.astype(np.uint8))
 
 
 def decode_images(
@@ -653,6 +678,85 @@ def sample_audio_frames(
     )
 
 
+def _decode_pixels(blob: bytes):
+    """PNG or baseline JPEG → (h, w, ch) uint8 pixel array.
+
+    Raises ``NotImplementedError`` for formats needing an external
+    decoder and ``ValueError`` for streams whose pixels the native
+    decoders cannot produce (palette/16-bit PNG, progressive JPEG)."""
+    if blob[: len(_PNG_SIG)] == _PNG_SIG:
+        _w, _h, _ch, px = _png_pixels(blob)
+    elif blob[:2] == b"\xff\xd8":
+        _w, _h, _ch, px = _jpeg_pixels(blob)
+    else:
+        raise NotImplementedError(
+            "only PNG (stdlib zlib) and baseline JPEG (numpy "
+            "Huffman+IDCT) decode natively; other image formats require "
+            "PIL/opencv — not available in this container"
+        )
+    if px is None:
+        raise ValueError("image variant not decodable natively")
+    return px
+
+
+def _encode_png(pixels) -> bytes:
+    """(h, w, ch) uint8 → minimal valid PNG (filter 0, one IDAT)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(
+        b"\x00" + px[y].tobytes() for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _box_resample(px, target_h: int, target_w: int):
+    """(h, w, ch) → (target_h, target_w, ch) by area-weighted box
+    sampling on index bins (pure numpy; the classic decimation used by
+    every thumbnailer)."""
+    import numpy as np
+
+    h, w, ch = px.shape
+    ys = (np.arange(target_h + 1) * h / target_h).round().astype(int)
+    xs = (np.arange(target_w + 1) * w / target_w).round().astype(int)
+    ys[-1], xs[-1] = h, w
+    # cumulative-sum trick: box means from the 2-D prefix sums, no loops
+    cs = np.zeros((h + 1, w + 1, ch), np.float64)
+    cs[1:, 1:] = np.cumsum(np.cumsum(px.astype(np.float64), 0), 1)
+    y0 = np.minimum(ys[:-1], h - 1)
+    x0 = np.minimum(xs[:-1], w - 1)
+    y1 = np.minimum(np.maximum(ys[1:], y0 + 1), h)
+    x1 = np.minimum(np.maximum(xs[1:], x0 + 1), w)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    out = (
+        cs[y1[:, None], x1[None, :]]
+        - cs[y0[:, None], x1[None, :]]
+        - cs[y1[:, None], x0[None, :]]
+        + cs[y0[:, None], x0[None, :]]
+    ) / area[..., None]
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int = 224,
@@ -663,9 +767,11 @@ def resize_images(
 ) -> DataFrame:
     """blob → (id, width, height, blob) resized payloads via mapInPandas.
 
-    The stub truncates/zero-pads the payload to ``target_w*target_h``
-    bytes (deterministic, real batch/memory shape); a real implementation
-    replaces the body with a PIL/opencv resample.
+    ``fake=False`` is REAL for PNG and baseline JPEG inputs: native
+    pixel decode (:func:`_decode_pixels`), area-weighted box resample
+    (prefix-sum box means — the standard thumbnail decimation), and a
+    minimal PNG re-encode (stdlib zlib) as the output payload.
+    ``fake=True`` keeps the deterministic truncate/pad stub.
     """
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
     size = target_w * target_h
@@ -675,10 +781,19 @@ def resize_images(
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv; not available in "
-                    "this container — pass fake=True for the stub"
+                out = []
+                for b in pdf["blob"]:
+                    px = _decode_pixels(bytes(b or b""))
+                    out.append(_encode_png(_box_resample(px, target_h, target_w)))
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "width": target_w,
+                        "height": target_h,
+                        "blob": out,
+                    }
                 )
+                continue
             out = [
                 (b or b"")[:size].ljust(size, b"\x00") for b in pdf["blob"]
             ]
@@ -694,41 +809,151 @@ def resize_images(
     return cols.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
 
 
+def _avi_video_frames(blob: bytes) -> list[tuple[int, bytes, bool]]:
+    """Parse a RIFF/AVI container → [(stream_frame_idx, frame_bytes,
+    is_keyframe)] for the video stream ('##dc'/'##db' chunks), pure
+    struct-level parsing. Prefers the ``idx1`` index chunk (random access
+    — the path a splittable reader would use), falling back to a
+    sequential walk of the ``movi`` list. Raises ``ValueError`` if the
+    payload is not an AVI."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+
+    def _is_video(ckid: bytes) -> bool:
+        return (
+            len(ckid) == 4
+            and ckid[:2].isdigit()
+            and ckid[2:4] in (b"dc", b"db")
+        )
+
+    # top-level chunk walk: locate LIST/movi and idx1
+    movi_pos = None  # position of the 'movi' fourcc
+    idx1 = None
+    pos = 12
+    while pos + 8 <= len(blob):
+        ckid = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if ckid == b"LIST" and blob[pos + 8 : pos + 12] == b"movi":
+            movi_pos = pos + 8
+        elif ckid == b"idx1":
+            idx1 = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    if movi_pos is None:
+        raise ValueError("AVI missing movi list")
+
+    frames: list[tuple[int, bytes, bool]] = []
+    if idx1:
+        fi = 0
+        for e in range(0, len(idx1) - 15, 16):
+            ckid, flags, off, sz = struct.unpack(
+                "<4sIII", idx1[e : e + 16]
+            )
+            if not _is_video(ckid):
+                continue
+            # offsets are movi-relative per spec, absolute in some
+            # writers: accept whichever lands on the entry's own ckid
+            for base in (movi_pos, 0):
+                at = base + off
+                if blob[at : at + 4] == ckid:
+                    frames.append(
+                        (fi, blob[at + 8 : at + 8 + sz], bool(flags & 0x10))
+                    )
+                    break
+            fi += 1
+    else:
+        pos = movi_pos + 4
+        fi = 0
+        while pos + 8 <= len(blob):
+            ckid = blob[pos : pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            if _is_video(ckid):
+                # no index → keyframe flags unknown; MJPEG is all-key
+                frames.append((fi, blob[pos + 8 : pos + 8 + ln], True))
+                fi += 1
+            pos += 8 + ln + (ln & 1)
+    return frames
+
+
 def sample_video_frames(
     df: DataFrame,
     blob_col: str = "blob",
     id_col: str = "id",
     frame_bytes: int = 4096,
     every_nth: int = 10,
+    fake: bool = False,
 ) -> DataFrame:
-    """blob → every ``every_nth`` fixed-size chunk as a pseudo-frame row
-    (id, frame_idx, frame, digest). Entirely JVM-side (sequence + explode
-    + substring + md5): a real keyframe extractor would replace the
-    chunking with an ffmpeg ``mapInPandas`` stage, but the fan-out,
-    sampling stride and per-frame schema are the production shape — an
-    hour of video becomes frame rows BEFORE any Python/decoder touches
-    the data."""
-    return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(blob_col).alias("blob"),
-            F.posexplode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length(blob_col).cast("int"), F.lit(1)),
-                    F.lit(frame_bytes * every_nth),
-                )
-            ).alias("frame_idx", "off"),
+    """blob → every ``every_nth`` keyframe as a row (id, frame_idx,
+    frame, digest, status).
+
+    ``fake=False`` is REAL for RIFF/AVI containers (struct-level chunk
+    walk, no ffmpeg): the ``idx1`` index is used for random access when
+    present (sequential ``movi`` walk otherwise), keyframes are sampled
+    on the ``every_nth`` stride, and each sampled frame's bytes + MD5
+    come out as a row — for MJPEG those bytes are baseline JPEG and feed
+    :func:`decode_jpeg` / :func:`decode_images` directly. Undecodable
+    rows yield one row with null frame and a ``status`` reason instead
+    of killing the batch. ``fake=True`` keeps the old deterministic
+    fixed-stride chunker (JVM-side), for payloads that are not real
+    containers.
+    """
+    if fake:
+        return (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(blob_col).alias("blob"),
+                F.posexplode(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length(blob_col).cast("int"), F.lit(1)),
+                        F.lit(frame_bytes * every_nth),
+                    )
+                ).alias("frame_idx", "off"),
+            )
+            .select(
+                "id",
+                "frame_idx",
+                F.substring(
+                    F.col("blob"), F.col("off"), F.lit(frame_bytes)
+                ).alias("frame"),
+            )
+            .withColumn("digest", F.md5(F.col("frame")))
+            .withColumn("status", F.lit("ok"))
         )
-        .select(
-            "id",
-            "frame_idx",
-            F.substring(F.col("blob"), F.col("off"), F.lit(frame_bytes)).alias(
-                "frame"
-            ),
-        )
-        .withColumn("digest", F.md5(F.col("frame")))
-    )
+
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    nth = max(1, int(every_nth))
+
+    def sample(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["blob"]):
+                b = bytes(b or b"")
+                try:
+                    frames = _avi_video_frames(b)
+                except ValueError as exc:
+                    rows.append(
+                        (i, 0, None, None, str(exc).replace(" ", "_"))
+                    )
+                    continue
+                keyframes = [f for f in frames if f[2]]
+                for fi, data, _key in keyframes[::nth]:
+                    rows.append(
+                        (i, fi, data, hashlib.md5(data).hexdigest(), "ok")
+                    )
+                if not keyframes:
+                    rows.append((i, 0, None, None, "no_video_frames"))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "frame_idx", "frame", "digest", "status"],
+            )
+
+    return cols.mapInPandas(sample, schema=VIDEO_FRAMES_SCHEMA)
 
 
 def extract_features(
@@ -740,27 +965,42 @@ def extract_features(
 ) -> DataFrame:
     """blob → (id, embedding: array<double>) feature vectors.
 
-    The stub derives a deterministic unit vector from the payload's MD5
-    (numpy, one RNG seed per row, vectorized batch stack); a real model
-    replaces the body with an ONNX/torch forward pass. Output feeds the
-    similarity operators (:mod:`reflexiv_spark.datapipe.similarity`)
-    directly — blob → embedding → ANN is the end-to-end multimodal path.
+    ``fake=False`` is REAL for PNG and baseline JPEG inputs: classical
+    pooled-intensity features — native pixel decode, grayscale, box
+    resample to a √dim × √dim grid, mean-centered and L2-normalized
+    (the pHash-style feature family; no learned model involved). A
+    learned (CLIP-style) embedding would replace the body with an
+    ONNX/torch forward pass — not available in this container.
+    ``fake=True`` derives a deterministic unit vector from the payload's
+    MD5. Both feed the similarity operators
+    (:mod:`reflexiv_spark.datapipe.similarity`) directly — blob →
+    embedding → ANN is the end-to-end multimodal path.
     """
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
-    schema = f"id bigint, embedding array<double>"
+    schema = "id bigint, embedding array<double>"
 
     def embed(batches: Iterator) -> Iterator:
         import hashlib
+        import math
 
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "feature extraction requires a vision/audio model; not "
-                    "available in this container — pass fake=True for the stub"
-                )
+                g = math.isqrt(dim)
+                vecs = []
+                for b in pdf["blob"]:
+                    px = _decode_pixels(bytes(b or b""))
+                    gray = px.astype(np.float64).mean(axis=2, keepdims=True)
+                    pooled = _box_resample(gray, g, g).astype(np.float64)
+                    v = pooled.reshape(-1)
+                    v = np.pad(v - v.mean(), (0, dim - g * g))
+                    n = np.linalg.norm(v)
+                    v = v / n if n > 0 else np.full(dim, dim**-0.5)
+                    vecs.append(v.tolist())
+                yield pd.DataFrame({"id": pdf["id"], "embedding": vecs})
+                continue
             vecs = []
             for b in pdf["blob"]:
                 seed = int.from_bytes(

@@ -15,6 +15,7 @@ from reflexiv_spark.datapipe.multimodal import (
     decode_jpeg,
     decode_png,
     sample_audio_frames,
+    sample_video_frames,
 )
 from tests.jpeg_encoder import encode_jpeg
 
@@ -168,6 +169,100 @@ def test_decode_images_real_rejects_unknown_format(spark):
     )
     with pytest.raises(Exception, match="PNG|JPEG|PIL"):
         decode_images(df, fake=False).collect()
+
+
+def test_resize_images_real_box_means(spark):
+    from reflexiv_spark.datapipe.multimodal import resize_images
+
+    # 8x8 gray PNG with known 4x4-block means → 2x2 resize must equal them
+    rng = np.random.RandomState(41)
+    px = rng.randint(0, 256, size=(8, 8, 1), dtype=np.uint8)
+    want = px.astype(float).reshape(2, 4, 2, 4).mean(axis=(1, 3))
+    jpg = encode_jpeg(np.full((8, 16), 99.0))  # JPEG input rides the same path
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(px))), (2, bytearray(jpg))],
+        "id long, blob binary",
+    )
+    out = {r.id: r for r in resize_images(df, 2, 2, fake=False).collect()}
+    got_w, got_h, got_ch, _ = decode_png(bytes(out[1].blob))
+    assert (got_w, got_h, got_ch) == (2, 2, 1)
+    from reflexiv_spark.datapipe.multimodal import _png_pixels
+
+    _, _, _, rpx = _png_pixels(bytes(out[1].blob))
+    assert np.abs(rpx[..., 0].astype(float) - want).max() <= 0.5
+    _, _, _, jr = _png_pixels(bytes(out[2].blob))
+    assert jr.shape == (2, 2, 1)
+    assert np.abs(jr.astype(float) - 99.0).max() <= 1.0
+
+
+def test_extract_features_real_pooled_intensity(spark):
+    from reflexiv_spark.datapipe.multimodal import extract_features
+
+    grad = np.tile(np.linspace(0, 255, 16)[None, :, None], (16, 1, 1)).astype(
+        np.uint8
+    )
+    flipped = grad[:, ::-1]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_encode_png(grad))),
+            (2, bytearray(_encode_png(np.ascontiguousarray(flipped)))),
+            (3, bytearray(_encode_png(grad))),
+        ],
+        "id long, blob binary",
+    )
+    feats = {r.id: np.array(r.embedding) for r in extract_features(df, fake=False).collect()}
+    assert all(len(v) == 64 for v in feats.values())
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-9 for v in feats.values())
+    assert np.allclose(feats[1], feats[3])  # deterministic
+    # mirrored gradient → anti-correlated pooled features
+    assert float(feats[1] @ feats[2]) < -0.9
+
+
+def _encode_avi(frames: list[bytes], with_index: bool = True) -> bytes:
+    """Minimal RIFF/AVI writer: LIST movi of 00dc chunks (+ optional
+    idx1 with movi-relative offsets, all frames flagged keyframes)."""
+    movi = b"movi"
+    offsets = []
+    for fr in frames:
+        offsets.append(len(movi))
+        movi += b"00dc" + struct.pack("<I", len(fr)) + fr + (b"\x00" if len(fr) % 2 else b"")
+    body = b"LIST" + struct.pack("<I", len(movi)) + movi
+    if with_index:
+        idx = b""
+        for off, fr in zip(offsets, frames):
+            idx += struct.pack("<4sIII", b"00dc", 0x10, off, len(fr))
+        body += b"idx1" + struct.pack("<I", len(idx)) + idx
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+@pytest.mark.parametrize("with_index", [True, False])
+def test_sample_video_frames_real_mjpeg_avi(spark, with_index):
+    """An MJPEG AVI's sampled keyframes are real baseline JPEGs that
+    chain straight into decode_jpeg."""
+    rng = np.random.RandomState(31)
+    means = [40.0, 120.0, 200.0, 80.0, 160.0]
+    frames = [
+        encode_jpeg(np.full((8, 8), m)) for m in means
+    ]
+    avi = _encode_avi(frames, with_index=with_index)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"\x00mp4" + b"x" * 50))],
+        "id long, blob binary",
+    )
+    rows = sample_video_frames(df, every_nth=2, fake=False).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    got = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 2, 4]  # every 2nd keyframe
+    for r, want in zip(got, [means[0], means[2], means[4]]):
+        assert r.status == "ok" and r.digest
+        w, h, ch, mean = decode_jpeg(bytes(r.frame))
+        assert (w, h, ch) == (8, 8, 1)
+        assert mean == pytest.approx(want, abs=0.5)
+    assert [(r.status, r.frame) for r in by_id[2]] == [
+        ("not_an_AVI_stream", None)
+    ]
 
 
 def test_sample_audio_frames_real_pcm16(spark):
