@@ -105,6 +105,41 @@ def test_rank_paths_drops_cycles_keeps_paths(spark):
     assert out == [lin]
 
 
+def test_rank_paths_packed_matches_string_path(spark):
+    """The 2-bit packed-long pointer representation (k ≤ 31) and the string
+    fallback produce identical anchored paths, including non-default
+    overlap; mixed-length / non-ACGT inputs auto-fall back and stay
+    correct."""
+    from reflexiv_spark.operators.extension import rank_paths
+
+    g = random_genome(700, seed=31)
+    k = 31
+    frags = [g[0:260], g[280:500], g[520:700]]
+    kmers = sorted({f[i : i + k] for f in frags for i in range(len(f) - k + 1)})
+    df = spark.createDataFrame(
+        [(km, i % 7 + 1) for i, km in enumerate(kmers)], ["kmer", "count"]
+    )
+    key = lambda rows: {(r["seq"], r["left_cover"], r["right_cover"]) for r in rows}
+    p = key(rank_paths(df, k, packed=True).collect())
+    s = key(rank_paths(df, k, packed=False).collect())
+    assert p == s and {x for x, _, _ in p} == set(frags)
+
+    # non-default overlap: adjacent rows share o=28 bases
+    po = key(rank_paths(df, k, overlap=28, packed=True).collect())
+    so = key(rank_paths(df, k, overlap=28, packed=False).collect())
+    assert po == so
+
+    # an N-containing k-mer defeats injective packing: auto-detect must
+    # fall back to strings and match the explicit string path (the N^k row
+    # itself is a self-loop — a cycle — and is dropped by both)
+    noisy = df.union(
+        spark.createDataFrame([("N" * k, 1)], ["kmer", "count"])
+    )
+    pn = key(rank_paths(noisy, k).collect())
+    sn = key(rank_paths(noisy, k, packed=False).collect())
+    assert pn == sn and {x for x, _, _ in pn} == set(frags)
+
+
 def test_assemble_from_counts_rank_matches_contract(spark):
     from reflexiv_spark.operators.counter import count_kmers
     from reflexiv_spark.pipelines.assemble import assemble_from_counts
