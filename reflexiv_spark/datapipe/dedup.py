@@ -221,9 +221,22 @@ def minhash_lsh_pairs(
     With ``hash_family="md5"`` the band key stays the raw comma-joined
     minima string (SQL ``string_agg`` equivalent) instead of re-hashing it,
     keeping the plan oracle-replayable end to end.
+
+    Candidate exchange is id-only (the engine's design rule — PLANS.md):
+    the band join and the (id1, id2) pair-dedup carry 8-byte ids, and the
+    two 64-long signatures are joined back by id only for the surviving
+    distinct pairs. On near-dup-heavy corpora (hot buckets emitting the
+    same pair from many bands) this keeps ~1 KB of signature payload out
+    of every duplicate candidate — the same fix that took the vector
+    LSH path from 87 s to 6.3 s at sf1.0.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, w, num_hashes, hash_family)
+    # materialized once: consumed by the band explode AND the two
+    # signature rejoins below (3 plan references otherwise recompute the
+    # shingle aggregation 3×)
+    sigs = minhash_signatures(
+        df, text_col, id_col, w, num_hashes, hash_family
+    ).localCheckpoint(eager=True)
 
     def band_key(b):
         key = F.concat_ws(
@@ -237,23 +250,20 @@ def minhash_lsh_pairs(
 
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(*[band_key(b) for b in range(bands)])
         ).alias("band_idx", "band_key"),
-    ).select("id", "sig", "band_idx", "band_key")
-    a = banded.select(
-        F.col("id").alias("id1"), F.col("sig").alias("sig1"), "band_idx", "band_key"
     )
-    b = banded.select(
-        F.col("id").alias("id2"), F.col("sig").alias("sig2"), "band_idx", "band_key"
-    )
+    a = banded.select(F.col("id").alias("id1"), "band_idx", "band_key")
+    b = banded.select(F.col("id").alias("id2"), "band_idx", "band_key")
     cands = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sig1", "sig2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
@@ -261,7 +271,9 @@ def minhash_lsh_pairs(
         )
     )
     return (
-        cands.select(
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
             "id1", "id2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
         )
         .where(F.col("est_jaccard") >= threshold)

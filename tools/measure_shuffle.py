@@ -49,6 +49,7 @@ def main():
 
     spark = (
         SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", "16g")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.retainedStages", "5000")
