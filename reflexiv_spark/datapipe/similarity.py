@@ -84,7 +84,8 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
+    target_block_rows: int = 50_000,
 ) -> DataFrame:
     """Exact embedding near-duplicate pairs: DataFrame[id1, id2, score]
     with id1 < id2 and rounded cosine ≥ threshold.
@@ -97,6 +98,14 @@ def cosine_dup_pairs(
     Per-pair work is a vectorized BLAS op instead of an interpreted
     zip_with/aggregate, ~10× faster and the standard shape for distributed
     brute-force similarity.
+
+    ``n_blocks=None`` (default) derives the block count from a count of
+    the input so each ``collect_list`` block row holds at most
+    ``target_block_rows`` vectors (~25 MB at dim=64) no matter how large
+    the corpus — a fixed block count would grow block rows linearly with
+    n toward the 2 GB row limit. The floor of 16 preserves grid
+    parallelism at small n. Total GEMM work is unchanged (the
+    block-pair grid covers every pair exactly once at any block count).
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -109,6 +118,10 @@ def cosine_dup_pairs(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
+    if n_blocks is None:
+        import math
+
+        n_blocks = max(16, math.ceil(v.count() / max(target_block_rows, 1)))
     tagged = v.withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(n_blocks)))
     blocks = tagged.groupBy("bid").agg(
         F.collect_list(F.struct("id", "vec")).alias("items")

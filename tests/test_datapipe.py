@@ -166,6 +166,29 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_cosine_dup_pairs_block_count_invariant(spark):
+    """Pair output is invariant to the block count, and the auto mode
+    derives n_blocks from corpus size so a single collect_list block row
+    stays bounded instead of growing linearly with n."""
+    import numpy as np
+
+    from reflexiv_spark.datapipe.similarity import cosine_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 8).astype("float64")
+    vecs = np.vstack([base, base[:5] + rng.randn(5, 8) * 1e-3])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    key = lambda rows: {(r.id1, r.id2, r.score) for r in rows}
+    fixed = key(cosine_dup_pairs(df, 0.99, n_blocks=16).collect())
+    many = key(cosine_dup_pairs(df, 0.99, n_blocks=29).collect())
+    # auto mode: 65 vectors at a 10-row target -> ceil(65/10)=7 < floor 16
+    auto = key(cosine_dup_pairs(df, 0.99, target_block_rows=10).collect())
+    assert fixed == many == auto
+    assert {(i, i + 60) for i in range(5)} <= {(a, b) for a, b, _ in fixed}
+
+
 def test_multimodal_resize_video_features(spark):
     from reflexiv_spark.datapipe.multimodal import (
         extract_features,
