@@ -67,6 +67,12 @@ HEADLINE = [
     # embedding near-dup dedup (LSH candidates + exact cosine verify —
     # the 100 TB path; the all-pairs GEMM baseline stays pytest-only)
     "embedding_dedup_gauss",
+    # skew stress: 10% of docs replaced by exact clones of one template,
+    # so one (band_idx, band_key) bucket holds the whole clone block —
+    # the hot-bucket worst case for LSH banding. Survives because the
+    # candidate exchange is id-only and AQE splits oversized partitions
+    # (tests/test_skew.py proves the split mechanism fires).
+    "skew_near_dup",
 ]
 
 
@@ -98,6 +104,23 @@ def _bench_only_queries():
             emb, threshold=0.3, exact=False, dim=64, n_planes=8, n_probes=2
         ).select("vec_id")
 
+    def skew_near_dup(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tmpl = F.repeat(F.lit("the quick brown fox jumps over the lazy dog "), 8)
+        skewed = docs.withColumn(
+            "text",
+            F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0, tmpl).otherwise(
+                F.col("text")
+            ),
+        )
+        return minhash_lsh_pairs(
+            skewed, w=8, num_hashes=64, bands=16, threshold=0.9
+        )
+
     def ann_ivf_adaptive(spark, sf_dir):
         from reflexiv_spark.datapipe.similarity import ivf_topk
 
@@ -109,6 +132,7 @@ def _bench_only_queries():
         "ann_lsh_gauss": ann_lsh_gauss,
         "embedding_dedup_gauss": embedding_dedup_gauss,
         "ann_ivf_adaptive": ann_ivf_adaptive,
+        "skew_near_dup": skew_near_dup,
     }
 
 

@@ -1,0 +1,90 @@
+"""Skew-stress proof (VERDICT r4 item 7): a deliberately hot-keyed corpus
+through the MinHash band join, asserting AQE's skew-join actually splits
+the hot partition (SURVEY §4 claims this comes for free — this test proves
+it) and that the split changes nothing about the answer.
+
+The corpus is the worst realistic case for LSH banding: a large block of
+EXACT text clones (distinct ids), so every clone lands in one
+(band_idx, band_key) bucket and that key holds 80% of one side's rows —
+pure input-byte partition skew, the thing AQE's OptimizeSkewedJoin is
+built to mitigate by splitting the oversized partition across tasks.
+Thresholds are lowered to make the mechanism fire at test scale
+(production defaults fire at 256 MB partitions); the mechanism is
+identical at 100 TB.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+SKEW_CONFS = {
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "512b",
+}
+
+
+@pytest.fixture
+def skew_confs(spark):
+    old = {}
+    for k, v in SKEW_CONFS.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_hot_band_join(spark, skew_confs):
+    from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+    rng = random.Random(5)
+    tmpl = "".join(rng.choice("abcdefgh ") for _ in range(200))
+    n_clones = 1600
+    rows = [(i, tmpl) for i in range(n_clones)] + [
+        (10_000 + i, "".join(rng.choice("abcdefghijklmnop ") for _ in range(200)))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("skewtest", "hot band join")
+    try:
+        pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=1, threshold=0.9)
+        cnt = pairs.groupBy().count()
+        # exact clones: every clone pair survives at est_jaccard 1.0, the
+        # random tail collides in none of the 16-row band
+        assert cnt.collect()[0][0] == n_clones * (n_clones - 1) // 2
+    finally:
+        sc.setJobGroup("", "")
+
+    # 1. the executed plan carries the skew split marker on the band join
+    plan = cnt._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan[:2000]
+
+    # 2. stage metrics: the hot partition became many task splits — some
+    # stage ran MORE tasks than the static shuffle partition count (4 in
+    # tests), i.e. no single task carried the whole hot key
+    st = sc.statusTracker()
+    n_tasks = []
+    for jid in st.getJobIdsForGroup("skewtest"):
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                n_tasks.append(sinfo.numTasks)
+    assert max(n_tasks) > 4, n_tasks
