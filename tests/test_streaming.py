@@ -103,6 +103,50 @@ def test_sessionize_batch(spark, tmp_path):
     assert per_user[2] == [1]
 
 
+def test_streaming_dedup_checkpoint_restart(spark, tmp_path):
+    """Stateful dedup survives a full query shutdown + restart: the state
+    store and source progress live in the checkpoint, so (1) already-read
+    files are not reprocessed, and (2) a key first seen BEFORE the restart
+    is still recognized as a duplicate AFTER it (VERDICT r4 stretch 8).
+
+    foreachBatch + parquet because the file sink rejects update mode;
+    this is the standard stateful-streaming sink shape.
+    """
+    src = tmp_path / "in3"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "out3")
+    _write_batch(src, "b1.json", ROWS1)
+
+    def start():
+        stream = stream_from_files(spark, str(src), SCHEMA)
+        deduped = streaming_dedup(stream, key_col="event_id")
+        return (
+            deduped.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    q1.awaitTermination(120)
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    # query is fully terminated; only the checkpoint remembers anything.
+    # batch 2 carries a NEW id (4) and a cross-restart duplicate (id 2).
+    _write_batch(src, "b2.json", ROWS2)
+    q2 = start()
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # no reprocessing of b1 (each id once) and the restarted state store
+    # suppressed the duplicate: id 2 keeps its original value
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
+    assert [r.value for r in rows if r.event_id == 2] == [2.0]
+
+
 def test_streaming_dedup_state_across_batches(spark, tmp_path):
     d = tmp_path / "in2"
     d.mkdir()
