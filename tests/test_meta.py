@@ -62,6 +62,66 @@ def test_meta_workdir_resume(spark, tmp_path):
     assert out1 == out2
 
 
+def test_meta_interrupted_mid_ladder_resumes_identically(spark, tmp_path, monkeypatch):
+    """The I4 resume drill (VERDICT r4 stretch 9): crash the ladder in the
+    MIDDLE of the k=31 round, re-invoke, and the resumed run must (a) skip
+    the completed k=21 barrier, (b) rebuild the interrupted round even
+    though a partial output directory exists, and (c) produce contigs
+    identical to an uninterrupted run."""
+    import pytest
+
+    import reflexiv_spark.pipelines.meta as meta_mod
+
+    genome = random_genome(4000, seed=41)
+    reads = simulate_reads(genome, read_len=100, coverage=18, seed=42)
+    df = spark.createDataFrame([(r,) for r in reads], "seq string")
+
+    # ground truth: uninterrupted run in its own workdir
+    wa = str(tmp_path / "meta_a")
+    golden = {r.seq for r in meta_assemble(
+        df, klist=(21, 31), min_contig=500, workdir=wa
+    ).collect()}
+
+    # interrupted run: the k=31 assemble dies mid-build
+    wb = str(tmp_path / "meta_b")
+    real_assemble = meta_mod.assemble_from_counts
+    calls = []
+
+    def dying_assemble(counts, k, **kw):
+        calls.append(k)
+        if k == 31:
+            raise RuntimeError("simulated executor loss mid-ladder")
+        return real_assemble(counts, k, **kw)
+
+    monkeypatch.setattr(meta_mod, "assemble_from_counts", dying_assemble)
+    with pytest.raises(RuntimeError, match="mid-ladder"):
+        meta_assemble(df, klist=(21, 31), min_contig=500, workdir=wb).collect()
+    assert stage_done(spark, f"{wb}/round_k21")
+    assert not stage_done(spark, f"{wb}/round_k31")
+
+    # leave a PARTIAL round_k31 directory (no _SUCCESS) like a real crash
+    # during the parquet write would
+    part = tmp_path / "meta_b" / "round_k31"
+    part.mkdir(exist_ok=True)
+    (part / "part-00000.parquet").write_bytes(b"garbage")
+
+    # resume: k21 must come from its barrier (no new k=21 build), the
+    # partial k31 output must be discarded and rebuilt
+    resume_calls = []
+
+    def counting_assemble(counts, k, **kw):
+        resume_calls.append(k)
+        return real_assemble(counts, k, **kw)
+
+    monkeypatch.setattr(meta_mod, "assemble_from_counts", counting_assemble)
+    resumed = {r.seq for r in meta_assemble(
+        df, klist=(21, 31), min_contig=500, workdir=wb
+    ).collect()}
+    assert resume_calls == [31]  # k=21 skipped, interrupted k=31 rebuilt
+    assert stage_done(spark, f"{wb}/round_k31")
+    assert resumed == golden and golden
+
+
 def test_write_csv_gzip(spark, tmp_path):
     path = str(tmp_path / "csv_out")
     write_csv(spark.range(5).toDF("x"), path, gzip=True)
