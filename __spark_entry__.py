@@ -228,14 +228,23 @@ def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     extend_to_convergence) — the same anchored maximal paths the
     recursive-CTE oracle walks; cycles have no head on either side.
     """
-    from reflexiv_spark.operators.counter import count_kmers
-    from reflexiv_spark.operators.extension import rank_paths
-    from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
+    from reflexiv_spark.operators.counter_packed import count_kmers_packed
+    from reflexiv_spark.operators.extension import rank_paths_packed
+    from reflexiv_spark.pipelines.assemble import (
+        expand_orientations_packed,
+        prune_forks_packed,
+    )
 
     k = 15
-    counts = count_kmers(_dna(spark, sf_dir), k, min_coverage=2)
-    pruned = prune_forks(expand_orientations(counts), k)
-    anchored = rank_paths(pruned.select("kmer", "count"), k)
+    # fully-packed route: counting, RC expansion, fork pruning, and every
+    # contraction round shuffle 2-bit bigint ids; bases decode exactly
+    # once at final path assembly (identical output to the string path —
+    # tests/test_extension.py::test_fully_packed_pipeline_matches_string_rank)
+    counts = count_kmers_packed(_dna(spark, sf_dir), k, min_coverage=2, decode=False)
+    pruned = prune_forks_packed(
+        expand_orientations_packed(counts.withColumnRenamed("packed", "kid"), k), k
+    )
+    anchored = rank_paths_packed(pruned.select("kid", "count"), k)
     return anchored.select(
         "seq",
         F.col("left_cover").cast("bigint").alias("left_cover"),

@@ -73,6 +73,50 @@ def _pack_batch(seqs, k: int) -> np.ndarray:
     return np.minimum(fwd, rc)[ok]
 
 
+def kmer_to_packed(col, k: int):
+    """A/C/G/T string of length ``k`` → 2-bit packed bigint, JVM-side.
+
+    ``conv(translate(kmer,'ACGT','0123'), 4, 10)`` — injective for
+    fixed-length pure-ACGT input, order-isomorphic to the string order
+    (the reference's encoding, ``ReflexivDataFrameCounter.java:513-525``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.translate(c, "ACGT", "0123"), 4, 10).cast("long")
+
+
+# bit-reversal masks for reversing 2-bit groups across a 64-bit word
+_M2 = 0x3333333333333333
+_M4 = 0x0F0F0F0F0F0F0F0F
+_M8 = 0x00FF00FF00FF00FF
+_M16 = 0x0000FFFF0000FFFF
+
+
+def revcomp_packed(col, k: int):
+    """Reverse complement of a packed k-mer — pure Catalyst bit ops (C3).
+
+    Complement is XOR with 2k ones (A=00↔T=11, C=01↔G=10); base-order
+    reversal is the classic mask-and-swap 2-bit-group reversal of the
+    full word, then a logical shift down by (64-2k). ~12 codegen'd
+    integer ops, no strings (reference does the same in Java:
+    ``ReflexivDSKmerLeftAndRightSorting.java:1569-1665``).
+    """
+    x = F.col(col) if isinstance(col, str) else col
+    x = x.bitwiseXOR(F.lit((1 << (2 * k)) - 1))
+    for mask, n in ((_M2, 2), (_M4, 4), (_M8, 8), (_M16, 16)):
+        x = F.shiftleft(x.bitwiseAND(F.lit(mask)), n).bitwiseOR(
+            F.shiftrightunsigned(x, n).bitwiseAND(F.lit(mask))
+        )
+    x = F.shiftleft(x, 32).bitwiseOR(F.shiftrightunsigned(x, 32))
+    return F.shiftrightunsigned(x, 64 - 2 * k)
+
+
+def canonical_packed(col, k: int):
+    """min(kmer, revcomp(kmer)) on packed values — equals the string
+    canonical pick because the 2-bit code is order-isomorphic (C2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.least(c, revcomp_packed(c, k))
+
+
 def packed_to_kmer(col, k: int):
     """bigint packed k-mer → A/C/G/T string, JVM-side.
 

@@ -199,16 +199,95 @@ def rank_paths(
         )
         packed = bad == 0
     if packed:
-        kid = F.conv(F.translate("kmer", "ACGT", "0123"), 4, 10).cast("long")
-        km = km.select("kmer", "count", kid.alias("__kid"))
-        pre_key = F.shiftright("__kid", 2 * (k - o))
-        suc_key = F.col("__kid").bitwiseAND(F.lit((1 << (2 * o)) - 1))
-    else:
-        km = km.withColumn("__kid", F.col("kmer"))
-        pre_key = prefix_subkmer("__kid", o + 1)
-        suc_key = suffix_subkmer("__kid", o + 1)
-    pre = km.select(F.col("__kid").alias("kid"), pre_key.alias("__pk"))
-    suc = km.select(F.col("__kid").alias("__pred"), suc_key.alias("__pk"))
+        from reflexiv_spark.operators.counter_packed import kmer_to_packed
+
+        return rank_paths_packed(
+            km.select(kmer_to_packed("kmer", k).alias("kid"), "count"),
+            k,
+            max_rounds=max_rounds,
+            overlap=overlap,
+            checkpoint_every=checkpoint_every,
+        )
+
+    pre = km.select(
+        F.col("kmer").alias("kid"), prefix_subkmer("kmer", o + 1).alias("__pk")
+    )
+    suc = km.select(
+        F.col("kmer").alias("__pred"), suffix_subkmer("kmer", o + 1).alias("__pk")
+    )
+    state, heads = _init_pointers(pre, suc)
+    state = _double_pointers(state, max_rounds, checkpoint_every)
+    done = state.join(heads, "anc", "left_semi")
+    km_j = km.select(F.col("kmer").alias("kid"), "kmer", "count")
+    parts = done.join(km_j, "kid").groupBy("anc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("off", "kmer", "count"))
+        ).alias("xs")
+    )
+    rest_bases = F.array_join(
+        F.transform(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            lambda x: x["kmer"].substr(F.lit(o + 1), F.length(x["kmer"])),
+        ),
+        "",
+    )
+    return _assemble_tail(parts, F.col("xs").getItem(0)["kmer"], rest_bases)
+
+
+def rank_paths_packed(
+    packed_counts: DataFrame,
+    k: int,
+    max_rounds: int = 40,
+    overlap: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """:func:`rank_paths` over ALREADY-PACKED 2-bit bigint k-mer ids —
+    DataFrame[kid: bigint, count] as produced by
+    :func:`reflexiv_spark.operators.counter_packed.count_kmers_packed`
+    with ``decode=False``.
+
+    End-to-end string-free: prefix/suffix join keys are shift/mask ops,
+    every pointer round exchanges three longs per row, and bases are
+    decoded exactly once per surviving path segment at final assembly
+    (``conv``+``translate``, JVM-side). This is the 100 TB representation
+    the reference carries through its whole pipeline
+    (``ReflexivDataFrameCounter.java:513-525``).
+    """
+    o = (k - 1) if overlap is None else overlap
+    km = packed_counts.select("kid", F.col("count").cast("int").alias("count"))
+    pre = km.select("kid", F.shiftrightunsigned("kid", 2 * (k - o)).alias("__pk"))
+    suc = km.select(
+        F.col("kid").alias("__pred"),
+        F.col("kid").bitwiseAND(F.lit((1 << (2 * o)) - 1)).alias("__pk"),
+    )
+    state, heads = _init_pointers(pre, suc)
+    state = _double_pointers(state, max_rounds, checkpoint_every)
+    done = state.join(heads, "anc", "left_semi")
+    parts = done.join(km, "kid").groupBy("anc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("off", "kid", "count"))
+        ).alias("xs")
+    )
+    from reflexiv_spark.operators.counter_packed import packed_to_kmer
+
+    low_mask = F.lit((1 << (2 * (k - o))) - 1)
+    rest_bases = F.array_join(
+        F.transform(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            lambda x: packed_to_kmer(x["kid"].bitwiseAND(low_mask), k - o),
+        ),
+        "",
+    )
+    return _assemble_tail(
+        parts, packed_to_kmer(F.col("xs").getItem(0)["kid"], k), rest_bases
+    )
+
+
+def _init_pointers(pre: DataFrame, suc: DataFrame):
+    """(state, heads) for the doubling loop: each k-mer points at its
+    unique predecessor (fork-free input) or itself when it is a path head.
+    A self-loop k-mer has anc == itself but off == 1, so it is NOT a head
+    and correctly never converges."""
     state = (
         pre.join(suc, "__pk", "left")
         .select(
@@ -221,15 +300,21 @@ def rank_paths(
         )
         .localCheckpoint(eager=True)
     )
-    # heads: true in-degree-0 starts (a self-loop k-mer has anc == itself
-    # but off == 1, so it is NOT a head and correctly never converges)
     heads = state.where(F.col("off") == 0).select(F.col("kid").alias("anc"))
+    return state, heads
 
-    # Rounds are bounded by ceil(log2(n)): after that many doublings every
-    # head-reachable pointer has converged (path length ≤ n), so surviving
-    # CYCLES — whose members keep moving forever unless their length is a
-    # power of two — cannot pin the loop at max_rounds. state is already
-    # materialized by the eager checkpoint, so this count is a cheap scan.
+
+def _double_pointers(
+    state: DataFrame, max_rounds: int, checkpoint_every: int
+) -> DataFrame:
+    """Pointer-doubling rounds over DataFrame[kid, anc, off].
+
+    Rounds are bounded by ceil(log2(n)): after that many doublings every
+    head-reachable pointer has converged (path length ≤ n), so surviving
+    CYCLES — whose members keep moving forever unless their length is a
+    power of two — cannot pin the loop at max_rounds. state is already
+    materialized by the eager checkpoint, so the count is a cheap scan.
+    """
     n_rows = state.count()
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
 
@@ -251,30 +336,19 @@ def rank_paths(
         if r % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         # converged when no pointer moved; cycle members keep moving and
-        # are dropped by the head semi-join below when max_rounds is hit
+        # are dropped by the head semi-join when max_rounds is hit
         moved = nxt.where(F.col("__moved")).limit(1).count()
         state = nxt.drop("__moved")
         if moved == 0:
             break
+    return state
 
-    done = state.join(heads, "anc", "left_semi")
-    km_j = km.select(F.col("__kid").alias("kid"), "kmer", "count")
-    parts = done.join(km_j, "kid").groupBy("anc").agg(
-        F.array_sort(
-            F.collect_list(F.struct("off", "kmer", "count"))
-        ).alias("xs")
-    )
+
+def _assemble_tail(parts: DataFrame, first_bases, rest_bases) -> DataFrame:
     first = F.col("xs").getItem(0)
     last = F.element_at("xs", -1)
-    rest_bases = F.array_join(
-        F.transform(
-            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-            lambda x: x["kmer"].substr(F.lit(o + 1), F.length(x["kmer"])),
-        ),
-        "",
-    )
     return parts.select(
-        F.concat(first["kmer"], rest_bases).alias("seq"),
+        F.concat(first_bases, rest_bases).alias("seq"),
         first["count"].cast("int").alias("left_cover"),
         last["count"].cast("int").alias("right_cover"),
     )

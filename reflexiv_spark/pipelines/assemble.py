@@ -48,6 +48,42 @@ def expand_orientations(kmer_counts: DataFrame) -> DataFrame:
     return fwd.unionByName(rc).dropDuplicates(["kmer"])
 
 
+def expand_orientations_packed(packed_counts: DataFrame, k: int) -> DataFrame:
+    """Step 2 over 2-bit packed bigint ids (DataFrame[kid, count]) — the
+    RC is ~12 codegen'd integer ops instead of a string
+    reverse+translate, and the palindrome dedup shuffles 8-byte longs."""
+    from reflexiv_spark.operators.counter_packed import revcomp_packed
+
+    fwd = packed_counts
+    rc = packed_counts.select(
+        revcomp_packed("kid", k).alias("kid"), F.col("count")
+    )
+    return fwd.unionByName(rc).dropDuplicates(["kid"])
+
+
+def prune_forks_packed(
+    packed: DataFrame, k: int, min_error_coverage: int | None = None
+) -> DataFrame:
+    """W1+W2 over packed ids: the forward sub-k-mer is ``kid >> 2`` and
+    the reflected one ``kid & (4^(k-1)-1)`` — both window shuffles carry
+    (long, long, int) rows. Tie-breaks on ``kid`` equal the string path's
+    ``kmer`` ties (the 2-bit code is order-isomorphic to A<C<G<T)."""
+    with_keys = packed.withColumn(
+        "fwd_key", F.shiftrightunsigned("kid", 2)
+    ).withColumn(
+        "refl_key", F.col("kid").bitwiseAND(F.lit((1 << (2 * (k - 1))) - 1))
+    )
+    pruned = filter_forks(
+        with_keys, "fwd_key", cover_col="count", tie_cols=("kid",),
+        min_winner_cover=min_error_coverage,
+    )
+    pruned = filter_forks(
+        pruned, "refl_key", cover_col="count", tie_cols=("kid",),
+        min_winner_cover=min_error_coverage,
+    )
+    return pruned.drop("fwd_key", "refl_key")
+
+
 def prune_forks(
     kmers: DataFrame, k: int, min_error_coverage: int | None = None
 ) -> DataFrame:
@@ -106,6 +142,10 @@ def assemble_from_counts(
         contracted = extend_to_convergence(paths, k, max_iterations=max_iterations)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    return _finalize_contigs(contracted, min_contig)
+
+
+def _finalize_contigs(contracted: DataFrame, min_contig: int) -> DataFrame:
     contigs = (
         contracted.where(F.length("seq") >= min_contig)
         # Both strands were assembled; canonicalize and keep one.
@@ -131,6 +171,31 @@ def assemble_from_counts(
         "left_cover",
         "right_cover",
     )
+
+
+def assemble_from_packed_counts(
+    packed_counts: DataFrame,
+    k: int,
+    min_contig: int = DEFAULT_MIN_CONTIG,
+    max_iterations: int = 150,
+    min_error_coverage: int | None = None,
+) -> DataFrame:
+    """The fully-packed rank pipeline: DataFrame[kid: bigint, count] (from
+    ``count_kmers_packed(decode=False)``) → contigs, with every shuffle
+    from counting through the contraction loop carrying 2-bit bigint ids —
+    no k-mer strings anywhere until the one decode at final path assembly.
+    Anchored-path (``algorithm="rank"``) semantics; identical output to
+    the string pipeline (tests/test_extension.py proves equality)."""
+    from reflexiv_spark.operators.extension import rank_paths_packed
+
+    kid_col = "kid" if "kid" in packed_counts.columns else "packed"
+    packed_counts = packed_counts.select(F.col(kid_col).alias("kid"), "count")
+    expanded = expand_orientations_packed(packed_counts, k)
+    pruned = prune_forks_packed(expanded, k, min_error_coverage=min_error_coverage)
+    contracted = rank_paths_packed(
+        pruned.select("kid", "count"), k, max_rounds=max_iterations
+    )
+    return _finalize_contigs(contracted, min_contig)
 
 
 def assemble(

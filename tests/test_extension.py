@@ -140,6 +140,78 @@ def test_rank_paths_packed_matches_string_path(spark):
     assert pn == sn and {x for x, _, _ in pn} == set(frags)
 
 
+def test_packed_revcomp_and_canonical_match_string_kernels(spark):
+    """Catalyst bit-twiddled RC / canonical over packed bigints equal the
+    string kernels for random k-mers across every k ≤ 31."""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.functions.kmer import canonical_kmer, reverse_complement
+    from reflexiv_spark.operators.counter_packed import (
+        canonical_packed,
+        kmer_to_packed,
+        packed_to_kmer,
+        revcomp_packed,
+    )
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        ("".join(rng.choice("ACGT") for _ in range(k)), k)
+        for k in range(1, 32)
+        for _ in range(8)
+    ]
+    for k in (1, 5, 16, 31):
+        sub = [(s,) for s, kk in rows if kk == k]
+        df = spark.createDataFrame(sub, "kmer string")
+        got = df.select(
+            "kmer",
+            packed_to_kmer(revcomp_packed(kmer_to_packed("kmer", k), k), k).alias("rc_p"),
+            reverse_complement("kmer").alias("rc_s"),
+            packed_to_kmer(canonical_packed(kmer_to_packed("kmer", k), k), k).alias("can_p"),
+            canonical_kmer("kmer").alias("can_s"),
+        ).collect()
+        for r in got:
+            assert r["rc_p"] == r["rc_s"], (k, r)
+            assert r["can_p"] == r["can_s"], (k, r)
+    # round-trip identity
+    df = spark.createDataFrame([(s,) for s, kk in rows if kk == 31], "kmer string")
+    rt = df.select(
+        "kmer", packed_to_kmer(kmer_to_packed("kmer", 31), 31).alias("rt")
+    ).collect()
+    assert all(r["kmer"] == r["rt"] for r in rt)
+
+
+def test_fully_packed_pipeline_matches_string_rank(spark):
+    """count→expand→prune→rank entirely over packed bigints produces the
+    same contigs as the string pipeline (anchored-path semantics)."""
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.counter_packed import count_kmers_packed
+    from reflexiv_spark.pipelines.assemble import (
+        assemble_from_counts,
+        assemble_from_packed_counts,
+    )
+
+    g = random_genome(1200, seed=51)
+    reads = simulate_reads(g, read_len=90, coverage=14, seed=52)
+    df = spark.createDataFrame([(r,) for r in reads], ["seq"])
+    k = 21
+    s = {
+        (r["seq"], r["left_cover"], r["right_cover"])
+        for r in assemble_from_counts(
+            count_kmers(df, k, min_coverage=2),
+            k, min_contig=100, min_error_coverage=8, algorithm="rank",
+        ).collect()
+    }
+    p = {
+        (r["seq"], r["left_cover"], r["right_cover"])
+        for r in assemble_from_packed_counts(
+            count_kmers_packed(df, k, min_coverage=2, decode=False),
+            k, min_contig=100, min_error_coverage=8,
+        ).collect()
+    }
+    assert p == s and p
+
+
 def test_assemble_from_counts_rank_matches_contract(spark):
     from reflexiv_spark.operators.counter import count_kmers
     from reflexiv_spark.pipelines.assemble import assemble_from_counts

@@ -40,11 +40,17 @@ def _totals(ui: str):
 
 
 def main():
-    from pyspark.sql import SparkSession
+    from pyspark.sql import SparkSession, functions as F
 
     from reflexiv_spark.operators.counter import count_kmers
-    from reflexiv_spark.operators.extension import rank_paths
-    from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
+    from reflexiv_spark.operators.counter_packed import count_kmers_packed
+    from reflexiv_spark.operators.extension import rank_paths, rank_paths_packed
+    from reflexiv_spark.pipelines.assemble import (
+        expand_orientations,
+        expand_orientations_packed,
+        prune_forks,
+        prune_forks_packed,
+    )
     from __spark_entry__ import _dna
 
     spark = (
@@ -57,20 +63,42 @@ def main():
     )
     ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[1]}"
     k = 15
-    counts = count_kmers(_dna(spark, SF_DIR), k, min_coverage=2)
-    pruned = (
-        prune_forks(expand_orientations(counts), k)
-        .select("kmer", "count")
-        .localCheckpoint(eager=True)
-    )
-    n = pruned.count()
+    dna = _dna(spark, SF_DIR).localCheckpoint(eager=True)
+    n = dna.count()
+
+    def string_pipeline():
+        counts = count_kmers(dna, k, min_coverage=2)
+        pruned = prune_forks(expand_orientations(counts), k)
+        return rank_paths(pruned.select("kmer", "count"), k, packed=False)
+
+    def loop_packed():
+        # strings up to the loop; rank_paths auto-packs internally
+        counts = count_kmers(dna, k, min_coverage=2)
+        pruned = prune_forks(expand_orientations(counts), k)
+        return rank_paths(pruned.select("kmer", "count"), k, packed=True)
+
+    def fully_packed():
+        counts = count_kmers_packed(dna, k, min_coverage=2, decode=False)
+        pruned = prune_forks_packed(
+            expand_orientations_packed(
+                counts.withColumnRenamed("packed", "kid"), k
+            ),
+            k,
+        )
+        return rank_paths_packed(pruned.select("kid", "count"), k)
+
+    variants = {
+        "string": string_pipeline,
+        "loop_packed": loop_packed,
+        "fully_packed": fully_packed,
+    }
     out = {}
     # alternate order, keep the best-of-2 wall clock (JIT/warmup fairness)
-    for label, packed in (("string", False), ("packed", True),
-                          ("packed", True), ("string", False)):
+    order = list(variants) + list(reversed(list(variants)))
+    for label in order:
         w0, r0, _ = _totals(ui)
         t0 = time.time()
-        rows = rank_paths(pruned, k, packed=packed).count()
+        rows = variants[label]().count()
         dt = time.time() - t0
         time.sleep(2)  # let the UI ingest the final stage metrics
         w1, r1, _ = _totals(ui)
@@ -82,9 +110,11 @@ def main():
         }
         if label not in out or cur["sec"] < out[label]["sec"]:
             out[label] = cur
-    out["input_kmers"] = n
-    out["write_ratio"] = round(
-        out["string"]["shuffle_write_mb"] / max(out["packed"]["shuffle_write_mb"], 0.01), 2
+    out["input_rows"] = n
+    out["write_ratio_full"] = round(
+        out["string"]["shuffle_write_mb"]
+        / max(out["fully_packed"]["shuffle_write_mb"], 0.01),
+        2,
     )
     print(json.dumps(out))
 
