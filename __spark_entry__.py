@@ -553,6 +553,32 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe capstone: the composed training-data cleaning pipeline —
+    quality/language scoring → threshold filters → exact dedup → MinHash
+    near-dup dedup, all among survivors (stage order is the contract;
+    see ``reflexiv_spark.datapipe.pipeline``). The md5 family makes the
+    whole composition bit-replayable by one CTE-chained SQL oracle."""
+    from reflexiv_spark.datapipe.pipeline import clean_corpus
+
+    out = clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        min_quality=0.6,
+        langs=("en",),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
+        hash_family="md5",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality",
+        "pred_lang",
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: winnowing-style min-MD5 shingle fingerprint."""
     from reflexiv_spark.datapipe.text import doc_fingerprint
@@ -943,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "clean_corpus": q_clean_corpus,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1271,6 +1298,58 @@ def oracle_sql() -> dict[str, str]:
             " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
             " + (1.0 - n_punct / n_chars) * 0.2"
             " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality FROM c"
+        ),
+        "clean_corpus": (
+            # CTE chain replaying the composed pipeline end to end:
+            # score → filter → exact dedup → md5 MinHash near-dup dedup
+            "WITH c AS (SELECT doc_id, text, greatest(length(text), 1) AS n_chars,"
+            r" length(regexp_extract_all(text, '\S+')) AS n_tokens,"
+            r" length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that)\b')) AS stop_hits,"
+            r" length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,"
+            " length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,"
+            r" length(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS s_de,"
+            r" length(regexp_extract_all(lower(text), '\b(le|les|une|est|et|dans|que)\b')) AS s_fr,"
+            r" length(regexp_extract_all(lower(text), '\b(el|los|una|es|y|en|que)\b')) AS s_es"
+            " FROM documents), "
+            "q AS (SELECT doc_id, text, n_tokens,"
+            " round(least(1.0, n_tokens / 50.0) * 0.3"
+            " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
+            " + (1.0 - n_punct / n_chars) * 0.2"
+            " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality,"
+            " CASE WHEN stop_hits >= s_de AND stop_hits >= s_fr"
+            " AND stop_hits >= s_es THEN 'en'"
+            " WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'"
+            " WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang FROM c), "
+            "kept AS (SELECT * FROM q WHERE n_tokens >= 20"
+            " AND n_tokens <= 100000 AND quality >= 0.6"
+            " AND pred_lang = 'en'), "
+            "ex AS (SELECT doc_id, text, n_tokens, quality, pred_lang FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY"
+            r" regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+            " ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1), "
+            "sh AS (SELECT DISTINCT doc_id AS id, "
+            + _sql_md5l("substr(text, CAST(i AS INT), 8)")
+            + " AS h FROM ex,"
+            " unnest(generate_series(1, length(text) - 7)) AS t(i)"
+            " WHERE length(text) >= 8), "
+            "mins AS (SELECT id, CAST(j AS INT) AS j, min("
+            + _sql_md5l("CAST(h AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+            + ") AS m FROM sh, unnest(generate_series(0, 31)) AS u(j)"
+            " GROUP BY 1, 2), "
+            "bnd AS (SELECT id, j // 4 AS band_idx,"
+            " string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key"
+            " FROM mins GROUP BY 1, 2), "
+            "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bnd a"
+            " JOIN bnd b ON a.band_idx = b.band_idx"
+            " AND a.band_key = b.band_key AND a.id < b.id), "
+            "ag AS (SELECT c.id1, c.id2,"
+            " sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS est"
+            " FROM cand c JOIN mins ma ON ma.id = c.id1"
+            " JOIN mins mb ON mb.id = c.id2 AND mb.j = ma.j GROUP BY 1, 2), "
+            "dropped AS (SELECT DISTINCT id2 FROM ag"
+            " WHERE round(est, 6) >= 0.5) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,"
+            " pred_lang FROM ex WHERE doc_id NOT IN (SELECT id2 FROM dropped)"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, list_aggregate(list_transform("

@@ -1,0 +1,83 @@
+"""Composed corpus-cleaning pipeline — the end-to-end shape of a
+training-data preparation job, built from the engine's own primitives:
+
+1. quality + language scoring (shuffle-free Catalyst expressions —
+   :mod:`reflexiv_spark.datapipe.text`),
+2. threshold filters (tokens band, quality floor, language allowlist),
+3. exact dedup (one hash shuffle on normalized text, smallest id wins),
+4. MinHash/LSH near-dup dedup among the survivors (banded candidate
+   join, id-only candidate exchange).
+
+Stage order is part of the contract: filters run FIRST so dedup
+tie-breaks are decided among surviving rows only (dropping a low-quality
+copy must not also delete its high-quality near-duplicate), and exact
+dedup runs before MinHash so clone blocks never reach the band join (the
+hot-bucket worst case — see tests/test_skew.py).
+
+Every stage is deterministic and ANSI-SQL-expressible, so the whole
+composition has a DuckDB oracle (``clean_corpus`` in
+``__spark_entry__.oracle_sql()``) replaying it end to end with the md5
+hash family; production runs xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.dedup import exact_dedup, minhash_dedup
+from reflexiv_spark.datapipe.text import language_id, quality_score
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.6,
+    langs: tuple[str, ...] | None = ("en",),
+    near_dup: bool = True,
+    w: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """documents → cleaned corpus: DataFrame[id, n_tokens, quality,
+    pred_lang] of rows that pass the quality/language filters and survive
+    exact + near-duplicate deduplication.
+
+    100 TB shape: scoring is embarrassingly parallel (zero shuffle); the
+    filters prune before anything shuffles; exact dedup is one hash
+    exchange of surviving rows; MinHash adds one shingle aggregation and
+    a banded id-only candidate join. Nothing is all-pairs.
+    """
+    qual = quality_score(docs, text_col, id_col)
+    lang = language_id(docs, text_col, id_col).select(id_col, "pred_lang")
+    scored = (
+        docs.select(id_col, text_col)
+        .join(qual, id_col)
+        .join(lang, id_col)
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality") >= min_quality)
+    )
+    if langs is not None:
+        kept = kept.where(F.col("pred_lang").isin(*langs))
+
+    deduped = exact_dedup(kept, text_col, id_col)
+    if near_dup:
+        deduped = minhash_dedup(
+            deduped,
+            text_col,
+            id_col,
+            w=w,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+            hash_family=hash_family,
+        )
+    return deduped.select(id_col, "n_tokens", "quality", "pred_lang")

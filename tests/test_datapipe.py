@@ -166,6 +166,43 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_clean_corpus_composed_pipeline(spark):
+    """Planted cases through the composed cleaning pipeline: the
+    low-quality doc and the short doc fall to the filters, the exact
+    clone and the near-duplicate fall to dedup, and the survivors carry
+    their scores."""
+    from reflexiv_spark.datapipe.pipeline import clean_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "story of the morning in the field where everything is calm "
+        "and the day begins slowly with light in the trees"
+    )
+    rows = [
+        (1, base),
+        (2, base),                                # exact clone of 1 -> dropped
+        (3, base + " with one extra tail here"),  # near-dup of 1 -> dropped
+        (4, "too short"),                         # < min_tokens -> dropped
+        (5, "1234 5678 9012 3456 7890 " * 8),     # digit soup -> low quality
+        (6, "a completely different document about the sea and the wind "
+            "that is long enough to pass the token floor and the "
+            "quality gate because it is made of the usual words and "
+            "of the plain sentences that the filter is looking for"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_corpus(df, min_tokens=10).collect()}
+    assert set(out) == {1, 6}
+    assert out[1].pred_lang == "en" and out[1].quality >= 0.6
+    assert out[1].n_tokens == len(base.split())
+
+    # near-dup stage off: doc 3 survives, the exact clone still falls
+    keep_near = {
+        r.doc_id
+        for r in clean_corpus(df, min_tokens=10, near_dup=False).collect()
+    }
+    assert keep_near == {1, 3, 6}
+
+
 def test_cosine_dup_pairs_block_count_invariant(spark):
     """Pair output is invariant to the block count, and the auto mode
     derives n_blocks from corpus size so a single collect_list block row
