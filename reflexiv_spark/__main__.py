@@ -140,6 +140,18 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("--text-col", default="text")
     ts.add_argument("--id-col", default="doc_id")
 
+    tc = add("text-clean", help="datapipe: composed cleaning pipeline "
+             "(score -> filter -> exact dedup -> near-dup dedup)")
+    tc.add_argument("--text-col", default="text")
+    tc.add_argument("--id-col", default="doc_id")
+    tc.add_argument("--min-tokens", type=int, default=20)
+    tc.add_argument("--max-tokens", type=int, default=100_000)
+    tc.add_argument("--min-quality", type=float, default=0.6)
+    tc.add_argument("--langs", default="en",
+                    help="comma-separated allowlist; 'any' disables")
+    tc.add_argument("--no-near", action="store_true",
+                    help="skip the MinHash near-dup stage")
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -304,6 +316,21 @@ def main(argv: list[str] | None = None) -> int:
             args.output,
             args.outformat,
         )
+    elif args.cmd == "text-clean":
+        from reflexiv_spark.datapipe.pipeline import clean_corpus
+
+        df = spark.read.parquet(args.input)
+        out = clean_corpus(
+            df,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            min_quality=args.min_quality,
+            langs=None if args.langs == "any" else tuple(args.langs.split(",")),
+            near_dup=not args.no_near,
+        )
+        _write(out, args.output, args.outformat)
     return 0
 
 

@@ -105,3 +105,21 @@ def test_cli_preprocess_fasta_output(spark, tmp_path):
     back = read_fasta(spark, str(out)).collect()
     assert back and all(r.id.startswith("read-") for r in back)
     assert all(r.seq in g or revcomp(r.seq) in g for r in back)
+
+
+def test_cli_text_clean(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "story of the morning in the field where everything is calm "
+        "and the day begins slowly with light in the trees"
+    )
+    rows = [(1, base), (2, base), (3, "too short")]
+    inp = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(inp))
+    out = tmp_path / "cleaned"
+    assert main([
+        "text-clean", "-i", str(inp), "-o", str(out), "--min-tokens", "10",
+    ]) == 0
+    got = spark.read.parquet(str(out)).collect()
+    assert [r.doc_id for r in got] == [1]  # clone and short doc dropped
+    assert got[0].pred_lang == "en" and got[0].quality >= 0.6
