@@ -209,6 +209,10 @@ def rank_paths(
             checkpoint_every=checkpoint_every,
         )
 
+    # consumed three times (pre, suc, final decode join): a lazy local
+    # checkpoint materializes the upstream once instead of re-running it
+    # for the endgame join
+    km = km.localCheckpoint(eager=False)
     pre = km.select(
         F.col("kmer").alias("kid"), prefix_subkmer("kmer", o + 1).alias("__pk")
     )
@@ -254,7 +258,9 @@ def rank_paths_packed(
     (``ReflexivDataFrameCounter.java:513-525``).
     """
     o = (k - 1) if overlap is None else overlap
-    km = packed_counts.select("kid", F.col("count").cast("int").alias("count"))
+    km = packed_counts.select(
+        "kid", F.col("count").cast("int").alias("count")
+    ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
     pre = km.select("kid", F.shiftrightunsigned("kid", 2 * (k - o)).alias("__pk"))
     suc = km.select(
         F.col("kid").alias("__pred"),
