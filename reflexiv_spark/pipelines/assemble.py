@@ -208,19 +208,38 @@ def assemble(
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
     packed: bool = False,
+    algorithm: str = "contract",
 ) -> DataFrame:
     """reads[seq] → contigs — the full ``reflexiv run`` equivalent.
 
     ``min_error_coverage`` defaults to 4× ``min_coverage`` like the
     reference (``DefaultParam.java:106``); pass 0/None semantics via an
     explicit value to disable. ``packed=True`` uses the 2-bit fast-path
-    counter (k ≤ 31; ~3× counting throughput, identical counts).
+    counter (k ≤ 31; ~3× counting throughput, identical counts); with
+    ``algorithm="rank"`` the packed ids flow straight through expansion,
+    pruning, and the contraction loop with no string decode until final
+    assembly (:func:`assemble_from_packed_counts`).
     """
     if min_error_coverage is None:
         min_error_coverage = 4 * min_coverage
     if packed:
         from reflexiv_spark.operators.counter_packed import count_kmers_packed
 
+        if algorithm == "rank":
+            return assemble_from_packed_counts(
+                count_kmers_packed(
+                    reads,
+                    k,
+                    seq_col=seq_col,
+                    min_coverage=min_coverage,
+                    max_coverage=max_coverage,
+                    decode=False,
+                ),
+                k,
+                min_contig=min_contig,
+                max_iterations=max_iterations,
+                min_error_coverage=min_error_coverage,
+            )
         counts = count_kmers_packed(
             reads,
             k,
@@ -242,4 +261,5 @@ def assemble(
         min_contig=min_contig,
         max_iterations=max_iterations,
         min_error_coverage=min_error_coverage,
+        algorithm=algorithm,
     )

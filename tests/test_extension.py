@@ -212,6 +212,23 @@ def test_fully_packed_pipeline_matches_string_rank(spark):
     assert p == s and p
 
 
+def test_assemble_packed_rank_end_to_end(spark):
+    """assemble(packed=True, algorithm='rank') — the string-free front
+    door — recovers the genome like the default path."""
+    from reflexiv_spark.pipelines.assemble import assemble
+
+    g = random_genome(1500, seed=71)
+    reads = simulate_reads(g, read_len=100, coverage=15, seed=72)
+    df = spark.createDataFrame([(r,) for r in reads], ["seq"])
+    contigs = assemble(
+        df, k=21, min_coverage=2, min_contig=400, packed=True, algorithm="rank"
+    ).collect()
+    assert contigs
+    longest = max((r["seq"] for r in contigs), key=len)
+    assert len(longest) >= 0.9 * len(g)
+    assert longest in g or revcomp(longest) in g
+
+
 def test_assemble_from_counts_rank_matches_contract(spark):
     from reflexiv_spark.operators.counter import count_kmers
     from reflexiv_spark.pipelines.assemble import assemble_from_counts
