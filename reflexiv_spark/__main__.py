@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--min-contig", type=int, default=500)
     r.add_argument("--packed", action="store_true",
                    help="2-bit packed counting fast path (k <= 31)")
+    r.add_argument("--algorithm", choices=("contract", "rank"),
+                   default="contract",
+                   help="contraction kernel: reference-parity randomized"
+                        " contraction, or pointer-doubling rank (with"
+                        " --packed: fully string-free pipeline)")
 
     d = add("reduce", help="multi-k reduction ladder (reflexiv reduce)")
     d.add_argument("--klist", default="23,31,41,53,67,81,95")
@@ -177,7 +182,7 @@ def main(argv: list[str] | None = None) -> int:
         out = assemble(
             _read_reads(spark, args.input, args.informat), k=args.k,
             min_coverage=args.min_cov, min_contig=args.min_contig,
-            packed=args.packed,
+            packed=args.packed, algorithm=args.algorithm,
         )
         _write(out, args.output, args.outformat, id_col="contig_id")
     elif args.cmd == "reduce":
