@@ -579,6 +579,22 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: overlapping token-bounded document chunking (the LLM
+    context-window preparation step) — shuffle-free Catalyst explode."""
+    from reflexiv_spark.datapipe.text import chunk_documents
+
+    out = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=24, overlap_tokens=4
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: winnowing-style min-MD5 shingle fingerprint."""
     from reflexiv_spark.datapipe.text import doc_fingerprint
@@ -970,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "clean_corpus": q_clean_corpus,
+        "doc_chunk": q_doc_chunk,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1350,6 +1367,19 @@ def oracle_sql() -> dict[str, str]:
             " WHERE round(est, 6) >= 0.5) "
             "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,"
             " pred_lang FROM ex WHERE doc_id NOT IN (SELECT id2 FROM dropped)"
+        ),
+        "doc_chunk": (
+            # chunk_tokens=24, overlap=4 ⇒ step 20
+            r"WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+')"
+            " AS toks FROM documents WHERE length(trim(text)) > 0), "
+            "n AS (SELECT doc_id, toks, len(toks) AS n FROM d), "
+            "s AS (SELECT doc_id, toks, n, CAST(b AS BIGINT) AS chunk_idx"
+            " FROM n, unnest(generate_series(0,"
+            " greatest(CAST(ceil((n - 24) / 20.0) AS BIGINT), 0))) AS u(b)) "
+            "SELECT doc_id, chunk_idx, array_to_string(list_slice(toks,"
+            " chunk_idx * 20 + 1, chunk_idx * 20 + 24), ' ') AS chunk_text,"
+            " least(CAST(24 AS BIGINT), n - chunk_idx * 20) AS chunk_tokens"
+            " FROM s"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, list_aggregate(list_transform("

@@ -126,6 +126,47 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks —
+    DataFrame[id, chunk_idx, chunk_text, chunk_tokens].
+
+    Tokens are whitespace runs (the ``\\S+`` semantics shared with
+    :func:`text_stats`, so budgets line up with token counts). Chunks
+    advance by ``chunk_tokens - overlap_tokens`` tokens; the final chunk
+    may be short but is never empty. Catalyst-only: one ``split`` + a
+    ``sequence``/``transform`` window over the token array, exploded —
+    embarrassingly parallel per row, no shuffle, the standard
+    context-window preparation step for LLM training corpora.
+    """
+    t = F.col(text_col)
+    step = max(chunk_tokens - overlap_tokens, 1)
+    toks = F.split(F.trim(t), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)), F.lit(0)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda b: F.array_join(
+            F.slice(toks, b * step + 1, chunk_tokens), " "
+        ),
+    )
+    out = df.where(F.length(F.trim(t)) > 0).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+"))
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 16
 ) -> DataFrame:

@@ -166,6 +166,30 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_chunk_documents_overlap_and_tail(spark):
+    from reflexiv_spark.datapipe.text import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(words)),      # 25 tokens: chunks [0..9], [8..17], [16..24]
+        (2, "one two"),            # shorter than a chunk: single chunk
+        (3, "   "),                # whitespace-only: no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=10, overlap_tokens=2)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.chunk_tokens)
+        for r in out.collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert got[(1, 0)] == (" ".join(words[0:10]), 10)
+    assert got[(1, 1)] == (" ".join(words[8:18]), 10)
+    assert got[(1, 2)] == (" ".join(words[16:25]), 9)   # short tail, 1 new + 8...
+    assert got[(2, 0)] == ("one two", 2)
+    # adjacent chunks share exactly the overlap
+    assert got[(1, 0)][0].split()[-2:] == got[(1, 1)][0].split()[:2]
+
+
 def test_clean_corpus_composed_pipeline(spark):
     """Planted cases through the composed cleaning pipeline: the
     low-quality doc and the short doc fall to the filters, the exact

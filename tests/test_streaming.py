@@ -103,6 +103,62 @@ def test_sessionize_batch(spark, tmp_path):
     assert per_user[2] == [1]
 
 
+def test_watermark_admits_late_drops_too_late(spark, tmp_path):
+    """Watermark semantics proof: with a 10-minute watermark and append
+    mode, a late row INSIDE the delay still lands in its (closed) window,
+    while a row arriving after the watermark has passed its window end is
+    dropped — bounded state with bounded lateness, the late-data contract.
+    """
+    import time
+
+    d = tmp_path / "wm"
+    d.mkdir()
+    batches = [
+        # b0: events up to 12:00 -> watermark advances to 11:50 after it
+        [
+            {"event_id": 1, "ts": "2026-01-01T10:05:00", "event_type": "a", "value": 1.0},
+            {"event_id": 2, "ts": "2026-01-01T12:00:00", "event_type": "a", "value": 1.0},
+        ],
+        # b1: admissible late row (11:55 >= watermark 11:50)
+        [{"event_id": 3, "ts": "2026-01-01T11:55:00", "event_type": "a", "value": 2.0}],
+        # b2: too-late row — its [10:00,11:00) window end is far below the
+        # 11:50 watermark in force, so the state operator must drop it
+        [{"event_id": 4, "ts": "2026-01-01T10:30:00", "event_type": "a", "value": 9.0}],
+        # b3: advance the watermark far enough to close every window
+        [{"event_id": 5, "ts": "2026-01-01T15:00:00", "event_type": "z", "value": 0.0}],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(d, f"b{i}.json", rows)
+        time.sleep(1.1)  # distinct mtimes keep per-file batch order stable
+
+    stream = stream_from_files(spark, str(d), SCHEMA, max_files_per_trigger=1)
+    out = windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r.win_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    # 10:00 window: only the on-time event — the too-late 10:30 row (id 4)
+    # was dropped; 11:00 window: the admissible late row (id 3) counted
+    assert rows[("2026-01-01 10:00:00", "a")] == (1, 1.0)
+    assert rows[("2026-01-01 11:00:00", "a")] == (1, 2.0)
+    assert rows[("2026-01-01 12:00:00", "a")] == (1, 1.0)
+    # and the drop is visible in the state-operator metrics
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+
 def test_streaming_dedup_checkpoint_restart(spark, tmp_path):
     """Stateful dedup survives a full query shutdown + restart: the state
     store and source progress live in the checkpoint, so (1) already-read
