@@ -185,7 +185,11 @@ def rank_paths(
     o = (k - 1) if overlap is None else overlap
     km = kmer_counts.select(
         "kmer", F.col("count").cast("int").alias("count")
-    )
+    ).localCheckpoint(eager=False)
+    # the lazy checkpoint sits BEFORE the packed guard so the guard's scan
+    # materializes it and every later consumer (packed projection, or the
+    # string path's pre/suc/decode-join) reads the barrier, not the
+    # upstream lineage
     if packed is None:
         packed = 0 < o < k <= 31
     if packed:
@@ -209,10 +213,6 @@ def rank_paths(
             checkpoint_every=checkpoint_every,
         )
 
-    # consumed three times (pre, suc, final decode join): a lazy local
-    # checkpoint materializes the upstream once instead of re-running it
-    # for the endgame join
-    km = km.localCheckpoint(eager=False)
     pre = km.select(
         F.col("kmer").alias("kid"), prefix_subkmer("kmer", o + 1).alias("__pk")
     )
