@@ -166,6 +166,36 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_text_ops_tolerate_null_and_empty_text(spark):
+    """NULL / empty / whitespace-only texts must not crash any text
+    operator; they are scored as degenerate or excluded, never raised."""
+    from reflexiv_spark.datapipe.dedup import exact_dedup
+    from reflexiv_spark.datapipe.pipeline import clean_corpus
+    from reflexiv_spark.datapipe.text import (
+        chunk_documents,
+        doc_fingerprint,
+        language_id,
+        quality_score,
+        text_stats,
+        token_count,
+    )
+
+    rows = [(1, None), (2, ""), (3, "   "), (4, "the day is calm " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert text_stats(df).count() == 4          # null rows score as null
+    assert token_count(df).count() == 4
+    assert language_id(df).count() == 4
+    assert quality_score(df).count() == 4
+    assert {r.doc_id for r in doc_fingerprint(df).collect()} == {4}
+    assert {r.doc_id for r in chunk_documents(df).collect()} == {4}
+    # dedup keeps one row per normalized form: "" and "   " both
+    # normalize to the empty string and merge (ids 2,3 -> one row)
+    assert exact_dedup(df).count() == 3
+    # the composed pipeline just filters them out
+    assert {r.doc_id for r in clean_corpus(df, min_tokens=5).collect()} == {4}
+
+
 def test_chunk_documents_overlap_and_tail(spark):
     from reflexiv_spark.datapipe.text import chunk_documents
 
