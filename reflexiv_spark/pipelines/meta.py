@@ -81,12 +81,16 @@ def meta_assemble(
     workdir: str | None = None,
     spark: SparkSession | None = None,
     resume: bool = True,
+    algorithm: str = "contract",
 ) -> DataFrame:
     """reads[seq] → deduplicated contigs via the multi-k ladder.
 
     With ``workdir`` set, each per-k round materializes at
     ``workdir/round_k<k>`` (Parquet + ``_SUCCESS``) and completed rounds
     are skipped on re-run — the reference's staged-resume behavior (I4).
+    ``algorithm`` picks the contraction kernel per round (``"contract"``
+    reference-parity randomized; ``"rank"`` pointer-doubling — identical
+    contigs on cycle-free graphs, anchored-path semantics otherwise).
     """
     if workdir is not None and spark is None:
         spark = reads.sparkSession
@@ -104,6 +108,7 @@ def meta_assemble(
                 # min_contig applies only to the final output
                 min_contig=k + 1,
                 min_error_coverage=4 * min_coverage,
+                algorithm=algorithm,
             ).select("contig_id", "seq")
 
         if workdir is not None:
