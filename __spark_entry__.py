@@ -240,10 +240,10 @@ def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contraction round shuffle 2-bit bigint ids; bases decode exactly
     # once at final path assembly (identical output to the string path —
     # tests/test_extension.py::test_fully_packed_pipeline_matches_string_rank)
-    counts = count_kmers_packed(_dna(spark, sf_dir), k, min_coverage=2, decode=False)
-    pruned = prune_forks_packed(
-        expand_orientations_packed(counts.withColumnRenamed("packed", "kid"), k), k
-    )
+    counts = count_kmers_packed(
+        _dna(spark, sf_dir), k, min_coverage=2, decode=False
+    ).withColumnRenamed("packed", "kid").localCheckpoint(eager=False)
+    pruned = prune_forks_packed(expand_orientations_packed(counts, k), k)
     anchored = rank_paths_packed(pruned.select("kid", "count"), k)
     return anchored.select(
         "seq",

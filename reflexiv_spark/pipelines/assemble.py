@@ -189,7 +189,12 @@ def assemble_from_packed_counts(
     from reflexiv_spark.operators.extension import rank_paths_packed
 
     kid_col = "kid" if "kid" in packed_counts.columns else "packed"
-    packed_counts = packed_counts.select(F.col(kid_col).alias("kid"), "count")
+    # lazy barrier: the RC expansion consumes the counts twice (forward +
+    # reflected branch); without it the Arrow-batched encode would rely on
+    # exchange reuse to run once
+    packed_counts = packed_counts.select(
+        F.col(kid_col).alias("kid"), "count"
+    ).localCheckpoint(eager=False)
     expanded = expand_orientations_packed(packed_counts, k)
     pruned = prune_forks_packed(expanded, k, min_error_coverage=min_error_coverage)
     contracted = rank_paths_packed(
