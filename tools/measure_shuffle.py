@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""Measure total shuffle read/write bytes of the rank_paths contraction
-loop, packed (2-bit int64 pointers) vs string (ASCII k-mer pointers), at a
-given SF dir. Sums per-stage shuffle metrics from the live Spark UI REST
-API between two marks, so only the measured section counts.
+"""Measure wall clock + total shuffle read/write bytes of the
+count→expand→prune→rank assembly pipeline in three representations:
+``string`` (ASCII k-mers everywhere), ``loop_packed`` (strings up to the
+loop, rank_paths auto-packs internally), and ``fully_packed``
+(2-bit int64 ids from the counter onward, one decode at assembly).
+Sums per-stage shuffle metrics from the live Spark UI REST API between
+two marks, so only the measured section counts; best-of-2 alternating
+runs for JIT fairness.
 
 Usage: python tools/measure_shuffle.py [sf_dir]
 """
