@@ -54,12 +54,12 @@ HEADLINE = [
     # hot-shingle quadratic) stays a correctness entry; MinHash is its
     # scale-path headline.
     "ann_lsh_gauss",
-    # ann_ivf is driver-checked + recall-tested but NOT a headline: IVF
-    # probes whole ~sqrt(n) cells (n·probes·sqrt(n) exact-cosine
-    # verifies — measured 42.6 s at sf1.0 adaptive vs LSH's 6.3 s, whose
-    # 2^planes buckets slice finer at equal recall on this corpus). Both
-    # ship; LSH is the recommended scale path. `ann_ivf_adaptive` stays
-    # a bench-only callable for manual comparison runs.
+    # ann_ivf is driver-checked + recall-tested; after the round-5 GEMM
+    # rewrite (int64 matrix assignment against a capped quantizer,
+    # blocked-GEMM verify) it measures 2.7 s vs LSH's 5.5 s at sf1.0 at
+    # equal recall (PLANS.md). The headline keeps ann_lsh_gauss for
+    # round-over-round comparability; `ann_ivf_adaptive` stays a
+    # bench-only callable for manual comparison runs.
     "contained_dedup",
     # X2 mapping stage: seed-join mapper + consensus end extension
     "read_mapping",

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Refresh BASELINE.md's data-dominated (sf1.0) Spark-vs-DuckDB table.
+
+Runs every headline query that has a SQL oracle twin on the scaled
+sf1.0 directory: Spark side end-to-end to a noop sink (best of 2 after
+a shared warmup), DuckDB side the oracle SQL. Brute-force-oracle
+heavyweights are excluded like before (documented in BASELINE.md).
+
+Usage: python tools/measure_sf1.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaled/sf1.0"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+# quadratic-by-design verification oracles — intractable at sf1.0
+EXCLUDE_DUCK = {"read_mapping", "contig_dedup", "contained_dedup"}
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as ent
+    from bench import HEADLINE
+    from reflexiv_spark.session import get_spark
+
+    spark = get_spark(app_name="measure-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    names = [n for n in HEADLINE if n in qs and n in oracles]
+    out = {}
+    for n in names:
+        try:
+            qs[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()  # warmup
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[n](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                ts.append(time.time() - t0)
+            spark_s = round(min(ts), 2)
+        except Exception as e:  # noqa: BLE001
+            spark_s = f"error: {e}"[:60]
+        if n in EXCLUDE_DUCK:
+            duck_s = None
+        else:
+            try:
+                t0 = time.time()
+                con.execute(oracles[n]).fetchall()
+                duck_s = round(time.time() - t0, 2)
+            except Exception as e:  # noqa: BLE001
+                duck_s = f"error: {e}"[:60]
+        out[n] = {"spark": spark_s, "duck": duck_s}
+        print(json.dumps({n: out[n]}), flush=True)
+    sp = sum(v["spark"] for v in out.values() if isinstance(v["spark"], float))
+    du = sum(v["duck"] for v in out.values() if isinstance(v["duck"], float))
+    print(json.dumps({"_total_spark": round(sp, 1), "_total_duck_comparable": round(du, 1)}))
+
+
+if __name__ == "__main__":
+    main()
