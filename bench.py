@@ -54,12 +54,12 @@ HEADLINE = [
     # hot-shingle quadratic) stays a correctness entry; MinHash is its
     # scale-path headline.
     "ann_lsh_gauss",
-    # ann_ivf is driver-checked + recall-tested; after the round-5 GEMM
-    # rewrite (int64 matrix assignment against a capped quantizer,
-    # blocked-GEMM verify) it measures 2.7 s vs LSH's 5.5 s at sf1.0 at
-    # equal recall (PLANS.md). The headline keeps ann_lsh_gauss for
-    # round-over-round comparability; `ann_ivf_adaptive` stays a
-    # bench-only callable for manual comparison runs.
+    # ann_ivf: excluded while its adaptive mode was n^1.5 (round 4);
+    # after the round-5 GEMM rewrite (int64 matrix assignment against a
+    # capped quantizer, blocked-GEMM verify) it measures 2.7 s vs LSH's
+    # 5.5 s at sf1.0 at equal recall (PLANS.md), so both ANN scale paths
+    # are timed now.
+    "ann_ivf_adaptive",
     "contained_dedup",
     # X2 mapping stage: seed-join mapper + consensus end extension
     "read_mapping",
