@@ -595,6 +595,42 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per word token of every document (simhash's tokenizer)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0)
+        ).alias("token")
+    )
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe sketch: count-min point estimates for every distinct
+    token. The md5 hash family lets the SQL oracle rebuild the exact
+    same depth×width grid and min-lookup — the sketch is deterministic,
+    so even its collision over-counts replay bit for bit."""
+    from reflexiv_spark.datapipe.sketch import cms_estimate, count_min_sketch
+
+    toks = _doc_tokens(spark, sf_dir)
+    cms = count_min_sketch(toks, "token", depth=4, width=512, hash_family="md5")
+    return cms_estimate(
+        cms, toks.distinct(), "token", depth=4, width=512, hash_family="md5"
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe sketch: exact heavy hitters via CMS candidate prune +
+    exact verify. The oracle is the plain exact GROUP BY ... HAVING —
+    matching it proves the sketch prune loses no true heavy hitter and
+    the verify removes every collision-inflated candidate."""
+    from reflexiv_spark.datapipe.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _doc_tokens(spark, sf_dir), "token", min_count=100,
+        depth=4, width=512, hash_family="md5",
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: winnowing-style min-MD5 shingle fingerprint."""
     from reflexiv_spark.datapipe.text import doc_fingerprint
@@ -987,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1380,6 +1418,33 @@ def oracle_sql() -> dict[str, str]:
             " chunk_idx * 20 + 1, chunk_idx * 20 + 24), ' ') AS chunk_text,"
             " least(CAST(24 AS BIGINT), n - chunk_idx * 20) AS chunk_tokens"
             " FROM s"
+        ),
+        "cms_estimate": (
+            # rebuild the 4×512 count-min grid with the same md5-long
+            # cells, then min over each token's 4 cells
+            r"WITH toks AS (SELECT t AS token FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)), "
+            "cells AS (SELECT token, CAST(d AS BIGINT) AS d, "
+            + _sql_md5l("token || '#' || CAST(d AS VARCHAR)")
+            + " % 512 AS w FROM toks,"
+            " unnest(generate_series(0, 3)) AS g(d)), "
+            "cms AS (SELECT d, w, count(*) AS cnt FROM cells"
+            " GROUP BY 1, 2), "
+            "probe AS (SELECT DISTINCT token FROM toks), "
+            "pc AS (SELECT token, CAST(d AS BIGINT) AS d, "
+            + _sql_md5l("token || '#' || CAST(d AS VARCHAR)")
+            + " % 512 AS w FROM probe,"
+            " unnest(generate_series(0, 3)) AS g(d)) "
+            "SELECT pc.token, min(cms.cnt) AS est FROM pc"
+            " JOIN cms ON pc.d = cms.d AND pc.w = cms.w GROUP BY pc.token"
+        ),
+        "cms_heavy_hitters": (
+            # the exact answer IS the oracle: matching it proves the CMS
+            # prune keeps every true heavy hitter and the verify drops
+            # every collision-inflated candidate
+            r"SELECT t AS token, count(*) AS cnt FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)"
+            " GROUP BY t HAVING count(*) >= 100"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, list_aggregate(list_transform("

@@ -1,0 +1,145 @@
+"""Frequency sketches: count-min sketch build / point estimates, and the
+two-pass heavy-hitters operator built on them.
+
+At 100 TB an exact ``groupBy(key).count()`` over a heavy-tailed key
+column (tokens, shingles, URLs) shuffles every distinct key; a count-min
+sketch is a fixed ``depth × width`` grid of counters that aggregates
+with ONE map-side-combinable shuffle of at most depth×width rows and
+answers point queries with the min over ``depth`` cells. Estimates
+never under-count (each cell only adds colliding keys), so a CMS
+threshold scan yields a candidate superset of the true heavy hitters —
+:func:`heavy_hitters` then verifies candidates exactly, touching only
+rows whose key survived the prune. The construction is deterministic
+per hash family, so with ``hash_family="md5"`` a SQL oracle rebuilds
+the sketch bit for bit (the same md5-long device as the MinHash/SimHash
+oracles in :mod:`reflexiv_spark.datapipe.dedup`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.dedup import md5_long
+
+
+def _row_hash(col, d: int, hash_family: str):
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_family == "md5":
+        return md5_long(F.concat(c.cast("string"), F.lit(f"#{d}")))
+    return F.xxhash64(c, F.lit(d))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Build a CMS over ``key_col`` → DataFrame[d, w, cnt] (≤ depth×width
+    rows). One shuffle: the per-key fan-out to ``depth`` (d, bucket)
+    cells happens map-side inside the partial aggregation."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(_row_hash(key_col, d, hash_family), F.lit(width)).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    wt = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    return (
+        df.select(F.explode(cells).alias("c"), wt.alias("__wt"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.sum("__wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_family: str = "xxhash64",
+    out_col: str = "est",
+) -> DataFrame:
+    """Point estimates for every probe key: min over the key's ``depth``
+    cells. The sketch side is ≤ depth×width rows — always broadcast."""
+    keyed = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            _row_hash(key_col, d, hash_family), F.lit(width)
+                        ).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    return (
+        keyed.join(F.broadcast(cms), ["d", "w"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias(out_col))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 1024,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exact keys with frequency ≥ ``min_count`` — DataFrame[key, cnt] —
+    via CMS prune + exact verify.
+
+    CMS never under-estimates, so pruning on the estimate keeps every
+    true heavy hitter (no false negatives); the exact count over the
+    surviving rows removes collision-inflated false positives. The
+    expensive exact aggregation runs only on rows whose key passed the
+    broadcast sketch filter — on a Zipf corpus that is a tiny fraction
+    of the distinct-key mass.
+    """
+    cms = count_min_sketch(df, key_col, depth, width, hash_family=hash_family)
+    # per-row estimate: min over the row's depth cells, via broadcast join
+    keyed = df.select(key_col).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            _row_hash(key_col, d, hash_family), F.lit(width)
+                        ).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    est = (
+        keyed.join(F.broadcast(cms), ["d", "w"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("__est"))
+        .where(F.col("__est") >= min_count)
+        .select(key_col)
+    )
+    # candidate set size depends on min_count vs the key distribution —
+    # leave the join strategy to Catalyst/AQE (it broadcasts when small)
+    return (
+        df.join(est, key_col)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+    )

@@ -166,6 +166,41 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_count_min_sketch_and_heavy_hitters(spark):
+    """CMS estimates never under-count, the grid is tiny and exact on
+    the planted heavies, and the two-pass heavy-hitters operator returns
+    exactly the keys with true frequency ≥ threshold."""
+    import random
+
+    from reflexiv_spark.datapipe.sketch import (
+        cms_estimate,
+        count_min_sketch,
+        heavy_hitters,
+    )
+
+    rng = random.Random(17)
+    truth = {"hot1": 500, "hot2": 200, "warm": 60}
+    rows = [(k,) for k, n in truth.items() for _ in range(n)]
+    tail = [(f"cold{i}",) for i in range(800) for _ in range(rng.randint(1, 3))]
+    df = spark.createDataFrame(rows + tail, "token string")
+    true_counts = dict(truth)
+    for (t,) in tail:
+        true_counts[t] = true_counts.get(t, 0) + 1
+
+    cms = count_min_sketch(df, "token", depth=4, width=256)
+    assert cms.count() <= 4 * 256
+    est = {
+        r.token: r.est
+        for r in cms_estimate(cms, df.distinct(), "token", depth=4, width=256).collect()
+    }
+    assert all(est[t] >= n for t, n in true_counts.items())  # no under-count
+    # the planted heavies dominate any collision noise
+    assert est["hot1"] >= 500 and est["hot1"] <= 520
+
+    hh = {r.token: r.cnt for r in heavy_hitters(df, "token", 100).collect()}
+    assert hh == {"hot1": 500, "hot2": 200}  # exact keys AND exact counts
+
+
 def test_text_ops_tolerate_null_and_empty_text(spark):
     """NULL / empty / whitespace-only texts must not crash any text
     operator; they are scored as degenerate or excluded, never raised."""
