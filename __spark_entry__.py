@@ -595,6 +595,31 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: deterministic hash-gated sampling — reproducible under
+    any partitioning (a pure function of the row id), bit-replayable by
+    the SQL oracle with the md5 family."""
+    from reflexiv_spark.datapipe.sampling import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"), 0.3, hash_family="md5"
+    ).select("doc_id")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: deterministic training mixture — two sources (short vs
+    long documents) hash-sampled at different rates, unioned with
+    provenance."""
+    from reflexiv_spark.datapipe.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents")
+    short = docs.where(F.length("text") < 300).select("doc_id")
+    long_ = docs.where(F.length("text") >= 300).select("doc_id")
+    return mix_corpora(
+        [(short, 0.8), (long_, 0.25)], hash_family="md5"
+    ).select("doc_id", F.col("source").cast("bigint").alias("source"))
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per word token of every document (simhash's tokenizer)."""
     return _t(spark, sf_dir, "documents").select(
@@ -1025,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1418,6 +1445,22 @@ def oracle_sql() -> dict[str, str]:
             " chunk_idx * 20 + 1, chunk_idx * 20 + 24), ' ') AS chunk_text,"
             " least(CAST(24 AS BIGINT), n - chunk_idx * 20) AS chunk_tokens"
             " FROM s"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents WHERE "
+            + _sql_md5l("CAST(doc_id AS VARCHAR) || '|s0'")
+            + " % 1000000 < 300000"
+        ),
+        "corpus_mix": (
+            "SELECT doc_id, CAST(0 AS BIGINT) AS source FROM documents"
+            " WHERE length(text) < 300 AND "
+            + _sql_md5l("CAST(doc_id AS VARCHAR) || '|mix#0'")
+            + " % 1000000 < 800000"
+            " UNION ALL "
+            "SELECT doc_id, CAST(1 AS BIGINT) AS source FROM documents"
+            " WHERE length(text) >= 300 AND "
+            + _sql_md5l("CAST(doc_id AS VARCHAR) || '|mix#1'")
+            + " % 1000000 < 250000"
         ),
         "cms_estimate": (
             # rebuild the 4×512 count-min grid with the same md5-long

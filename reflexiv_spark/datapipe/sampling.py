@@ -1,0 +1,108 @@
+"""Deterministic sampling and corpus mixing for training-data curation.
+
+Random sampling at 100 TB must be REPRODUCIBLE: re-running the pipeline
+(or re-executing a failed partition) has to keep exactly the same rows,
+independent of partitioning, task order, or cluster size. RNG-based
+``df.sample`` cannot promise that across re-layouts; hash-gating can —
+a row is kept iff ``hash(id) mod D < rate·D``, a pure function of the
+row itself. The md5 family makes every operator here bit-replayable by
+an ANSI-SQL oracle (same device as the dedup/sketch oracles).
+
+``mix_corpora`` composes hash-gates into the standard
+training-mixture shape: per-source sampling rates (relative weights),
+one union, provenance column kept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.dedup import md5_long
+
+_DENOM = 1_000_000  # rate granularity: 1e-6
+
+
+def _gate(id_col: str, rate: float, salt: str, hash_family: str):
+    """Deterministic keep-predicate: hash(id, salt) lands in the first
+    ``rate`` fraction of the 1e6-bucket ring."""
+    c = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        h = md5_long(F.concat(c, F.lit(f"|{salt}")))
+    else:
+        h = F.xxhash64(c, F.lit(salt))
+    return F.pmod(h, F.lit(_DENOM)) < int(round(rate * _DENOM))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed by id.
+
+    Shuffle-free (a filter), stable under any re-partitioning, and
+    different ``salt`` values draw independent samples — the standard
+    train/validation split device (salt "train"/"val" with
+    complementary gates never overlaps when rates sum ≤ 1 on the same
+    salt).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(_gate(id_col, rate, salt, hash_family))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    default_rate: float = 0.0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight one language,
+    keep all of another). ``rates`` maps stratum value → keep rate;
+    unlisted strata get ``default_rate``."""
+    for value, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {value!r} must be in [0, 1]")
+    expr = F.lit(int(round(default_rate * _DENOM)))
+    for value, rate in rates.items():
+        expr = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * _DENOM)))
+        ).otherwise(expr)
+    c = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        h = md5_long(F.concat(c, F.lit(f"|{salt}")))
+    else:
+        h = F.xxhash64(c, F.lit(salt))
+    return df.where(F.pmod(h, F.lit(_DENOM)) < expr)
+
+
+def mix_corpora(
+    sources: list[tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    source_col: str = "source",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic training mixture: each (df, rate) source is
+    hash-sampled at its rate and unioned with a provenance column.
+
+    Rates are absolute keep-fractions per source (compute them from
+    target token budgets upstream). Columns are aligned by name
+    (``unionByName``); every source must share the schema.
+    """
+    parts = []
+    for idx, (df, rate) in enumerate(sources):
+        parts.append(
+            hash_sample(df, rate, id_col, f"{salt}#{idx}", hash_family)
+            .withColumn(source_col, F.lit(idx))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

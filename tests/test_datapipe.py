@@ -166,6 +166,41 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_hash_sampling_deterministic_and_stratified(spark):
+    """Hash-gated sampling is a pure function of the row id: identical
+    under re-partitioning, approximately at rate, independent across
+    salts; stratified rates apply per stratum; the mixture keeps
+    provenance."""
+    from reflexiv_spark.datapipe.sampling import (
+        hash_sample,
+        mix_corpora,
+        stratified_hash_sample,
+    )
+
+    df = spark.range(0, 4000).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 4 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    a = {r.doc_id for r in hash_sample(df, 0.3).collect()}
+    b = {r.doc_id for r in hash_sample(df.repartition(13), 0.3).collect()}
+    assert a == b and 0.25 < len(a) / 4000 < 0.35
+    # a different salt draws an (approximately) independent sample
+    c = {r.doc_id for r in hash_sample(df, 0.3, salt="other").collect()}
+    overlap = len(a & c) / 4000
+    assert 0.05 < overlap < 0.14  # ~0.09 expected; equality would be ~0.3
+
+    strat = stratified_hash_sample(df, {"en": 1.0, "de": 0.1}, "lang")
+    got = strat.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang["en"] == 1000  # rate 1.0 keeps the whole stratum
+    assert 200 < by_lang["de"] < 400  # 3000 × 0.1, hash noise
+
+    en = df.where("lang = 'en'").select("doc_id")
+    de = df.where("lang = 'de'").select("doc_id")
+    mix = mix_corpora([(en, 1.0), (de, 0.1)])
+    per_src = {r["source"]: r["count"] for r in mix.groupBy("source").count().collect()}
+    assert per_src[0] == 1000 and 200 < per_src[1] < 400
+
+
 def test_count_min_sketch_and_heavy_hitters(spark):
     """CMS estimates never under-count, the grid is tiny and exact on
     the planted heavies, and the two-pass heavy-hitters operator returns
