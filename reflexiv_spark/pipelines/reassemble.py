@@ -37,6 +37,13 @@ def _both_strands(contigs: DataFrame) -> DataFrame:
 
 def _extend_right(frags: DataFrame, ctgs: DataFrame, min_overlap: int) -> DataFrame:
     """Extend each fragment rightward with its best-overlapping contig."""
+    # plan barrier: this function references `frags` four times (tagged
+    # union, semi-join, seq rejoin, untouched anti-join) and is applied
+    # twice back-to-back (right end, then RC'd left end) — without the
+    # barrier the second application's plan tree contains the first's
+    # FOUR times over, exploding analysis cost (measured: a 1,724-
+    # exchange pre-execution plan; ~40 after the barriers)
+    frags = frags.localCheckpoint(eager=False)
     both = frags.select(F.col("frag_id").alias("cid"), "seq").unionByName(ctgs)
     pairs = overlap_pairs(
         both, seq_col="seq", id_col="cid",
@@ -152,6 +159,8 @@ def reassemble(
         hits.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("frag_id", "seq")
+        # consumed twice (output union + the anti-join feeding extension)
+        .localCheckpoint(eager=False)
     )
 
     # (2) end extension for the rest: right end, then (via RC) left end
