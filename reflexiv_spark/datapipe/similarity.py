@@ -209,13 +209,9 @@ def embedding_dedup(
     else:
         if dim is None:
             raise ValueError("dim is required for the LSH (exact=False) path")
-        probed = None
-        for p in range(n_probes):
-            bp = lsh_buckets(
-                df, dim, n_planes, 42 + 1000 * p, id_col, vec_col, plane_family
-            )
-            bp = bp.select(id_col, F.lit(p).alias("probe"), "bucket")
-            probed = bp if probed is None else probed.unionByName(bp)
+        probed = lsh_buckets_multi(
+            df, dim, n_planes, n_probes, 42, id_col, vec_col, plane_family
+        ).select(id_col, "probe", "bucket")
         # id-only candidate exchange; vectors rejoin by id for the verify
         # (same shuffle-byte fix as ann_topk)
         a = probed.select(F.col(id_col).alias("id1"), "probe", "bucket")
@@ -532,6 +528,60 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_multi(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_probes: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_family: str = "gaussian",
+) -> DataFrame:
+    """All probes' buckets in ONE Arrow crossing:
+    DataFrame[id, vec, probe, bucket].
+
+    Plane sets for every probe stack into one (n_probes·n_planes, dim)
+    matrix, so the whole multi-probe projection is a single matmul per
+    record batch instead of ``n_probes`` separate pandas_udf evaluations
+    each re-shipping the vectors over Arrow. Bucket values are identical
+    to per-probe :func:`lsh_buckets` calls with seed ``seed + 1000·p``
+    (same planes, same arithmetic) — the md5-family oracle replays them
+    unchanged.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    if plane_family == "md5":
+        planes = np.vstack(
+            [md5_planes(dim, n_planes, seed + 1000 * p) for p in range(n_probes)]
+        )
+    else:
+        planes = np.vstack(
+            [
+                np.random.RandomState(seed + 1000 * p).randn(n_planes, dim)
+                for p in range(n_probes)
+            ]
+        )
+    quantize = plane_family == "md5"
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        if quantize:
+            m = np.floor(m.astype(np.float64) * 1000.0).astype(np.int64)
+        bits = (m @ planes.T) > 0  # (batch, n_probes*n_planes)
+        b3 = bits.reshape(len(m), n_probes, n_planes).astype(np.int64)
+        return pd.Series(list(b3 @ weights))  # (batch, n_probes)
+
+    v = F.col(vec_col).cast("array<double>") if quantize else F.col(vec_col)
+    return df.select(
+        F.col(id_col), v.alias(vec_col),
+        F.posexplode(buckets_of(v)).alias("probe", "bucket"),
+    )
+
+
 def ann_topk(
     df: DataFrame,
     dim: int,
@@ -550,13 +600,9 @@ def ann_topk(
     equi-join, never all-pairs. Exact cosine re-ranks the candidates.
     Recall grows with probes; cost stays ~O(n · bucket_size).
     """
-    probed = None
-    for p in range(n_probes):
-        bp = lsh_buckets(
-            df, dim, n_planes, seed + 1000 * p, id_col, vec_col, plane_family
-        )
-        bp = bp.select(id_col, vec_col, F.lit(p).alias("probe"), "bucket")
-        probed = bp if probed is None else probed.unionByName(bp)
+    probed = lsh_buckets_multi(
+        df, dim, n_planes, n_probes, seed, id_col, vec_col, plane_family
+    )
 
     # Candidate generation exchanges ONLY (probe, bucket, id) rows and the
     # dedup only (id, id) pairs — vectors (dim doubles each) rejoin by id
