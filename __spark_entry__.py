@@ -629,6 +629,20 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: perplexity-style fluency scoring under the corpus' own
+    unigram model (the CCNet-shape filter) — two distributed passes,
+    broadcast vocabulary, deterministic log10 arithmetic."""
+    from reflexiv_spark.datapipe.text import unigram_logprob_score
+
+    out = unigram_logprob_score(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_logprob",
+    )
+
+
 def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe sketch: count-min point estimates for every distinct
     token. The md5 hash family lets the SQL oracle rebuild the exact
@@ -1052,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
+        "unigram_logprob": q_unigram_logprob,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1445,6 +1460,16 @@ def oracle_sql() -> dict[str, str]:
             " chunk_idx * 20 + 1, chunk_idx * 20 + 24), ' ') AS chunk_text,"
             " least(CAST(24 AS BIGINT), n - chunk_idx * 20) AS chunk_tokens"
             " FROM s"
+        ),
+        "unigram_logprob": (
+            r"WITH toks AS (SELECT doc_id, t AS token FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)), "
+            "model AS (SELECT token, count(*) AS tf FROM toks GROUP BY token), "
+            "tot AS (SELECT sum(tf) AS n FROM model), "
+            "lp AS (SELECT token, log10(tf / n) AS lp FROM model, tot) "
+            "SELECT toks.doc_id, count(*) AS n_tokens,"
+            " round(avg(lp.lp), 6) AS avg_logprob FROM toks"
+            " JOIN lp ON toks.token = lp.token GROUP BY toks.doc_id"
         ),
         "hash_sample": (
             "SELECT doc_id FROM documents WHERE "

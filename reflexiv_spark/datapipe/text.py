@@ -167,6 +167,46 @@ def chunk_documents(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Perplexity-style fluency score from a corpus-trained unigram model
+    — DataFrame[id, n_tokens, avg_logprob].
+
+    The CCNet-shape filter: score each document by the mean log
+    probability of its tokens under a language model and drop the tails
+    (gibberish scores low, boilerplate scores suspiciously high). Here
+    the model is the corpus' own unigram distribution — two passes, both
+    distributed: (1) one token-count aggregation builds the model, (2)
+    each document's exploded tokens join the model (broadcast: the
+    vocabulary is tiny next to the corpus) and average their log10
+    probabilities. Deterministic and ANSI-SQL-replayable: log10/avg of
+    identical doubles, rounded.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)
+        ).alias("token"),
+    )
+    model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = model.agg(F.sum("tf").alias("n")).select("n")
+    lp = model.crossJoin(F.broadcast(total)).select(
+        "token", F.log10(F.col("tf") / F.col("n")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(lp), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), round_digits).alias("avg_logprob"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 16
 ) -> DataFrame:

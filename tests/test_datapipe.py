@@ -166,6 +166,27 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_unigram_logprob_ranks_gibberish_below_fluent(spark):
+    """The corpus-unigram fluency score ranks a doc of common tokens
+    above a doc of hapax gibberish, and matches a hand computation."""
+    import math
+
+    from reflexiv_spark.datapipe.text import unigram_logprob_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran to the mat"),
+        (3, "zqx jvk wpl qqf"),  # gibberish: every token is a hapax
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob_score(df).collect()}
+    assert out[1].avg_logprob > out[3].avg_logprob
+    assert out[2].avg_logprob > out[3].avg_logprob
+    # hand check doc 3: 4 hapax tokens over a 16-token corpus
+    assert out[3].n_tokens == 4
+    assert abs(out[3].avg_logprob - round(math.log10(1 / 16), 6)) < 1e-9
+
+
 def test_hash_sampling_deterministic_and_stratified(spark):
     """Hash-gated sampling is a pure function of the row id: identical
     under re-partitioning, approximately at rate, independent across
