@@ -96,6 +96,8 @@ def mix_corpora(
     target token budgets upstream). Columns are aligned by name
     (``unionByName``); every source must share the schema.
     """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one (df, rate) source")
     parts = []
     for idx, (df, rate) in enumerate(sources):
         parts.append(

@@ -181,10 +181,12 @@ def unigram_logprob_score(
     (gibberish scores low, boilerplate scores suspiciously high). Here
     the model is the corpus' own unigram distribution — two passes, both
     distributed: (1) one token-count aggregation builds the model, (2)
-    each document's exploded tokens join the model (broadcast: the
-    vocabulary is tiny next to the corpus) and average their log10
-    probabilities. Deterministic and ANSI-SQL-replayable: log10/avg of
-    identical doubles, rounded.
+    each document's exploded tokens join the model and average their
+    log10 probabilities. The model join is left to Catalyst/AQE: a
+    curated vocabulary broadcasts, but a hapax-heavy web corpus has a
+    vocabulary rivalling the corpus itself, where a forced broadcast
+    would OOM and a shuffle join is right. Deterministic and
+    ANSI-SQL-replayable: log10/avg of identical doubles, rounded.
     """
     toks = df.select(
         F.col(id_col),
@@ -198,7 +200,7 @@ def unigram_logprob_score(
         "token", F.log10(F.col("tf") / F.col("n")).alias("lp")
     )
     return (
-        toks.join(F.broadcast(lp), "token")
+        toks.join(lp, "token")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
