@@ -629,6 +629,35 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: PII-pattern redaction. The fixture corpus carries no
+    PII, so deterministic doc_id-derived email/URL/phone spans are
+    planted first — the oracle plants and redacts the same spans, so a
+    hash match proves every pattern fires and the replacement chain
+    (emails before URLs before phones) agrees across engines."""
+    from reflexiv_spark.datapipe.text import redact_pii
+
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or http://site.test/page?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel 555-867-5309"),
+        ).alias("text"),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_url").cast("bigint").alias("n_url"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: perplexity-style fluency scoring under the corpus' own
     unigram model (the CCNet-shape filter) — two distributed passes,
@@ -1067,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "unigram_logprob": q_unigram_logprob,
+        "redact_pii": q_redact_pii,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
@@ -1460,6 +1490,26 @@ def oracle_sql() -> dict[str, str]:
             " chunk_idx * 20 + 1, chunk_idx * 20 + 24), ' ') AS chunk_text,"
             " least(CAST(24 AS BIGINT), n - chunk_idx * 20) AS chunk_tokens"
             " FROM s"
+        ),
+        "redact_pii": (
+            "WITH d AS (SELECT doc_id, text || ' contact user' ||"
+            " CAST(doc_id AS VARCHAR) ||"
+            " '@example.com or http://site.test/page?id=' ||"
+            " CAST(doc_id AS VARCHAR) || ' tel 555-867-5309' AS t"
+            " FROM documents), "
+            "s1 AS (SELECT doc_id,"
+            r" length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,"
+            r" regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1"
+            " FROM d), "
+            "s2 AS (SELECT doc_id, n_email,"
+            r" length(regexp_extract_all(t1, 'https?://[^\s]+')) AS n_url,"
+            r" regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2"
+            " FROM s1), "
+            "s3 AS (SELECT doc_id, n_email, n_url,"
+            r" length(regexp_extract_all(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,"
+            r" regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t3"
+            " FROM s2) "
+            "SELECT doc_id, t3 AS redacted, n_email, n_url, n_phone FROM s3"
         ),
         "unigram_logprob": (
             r"WITH toks AS (SELECT doc_id, t AS token FROM documents,"

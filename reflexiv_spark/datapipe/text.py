@@ -167,6 +167,43 @@ def chunk_documents(
     )
 
 
+# Redaction patterns chosen to mean the same thing in Java regex and
+# RE2 (no lookarounds/backrefs), so SQL oracles replay them exactly.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "url": (r"https?://[^\s]+", "<URL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, tuple[str, str]] | None = None,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Replace PII-shaped spans with typed placeholder tokens —
+    DataFrame[id, redacted, n_<name>...] with one match count per
+    pattern.
+
+    Pure Catalyst ``regexp_replace``/``regexp_extract_all`` chain:
+    shuffle-free, whole-stage codegen, linear at any scale. Patterns
+    apply in dict order (emails before URLs matters when an address
+    appears inside a query string); counts are measured on the text as
+    each pattern sees it.
+    """
+    pats = patterns or PII_PATTERNS
+    cur = F.col(text_col)
+    counts = []
+    for name, (pat, token) in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(F.col(id_col), cur.alias(out_col), *counts)
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

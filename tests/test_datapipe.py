@@ -166,6 +166,27 @@ def test_embedding_dedup_exact_and_lsh(spark):
     assert set(range(20)) <= lsh
 
 
+def test_redact_pii_patterns_and_order(spark):
+    from reflexiv_spark.datapipe.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x-site.co.uk and http://a.test/q?u=z@y.com then 555-123-4567"),
+        (2, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    # the email inside the URL query string was consumed by the email
+    # pass first (documented order), then the URL remainder redacted
+    assert r1.n_email == 2 and r1.n_url == 1 and r1.n_phone == 1
+    assert "<EMAIL>" in r1.redacted and "<URL>" in r1.redacted
+    assert "<PHONE>" in r1.redacted and "555-123" not in r1.redacted
+    assert "@" not in r1.redacted
+    r2 = out[2]
+    assert (r2.n_email, r2.n_url, r2.n_phone) == (0, 0, 0)
+    assert r2.redacted == "nothing sensitive here"
+
+
 def test_unigram_logprob_ranks_gibberish_below_fluent(spark):
     """The corpus-unigram fluency score ranks a doc of common tokens
     above a doc of hapax gibberish, and matches a hand computation."""
