@@ -99,12 +99,19 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
     """Composite document-quality score in [0, 1].
 
     0.3·min(1, tokens/50) + 0.3·stopword-ratio + 0.2·(1 − punct-ratio)
     + 0.2·(1 − digit-ratio). Cheap, deterministic, SQL-expressible — the
-    shape of a Gopher/C4-style quality filter.
+    shape of a Gopher/C4-style quality filter. ``keep_text`` carries the
+    text column through (streaming callers can't join it back by id
+    without a stream-stream join).
     """
     t = F.col(text_col)
     n_chars = F.greatest(F.length(t), F.lit(1))
@@ -119,8 +126,11 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + (F.lit(1.0) - punct_ratio) * 0.2
         + (F.lit(1.0) - digit_ratio) * 0.2
     )
+    cols = [F.col(id_col)]
+    if keep_text:
+        cols.append(F.col(text_col))
     return df.select(
-        F.col(id_col),
+        *cols,
         n_tokens.alias("n_tokens"),
         F.round(score, 6).alias("quality"),
     )

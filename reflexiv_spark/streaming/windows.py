@@ -120,6 +120,35 @@ def streaming_dedup(
     )
 
 
+def clean_doc_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_quality: float = 0.6,
+) -> DataFrame:
+    """Streaming twin of the batch cleaning pipeline
+    (:func:`reflexiv_spark.datapipe.pipeline.clean_corpus`): quality
+    scoring + threshold filters are the SAME stateless Catalyst
+    expressions (transformations work identically on streaming frames),
+    and exact dedup becomes the stateful exactly-first operator keyed by
+    the normalized content hash — duplicates are suppressed ACROSS
+    micro-batches (and across restarts via the checkpointed state
+    store; see tests/test_streaming.py's restart drill).
+
+    Returns a streaming DataFrame[id, text, n_tokens, quality]; write
+    with update output mode (foreachBatch for file sinks).
+    """
+    from reflexiv_spark.datapipe.dedup import normalize_text
+    from reflexiv_spark.datapipe.text import quality_score
+
+    scored = quality_score(stream, text_col, id_col, keep_text=True).where(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    keyed = scored.withColumn("__key", F.md5(normalize_text(text_col)))
+    return streaming_dedup(keyed, key_col="__key").drop("__key")
+
+
 def stream_from_files(
     spark,
     path: str,

@@ -203,6 +203,58 @@ def test_streaming_dedup_checkpoint_restart(spark, tmp_path):
     assert [r.value for r in rows if r.event_id == 2] == [2.0]
 
 
+def test_clean_doc_stream_filters_and_dedups_across_batches(spark, tmp_path):
+    """The streaming cleaning twin: quality/token filters apply per row,
+    and the content-hash dedup suppresses a clone arriving in a LATER
+    micro-batch than its original."""
+    import json as _json
+    import time
+
+    from pyspark.sql.types import StringType
+
+    from reflexiv_spark.streaming.windows import clean_doc_stream
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "story of the morning in the field where everything is calm"
+    )
+    other = (
+        "a completely different document about the sea and the wind that "
+        "is long enough to pass the token floor and the quality gate "
+        "because it is made of the usual words and of plain sentences"
+    )
+    d = tmp_path / "clean_in"
+    d.mkdir()
+    batches = [
+        [{"doc_id": 1, "text": good}, {"doc_id": 2, "text": "too short"}],
+        [{"doc_id": 3, "text": good}, {"doc_id": 4, "text": other}],
+    ]
+    for i, rows in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        time.sleep(1.1)
+
+    stream = stream_from_files(spark, str(d), schema, max_files_per_trigger=1)
+    out = clean_doc_stream(stream, min_tokens=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_stream_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM clean_stream_out").collect()
+    # doc 2 failed the token floor; doc 3 (cross-batch clone of 1) was
+    # suppressed by the state store; 1 and 4 survive with their scores
+    assert sorted(r.doc_id for r in rows) == [1, 4]
+    assert all(r.quality >= 0.6 and r.n_tokens >= 10 for r in rows)
+
+
 def test_streaming_dedup_state_across_batches(spark, tmp_path):
     d = tmp_path / "in2"
     d.mkdir()
