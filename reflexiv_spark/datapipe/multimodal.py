@@ -1011,3 +1011,129 @@ def extract_features(
             yield pd.DataFrame({"id": pdf["id"], "embedding": vecs})
 
     return cols.mapInPandas(embed, schema=schema)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (n×n): D @ x applies the transform."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash64_of_pixels(px) -> int:
+    """64-bit perceptual hash of one decoded image (classic pHash shape):
+    grayscale → 32×32 box resample → 2-D DCT → 8×8 low-frequency block →
+    sign vs the median of the 63 AC coefficients (DC excluded, so the
+    hash is invariant to uniform brightness shifts)."""
+    import numpy as np
+
+    gray = px.astype(np.float64).mean(axis=2, keepdims=True)
+    g32 = _box_resample(gray, 32, 32).astype(np.float64)[..., 0]
+    d = _dct_matrix(32)
+    low = (d @ g32 @ d.T)[:8, :8].reshape(-1)
+    ac = low[1:]
+    bits = ac > np.median(ac)
+    out = 0
+    for b in bits:  # 63 bits; bit 63 stays 0 so the value is sign-safe
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_phash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "id"
+) -> DataFrame:
+    """DataFrame[id, phash: bigint, status] — perceptual hashes of PNG /
+    baseline-JPEG blobs via the shared pixel decoder, Arrow-batched.
+    Undecodable rows get a NULL hash and a reason, never a dead batch.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("phash", LongType(), True),
+            StructField("status", StringType(), False),
+        ]
+    )
+    cols = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(blob_col).alias("blob")
+    )
+
+    def hash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes, status = [], []
+            for b in pdf["blob"]:
+                try:
+                    px = _decode_pixels(bytes(b or b""))
+                    hashes.append(phash64_of_pixels(px))
+                    status.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-row status
+                    hashes.append(None)
+                    status.append(f"undecodable: {e}"[:80])
+            yield pd.DataFrame(
+                {"id": pdf["id"], "phash": pd.array(hashes, dtype="Int64"),
+                 "status": status}
+            )
+
+    return cols.mapInPandas(hash_batches, schema)
+
+
+def image_near_dups(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate image pairs: DataFrame[id1, id2, hamming] with
+    id1 < id2 and pHash hamming distance ≤ ``max_hamming``.
+
+    Candidates come from a chunk equi-join over four 16-bit hash chunks
+    — the same bucketed device as the SimHash text path
+    (:func:`reflexiv_spark.datapipe.dedup.simhash_pairs`); never
+    all-pairs, exact ``bit_count(xor)`` verifies. The pigeonhole
+    GUARANTEE covers hamming < 4 (some chunk must match); higher
+    distances are found only when the differing bits cluster, which
+    pHash bit differences empirically do (neighboring DCT signs flip
+    together) — raise the chunk count for a hard guarantee at larger
+    ``max_hamming``.
+    """
+    hashed = image_phash(df, blob_col, id_col).where(
+        F.col("phash").isNotNull()
+    )
+    ch = hashed.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftrightunsigned("phash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "phash", F.col("s.c").alias("c"), F.col("s.chunk").alias("chunk"))
+    a = ch.select(F.col("id").alias("id1"), F.col("phash").alias("h1"), "c", "chunk")
+    b = ch.select(F.col("id").alias("id2"), F.col("phash").alias("h2"), "c", "chunk")
+    return (
+        a.join(b, ["c", "chunk"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        .dropDuplicates(["id1", "id2"])
+        .where(F.col("hamming") <= max_hamming)
+    )

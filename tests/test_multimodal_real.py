@@ -339,3 +339,52 @@ def test_sample_audio_frames_real_truncated_last_frame(spark):
         key=lambda r: r.frame_idx,
     )
     assert [r.n_samples for r in out] == [32, 8]
+
+
+def test_image_phash_and_near_dups(spark):
+    """pHash: invariant to uniform brightness, stable under mild noise,
+    far for unrelated images; the chunked pair join finds exactly the
+    planted near-dup cluster."""
+    from reflexiv_spark.datapipe.multimodal import (
+        image_near_dups,
+        image_phash,
+        phash64_of_pixels,
+    )
+
+    rng = np.random.RandomState(23)
+    # structured base image (gradient + blob) so the DCT spectrum is rich
+    yy, xx = np.mgrid[0:64, 0:64]
+    base = (yy * 2 + xx + ((yy - 20) ** 2 + (xx - 40) ** 2 < 150) * 80) % 256
+    base = np.repeat(base[..., None], 3, axis=2).astype(np.uint8)
+    brighter = np.clip(base.astype(int) + 25, 0, 255).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-6, 7, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+
+    # driver-side sanity on the kernel itself
+    h_base = phash64_of_pixels(base)
+    assert phash64_of_pixels(brighter) == h_base  # DC excluded
+    assert bin(h_base ^ phash64_of_pixels(noisy)).count("1") <= 6
+    assert bin(h_base ^ phash64_of_pixels(other)).count("1") > 12
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_encode_png(base))),
+            (2, bytearray(_encode_png(brighter))),
+            (3, bytearray(_encode_png(noisy))),
+            (4, bytearray(_encode_png(other))),
+            (5, bytearray(b"not an image")),
+        ],
+        "id long, blob binary",
+    )
+    hashed = {r.id: r for r in image_phash(df).collect()}
+    assert hashed[1].phash == h_base and hashed[1].status == "ok"
+    assert hashed[5].phash is None and "undecodable" in hashed[5].status
+
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in image_near_dups(df, max_hamming=8).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert pairs[(1, 2)] == 0
