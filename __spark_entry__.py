@@ -128,6 +128,50 @@ def _sql_md5l(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
+def _sql_minhash_pairs_ctes() -> str:
+    """CTE chain ``sh, mins, bnd, cand, ag, pairs`` bit-replaying
+    ``minhash_lsh_pairs(hash_family='md5', w=8, num_hashes=32, bands=8,
+    threshold=0.5)`` — shared by the ``minhash_near_dup``,
+    ``dup_clusters`` and ``cluster_keep_best`` oracles."""
+    return (
+        "sh AS (SELECT DISTINCT doc_id AS id, "
+        + _sql_md5l("substr(text, CAST(i AS INT), 8)")
+        + " AS h FROM documents,"
+        " unnest(generate_series(1, length(text) - 7)) AS t(i)"
+        " WHERE length(text) >= 8), "
+        "mins AS (SELECT id, CAST(j AS INT) AS j, min("
+        + _sql_md5l("CAST(h AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+        + ") AS m FROM sh, unnest(generate_series(0, 31)) AS u(j)"
+        " GROUP BY 1, 2), "
+        "bnd AS (SELECT id, j // 4 AS band_idx,"
+        " string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key"
+        " FROM mins GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bnd a"
+        " JOIN bnd b ON a.band_idx = b.band_idx"
+        " AND a.band_key = b.band_key AND a.id < b.id), "
+        "ag AS (SELECT c.id1, c.id2,"
+        " sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS est"
+        " FROM cand c JOIN mins ma ON ma.id = c.id1"
+        " JOIN mins mb ON mb.id = c.id2 AND mb.j = ma.j GROUP BY 1, 2), "
+        "pairs AS (SELECT id1, id2, round(est, 6) AS est_jaccard FROM ag"
+        " WHERE round(est, 6) >= 0.5)"
+    )
+
+
+def _sql_cc_ctes() -> str:
+    """CTE chain ``e, reach, cc`` — connected components (min reachable
+    id) over the ``pairs`` CTE via a recursive min-label closure; the
+    DuckDB twin of ``reflexiv_spark.datapipe.cluster.connected_components``
+    (requires the query to open with WITH RECURSIVE)."""
+    return (
+        "e AS (SELECT id1 AS a, id2 AS b FROM pairs"
+        " UNION ALL SELECT id2, id1 FROM pairs), "
+        "reach AS (SELECT a AS node, a AS lbl FROM e"
+        " UNION SELECT e.a, r.lbl FROM e JOIN reach r ON e.b = r.node), "
+        "cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)"
+    )
+
+
 def _sql_lsh_buckets(n_probes: int, n_planes: int, dim: int, seed: int = 42) -> str:
     """CTE chain ``pl, qv, bits, bk`` replaying
     ``reflexiv_spark.datapipe.similarity.lsh_buckets(plane_family='md5')``:
@@ -487,6 +531,10 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline (shingle hash → 32 minima → 8 banded buckets → candidate
     join → signature-agreement estimate) bit-replayable by the SQL oracle;
     production keeps the xxhash64 default."""
+    return _minhash_pairs_md5(spark, sf_dir)
+
+
+def _minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -497,6 +545,31 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         hash_family="md5",
     )
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: near-duplicate CLUSTERS — connected components over the
+    MinHash pair graph (hash-to-min + pointer jumping,
+    ``datapipe/cluster.py``), the RefinedWeb/SlimPajama-style grouping
+    step between pair generation and one-survivor-per-group dedup."""
+    from reflexiv_spark.datapipe.cluster import dup_clusters
+
+    return dup_clusters(_minhash_pairs_md5(spark, sf_dir))
+
+
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: cluster-aware dedup keeping the highest-quality member
+    of every near-dup component (ties → smallest id); singletons
+    survive untouched."""
+    from reflexiv_spark.datapipe.cluster import keep_best_per_cluster
+    from reflexiv_spark.datapipe.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    score = quality_score(docs).select("doc_id", "quality")
+    out = keep_best_per_cluster(
+        docs, _minhash_pairs_md5(spark, sf_dir), score
+    )
+    return out.select("doc_id")
 
 
 def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contained_dedup": q_contained_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_near_dup": q_minhash_near_dup,
+        "dup_clusters": q_dup_clusters,
+        "cluster_keep_best": q_cluster_keep_best,
         "simhash_dup": q_simhash_dup,
         "text_stats": q_text_stats,
         "token_count": q_token_count,
@@ -1338,27 +1413,48 @@ def oracle_sql() -> dict[str, str]:
             # bit-exact replay of minhash_lsh_pairs(hash_family='md5'):
             # shingle → md5 long → 32 rehashed minima → 8 bands (r=4) →
             # banded candidate join → agreement estimate
-            "WITH sh AS (SELECT DISTINCT doc_id AS id, "
-            + _sql_md5l("substr(text, CAST(i AS INT), 8)")
-            + " AS h FROM documents,"
-            " unnest(generate_series(1, length(text) - 7)) AS t(i)"
-            " WHERE length(text) >= 8), "
-            "mins AS (SELECT id, CAST(j AS INT) AS j, min("
-            + _sql_md5l("CAST(h AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
-            + ") AS m FROM sh, unnest(generate_series(0, 31)) AS u(j)"
-            " GROUP BY 1, 2), "
-            "bnd AS (SELECT id, j // 4 AS band_idx,"
-            " string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS band_key"
-            " FROM mins GROUP BY 1, 2), "
-            "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bnd a"
-            " JOIN bnd b ON a.band_idx = b.band_idx"
-            " AND a.band_key = b.band_key AND a.id < b.id), "
-            "ag AS (SELECT c.id1, c.id2,"
-            " sum(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) / 32.0 AS est"
-            " FROM cand c JOIN mins ma ON ma.id = c.id1"
-            " JOIN mins mb ON mb.id = c.id2 AND mb.j = ma.j GROUP BY 1, 2) "
-            "SELECT id1, id2, round(est, 6) AS est_jaccard FROM ag"
-            " WHERE round(est, 6) >= 0.5"
+            "WITH "
+            + _sql_minhash_pairs_ctes()
+            + " SELECT id1, id2, est_jaccard FROM pairs"
+        ),
+        "dup_clusters": (
+            # minhash pairs → recursive min-label closure = connected
+            # components; csize = members per component
+            "WITH RECURSIVE "
+            + _sql_minhash_pairs_ctes()
+            + ", "
+            + _sql_cc_ctes()
+            + ", csz AS (SELECT component, count(*) AS csize FROM cc"
+            " GROUP BY component) "
+            "SELECT cc.node AS doc_id, cc.component,"
+            " CAST(csz.csize AS BIGINT) AS csize"
+            " FROM cc JOIN csz USING (component)"
+        ),
+        "cluster_keep_best": (
+            # cluster-aware dedup: highest-quality member survives per
+            # component (ties → smallest id); singletons untouched
+            "WITH RECURSIVE "
+            + _sql_minhash_pairs_ctes()
+            + ", "
+            + _sql_cc_ctes()
+            + ", qc AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,"
+            r" length(regexp_extract_all(text, '\S+')) AS n_tokens,"
+            r" length(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that)\b')) AS stop_hits,"
+            r" length(regexp_extract_all(text, '[^\w\s]')) AS n_punct,"
+            " length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits"
+            " FROM documents), "
+            "qv AS (SELECT doc_id,"
+            " round(least(1.0, n_tokens / 50.0) * 0.3"
+            " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
+            " + (1.0 - n_punct / n_chars) * 0.2"
+            " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality FROM qc), "
+            "rk AS (SELECT cc.node, row_number() OVER ("
+            " PARTITION BY cc.component"
+            " ORDER BY qv.quality DESC, cc.node ASC) AS rnk"
+            " FROM cc JOIN qv ON qv.doc_id = cc.node), "
+            "losers AS (SELECT node FROM rk WHERE rnk > 1) "
+            "SELECT d.doc_id FROM documents d LEFT JOIN losers l"
+            " ON d.doc_id = l.node WHERE l.node IS NULL"
         ),
         "simhash_dup": (
             # replay of simhash_pairs(hash_family='md5'): 60-bit sign

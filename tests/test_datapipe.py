@@ -432,3 +432,44 @@ def test_multimodal_real_decode_gated(spark):
     df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
     with pytest.raises(Exception, match="PIL|opencv"):
         resize_images(df, 4, 4, fake=False).collect()
+
+
+def test_connected_components_topologies(spark):
+    from reflexiv_spark.datapipe.cluster import connected_components
+
+    # chain 1-2-3-4, star 10-{11,12,13}, isolated pair 20-21,
+    # a cycle 30-31-32-30 (odd length — exercises the jump path)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13),
+         (20, 21), (30, 31), (31, 32), (32, 30)],
+        "id1 long, id2 long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_keep_best_per_cluster_beats_greedy(spark):
+    """Chain A~B, B~C (A!~C): greedy min-id dropping deletes B AND C;
+    cluster-aware keep-best keeps exactly one — and it is the highest-
+    quality member, not the smallest id."""
+    from reflexiv_spark.datapipe.cluster import dup_clusters, keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "lonely")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    score = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)], "doc_id long, quality double"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, pairs, score).select("doc_id").collect()
+    )
+    # one survivor from {1,2,3} (the best: 2) plus the singleton 9
+    assert kept == [2, 9]
+
+    cl = {r["doc_id"]: (r["component"], r["csize"])
+          for r in dup_clusters(pairs).collect()}
+    assert cl == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
