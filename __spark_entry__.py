@@ -668,6 +668,21 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: KMV distinct-count sketch over the document token
+    vocabulary — k smallest distinct hashes (plan-invariant, mergeable),
+    estimate (k-1)/u_k. One pass, ≤ k rows per partition exchanged;
+    never shuffles O(n) or O(NDV). md5 family for the bit-replay."""
+    from reflexiv_spark.datapipe.sketch import kmv_distinct
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+        ).alias("tok")
+    )
+    return kmv_distinct(toks, "tok", k=256, hash_family="md5")
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: deterministic hash-gated sampling — reproducible under
     any partitioning (a pure function of the row id), bit-replayable by
@@ -1168,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "kmv_distinct": q_kmv_distinct,
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "unigram_logprob": q_unigram_logprob,
@@ -1659,6 +1675,21 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT t AS token, count(*) AS cnt FROM documents,"
             r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)"
             " GROUP BY t HAVING count(*) >= 100"
+        ),
+        "kmv_distinct": (
+            # bit-replay of kmv_distinct(k=256, hash_family='md5'): the
+            # k smallest distinct hashes are plan-invariant, so DISTINCT
+            # + ORDER + LIMIT reproduces the one-pass Spark sketch exactly
+            "WITH toks AS (SELECT t FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)), "
+            "hs AS (SELECT DISTINCT " + _sql_md5l("t") + " AS h FROM toks), "
+            "mins AS (SELECT h FROM hs ORDER BY h LIMIT 256), "
+            "a AS (SELECT max(h) AS kth_hash, count(*) AS n_mins FROM mins) "
+            "SELECT CAST(256 AS BIGINT) AS k, CAST(n_mins AS BIGINT) AS n_mins,"
+            " kth_hash, CAST(CASE WHEN n_mins < 256 THEN CAST(n_mins AS DOUBLE)"
+            " ELSE floor(255.0 * 1152921504606846976.0 /"
+            " (CAST(kth_hash AS DOUBLE) + 1.0)) END AS BIGINT) AS est_ndv"
+            " FROM a"
         ),
         "doc_fingerprint": (
             "SELECT doc_id, list_aggregate(list_transform("

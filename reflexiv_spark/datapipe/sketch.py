@@ -143,3 +143,89 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_count)
     )
+
+
+def kmv_minima(
+    df: DataFrame,
+    key_col,
+    k: int = 256,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The k smallest DISTINCT hash values of ``key_col`` →
+    DataFrame[h: long] (≤ k rows, sorted ascending).
+
+    The result is a pure function of the key SET — plan- and
+    partitioning-invariant — which is what makes the estimator
+    oracle-able. The plan is one pass: an Arrow-batched per-partition
+    distinct-minima fold (each partition emits ≤ k longs, numpy
+    ``unique`` per batch with a carried merge), then a trivial global
+    merge of ≤ k × n_partitions rows. Nothing shuffles O(n) or O(NDV)
+    rows — the whole point vs ``count_distinct`` at 100 TB, and the
+    sketch is mergeable across corpora by construction (union the
+    minima, re-take the k smallest).
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if hash_family == "md5":
+        h = md5_long(c.cast("string"))
+    else:
+        h = F.xxhash64(c)
+    hs = df.select(h.alias("h")).where(F.col("h").isNotNull())
+
+    def _part_minima(batches):
+        carry = None
+        for pdf in batches:
+            u = np.unique(pdf["h"].to_numpy())
+            carry = u if carry is None else np.unique(np.concatenate([carry, u]))
+            carry = carry[:k]
+        if carry is not None and len(carry):
+            yield pd.DataFrame({"h": carry})
+
+    part = hs.mapInPandas(_part_minima, "h long")
+    return part.distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col,
+    k: int = 256,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate → one row
+    [k, n_mins, kth_hash, est_ndv].
+
+    Estimator: with hashes uniform on [0, 1), the kth smallest value
+    u_k among n distinct keys concentrates around k/n, so
+    ``est = (k-1) / u_k`` (the classic unbiased KMV form). If fewer
+    than k distinct hashes exist the sketch has seen every key and the
+    count is exact. Deterministic per hash family: md5 runs bit-equal
+    in the SQL oracle; production keeps xxhash64 (same arithmetic on
+    the sign-shifted 64-bit range).
+    """
+    mins = kmv_minima(df, key_col, k, hash_family)
+    if hash_family == "md5":
+        # md5_long is 60 bits: u = (h + 1) / 2^60
+        est = (F.lit(float(k - 1)) * F.lit(float(1 << 60))) / (
+            F.col("kth_hash").cast("double") + F.lit(1.0)
+        )
+    else:
+        # xxhash64 is signed 64-bit: u = (h + 2^63 + 1) / 2^64
+        est = (F.lit(float(k - 1)) * F.lit(float(1 << 64))) / (
+            F.col("kth_hash").cast("double") + F.lit(float(1 << 63)) + F.lit(1.0)
+        )
+    return (
+        mins.agg(
+            F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_mins")
+        )
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_mins").cast("bigint").alias("n_mins"),
+            "kth_hash",
+            F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+            .otherwise(F.floor(est).cast("double"))
+            .cast("bigint")
+            .alias("est_ndv"),
+        )
+    )

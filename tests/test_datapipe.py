@@ -473,3 +473,21 @@ def test_keep_best_per_cluster_beats_greedy(spark):
     cl = {r["doc_id"]: (r["component"], r["csize"])
           for r in dup_clusters(pairs).collect()}
     assert cl == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from reflexiv_spark.datapipe.sketch import kmv_distinct
+
+    # fewer distinct keys than k → exact count
+    small = spark.range(0, 1000).select((F.col("id") % 37).alias("key"))
+    row = kmv_distinct(small, "key", k=256).collect()[0]
+    assert row["est_ndv"] == 37 and row["n_mins"] == 37
+
+    # 20k distinct keys, k=256 → estimate within 20%
+    big = spark.range(0, 20000).select(F.concat(F.lit("key-"), "id").alias("key"))
+    est = kmv_distinct(big, "key", k=256).collect()[0]["est_ndv"]
+    assert abs(est - 20000) / 20000 < 0.2, est
+
+    # partitioning-invariant: same estimate after a re-layout
+    est2 = kmv_distinct(big.repartition(7), "key", k=256).collect()[0]["est_ndv"]
+    assert est2 == est
