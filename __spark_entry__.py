@@ -626,6 +626,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: Gopher-style repetition filters — duplicate-line
+    fractions and the top word-bigram character fraction, per document.
+    Both aggregations are keyed by (doc, line/bigram): doc-scoped keys,
+    no global hot key, fan-out bounded by document length."""
+    from reflexiv_spark.datapipe.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe capstone: the composed training-data cleaning pipeline —
     quality/language scoring → threshold filters → exact dedup → MinHash
@@ -1179,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
@@ -1537,6 +1548,41 @@ def oracle_sql() -> dict[str, str]:
             " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
             " + (1.0 - n_punct / n_chars) * 0.2"
             " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality FROM c"
+        ),
+        "repetition_stats": (
+            r"WITH ln AS (SELECT doc_id, trim(l) AS line FROM documents,"
+            " unnest(string_split(coalesce(text, ''), chr(10))) AS u(l)"
+            " ), lnf AS (SELECT doc_id, line FROM ln WHERE line <> ''), "
+            "lc AS (SELECT doc_id, line, count(*) AS c FROM lnf"
+            " GROUP BY 1, 2), "
+            "la AS (SELECT doc_id, sum(c) AS n_lines,"
+            " 1.0 - count(*) / CAST(sum(c) AS DOUBLE) AS dlf,"
+            " sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)"
+            " / CAST(sum(c * length(line)) AS DOUBLE) AS dlcf"
+            " FROM lc GROUP BY 1), "
+            "wd AS (SELECT doc_id,"
+            " greatest(length(coalesce(text, '')), 1) AS n_chars,"
+            r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+            " FROM documents), "
+            "bgl AS (SELECT doc_id, n_chars,"
+            " list_transform(generate_series(1, len(ws) - 1),"
+            " i -> ws[i] || ' ' || ws[i + 1]) AS bgs"
+            " FROM wd WHERE len(ws) >= 2), "
+            "bg AS (SELECT doc_id, n_chars, b AS bigram FROM bgl,"
+            " unnest(bgs) AS u(b)), "
+            "bc AS (SELECT doc_id, bigram, count(*) AS c,"
+            " any_value(n_chars) AS n_chars FROM bg GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, bigram AS top_bigram,"
+            " round(c * length(bigram) / CAST(n_chars AS DOUBLE), 6) AS tbcf"
+            " FROM (SELECT *, row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY c DESC, bigram ASC) AS rn FROM bc) WHERE rn = 1) "
+            "SELECT d.doc_id, CAST(coalesce(la.n_lines, 0) AS BIGINT)"
+            " AS n_lines, round(coalesce(la.dlf, 0.0), 6) AS dup_line_frac,"
+            " round(coalesce(la.dlcf, 0.0), 6) AS dup_line_char_frac,"
+            " coalesce(top.top_bigram, '') AS top_bigram,"
+            " coalesce(top.tbcf, 0.0) AS top_bigram_char_frac"
+            " FROM documents d LEFT JOIN la ON d.doc_id = la.doc_id"
+            " LEFT JOIN top ON d.doc_id = top.doc_id"
         ),
         "clean_corpus": (
             # CTE chain replaying the composed pipeline end to end:

@@ -276,3 +276,102 @@ def doc_fingerprint(
     return df.where(F.length(t) >= w).select(
         F.col(id_col), fp.alias("fingerprint")
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetitive-text statistics per document:
+    DataFrame[id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram, top_bigram_char_frac].
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty trimmed
+      lines — the "document is mostly the same line over and over"
+      signal.
+    - ``dup_line_char_frac``: fraction of line characters that sit in a
+      line occurring more than once.
+    - ``top_bigram_char_frac``: characters covered by the most frequent
+      word bigram (count × bigram length / document length); ties break
+      to the lexicographically smallest bigram so the statistic is
+      deterministic.
+
+    These are the repetition filters of Rae et al., "Scaling Language
+    Models: ... Gopher" (arXiv:2112.11446) §A1.1, re-derived as
+    DataFrame aggregations. Line stats are one shuffle keyed by
+    (doc, line); bigram stats one shuffle keyed by (doc, bigram) —
+    both keys are doc-scoped so there is no global hot key and the
+    fan-out is bounded by document length. Docs with no lines / fewer
+    than two words get zero fractions, never dropped.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(F.col(id_col), t.alias("__t"))
+
+    # --- line-level: explode non-empty trimmed lines, count per line
+    lines = base.select(
+        id_col, F.explode(F.split(F.col("__t"), "\n")).alias("__l")
+    ).select(id_col, F.trim(F.col("__l")).alias("line")).where(F.col("line") != "")
+    lc = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    la = lc.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        (F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double")).alias(
+            "__dlf"
+        ),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line")).otherwise(0))
+            / F.sum(F.col("c") * F.length("line")).cast("double")
+        ).alias("__dlcf"),
+    )
+
+    # --- bigram-level: zip_with over the shifted word array (Catalyst-
+    # only construction), explode, count, keep the argmax per doc
+    words = F.regexp_extract_all(F.lower(F.col("__t")), F.lit(r"\w+"), 0)
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = base.select(
+        id_col,
+        F.greatest(F.length("__t"), F.lit(1)).alias("__n_chars"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    bc = bg.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("c"), F.first("__n_chars").alias("__n_chars")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("bigram").asc()
+    )
+    top = (
+        bc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("bigram").alias("top_bigram"),
+            F.round(
+                F.col("c") * F.length("bigram") / F.col("__n_chars"), 6
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+    return (
+        df.select(id_col)
+        .join(la, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.round(F.coalesce("__dlf", F.lit(0.0)), 6).alias("dup_line_frac"),
+            F.round(F.coalesce("__dlcf", F.lit(0.0)), 6).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+                "top_bigram_char_frac"
+            ),
+        )
+    )

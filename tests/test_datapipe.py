@@ -491,3 +491,29 @@ def test_kmv_distinct_exact_and_estimate(spark):
     # partitioning-invariant: same estimate after a re-layout
     est2 = kmv_distinct(big.repartition(7), "key", k=256).collect()[0]["est_ndv"]
     assert est2 == est
+
+
+def test_repetition_stats_planted(spark):
+    from reflexiv_spark.datapipe.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "spam spam" repeated: 3 dup lines of 4 total
+            (1, "buy now\nbuy now\nbuy now\nunique line"),
+            # no repetition at all
+            (2, "alpha bravo\ncharlie delta"),
+            # empty text → zero fractions, not dropped
+            (3, ""),
+            # dominant bigram: "very very" x4 in 8 words
+            (4, "very very very very very okay then done"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_lines"] == 4
+    assert abs(got[1]["dup_line_frac"] - 0.5) < 1e-9  # 2 distinct / 4 lines
+    # 3*7 chars in the repeated line over 3*7+11 total line chars
+    assert abs(got[1]["dup_line_char_frac"] - 21 / 32) < 1e-6
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 0 and got[3]["top_bigram"] == ""
+    assert got[4]["top_bigram"] == "very very"
