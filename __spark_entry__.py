@@ -678,6 +678,37 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: benchmark decontamination — training docs sharing word
+    n-grams with the eval split (doc_id % 10 == 0 here; n=4 so the
+    synthetic corpus actually overlaps — real pipelines use n≈13). Eval
+    gram hashes broadcast; the corpus is scanned once."""
+    from reflexiv_spark.datapipe.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return decontaminate(tr, ev, n=4, hash_family="md5")
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: exact per-language token-count quantiles via the value
+    histogram + cumulative window — the shuffle carries one row per
+    distinct (lang, count), never a global sort."""
+    from reflexiv_spark.datapipe.stats import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"\w+"), 0
+            )
+        ).alias("n_tokens"),
+    )
+    return group_quantiles(v, "n_tokens", ["lang"], (25, 50, 90, 99))
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: KMV distinct-count sketch over the document token
     vocabulary — k smallest distinct hashes (plan-invariant, mergeable),
@@ -1194,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "decontaminate": q_decontaminate,
+        "token_quantiles": q_token_quantiles,
         "kmv_distinct": q_kmv_distinct,
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
@@ -1721,6 +1754,43 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT t AS token, count(*) AS cnt FROM documents,"
             r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)"
             " GROUP BY t HAVING count(*) >= 100"
+        ),
+        "decontaminate": (
+            # replay of decontaminate(n=4, hash_family='md5') with the
+            # doc_id%10 eval split
+            r"WITH wd AS (SELECT doc_id,"
+            r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+            " FROM documents), "
+            "gl AS (SELECT doc_id,"
+            " list_transform(generate_series(1, len(ws) - 3),"
+            " i -> array_to_string(list_slice(ws, i, i + 3), ' ')) AS gs"
+            " FROM wd WHERE len(ws) >= 4), "
+            "g AS (SELECT doc_id, " + _sql_md5l("gm") + " AS h FROM gl,"
+            " unnest(gs) AS u(gm)), "
+            "ev AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 0), "
+            "tr AS (SELECT doc_id, h FROM g WHERE doc_id % 10 <> 0) "
+            "SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits,"
+            " CAST(count(DISTINCT tr.h) AS BIGINT) AS n_distinct_grams"
+            " FROM tr JOIN ev ON tr.h = ev.h GROUP BY tr.doc_id"
+        ),
+        "token_quantiles": (
+            r"WITH v AS (SELECT lang,"
+            r" length(regexp_extract_all(lower(coalesce(text, '')), '\w+'))"
+            " AS nt FROM documents), "
+            "h AS (SELECT lang, nt, count(*) AS c FROM v GROUP BY 1, 2), "
+            "cm AS (SELECT lang, nt,"
+            " sum(c) OVER (PARTITION BY lang ORDER BY nt) AS cum,"
+            " sum(c) OVER (PARTITION BY lang) AS n FROM h) "
+            "SELECT lang, CAST(max(n) AS BIGINT) AS n_rows,"
+            " CAST(min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN nt END)"
+            " AS BIGINT) AS p25,"
+            " CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN nt END)"
+            " AS BIGINT) AS p50,"
+            " CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN nt END)"
+            " AS BIGINT) AS p90,"
+            " CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN nt END)"
+            " AS BIGINT) AS p99"
+            " FROM cm GROUP BY lang"
         ),
         "kmv_distinct": (
             # bit-replay of kmv_distinct(k=256, hash_family='md5'): the

@@ -517,3 +517,41 @@ def test_repetition_stats_planted(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["n_lines"] == 0 and got[3]["top_bigram"] == ""
     assert got[4]["top_bigram"] == "very very"
+
+
+def test_decontaminate_planted_overlap(spark):
+    from reflexiv_spark.datapipe.decontam import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # contains the eval 4-gram "quick brown fox jumps" twice
+            (1, "a quick brown fox jumps here and a quick brown fox jumps there"),
+            (2, "completely unrelated words in this sentence"),
+            # shares only a 3-gram, not a 4-gram
+            (3, "quick brown fox sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(tr, ev, n=4).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_hits"] == 2 and got[1]["n_distinct_grams"] == 1
+
+
+def test_group_quantiles_exact(spark):
+    from reflexiv_spark.datapipe.stats import group_quantiles
+
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)] * 3
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r["g"]: r for r in group_quantiles(df, "v", ["g"], (50, 90, 99)).collect()}
+    # 100 values 1..100: ceil(.5*100)=50th value = 50, p90 -> 90, p99 -> 99
+    assert (got["a"]["p50"], got["a"]["p90"], got["a"]["p99"]) == (50, 90, 99)
+    assert got["a"]["n_rows"] == 100
+    assert (got["b"]["p50"], got["b"]["p99"]) == (7, 7)
+
+    # invariant under re-partitioning (histogram is plan-independent)
+    got2 = {r["g"]: r for r in group_quantiles(df.repartition(13), "v", ["g"], (50, 90, 99)).collect()}
+    assert got2 == got
