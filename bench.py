@@ -73,6 +73,12 @@ HEADLINE = [
     # candidate exchange is id-only and AQE splits oversized partitions
     # (tests/test_skew.py proves the split mechanism fires).
     "skew_near_dup",
+    # round-5 tail: duplicate clustering (pairs → connected components),
+    # eval-set decontamination, and the repetition quality filters —
+    # each on its production hash family
+    "dup_clusters_xxh64",
+    "decontaminate_xxh64",
+    "repetition_stats",
 ]
 
 
@@ -127,8 +133,28 @@ def _bench_only_queries():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return ivf_topk(emb, dim=64, k=3, n_probes=2)
 
+    def dup_clusters_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.cluster import dup_clusters
+        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, w=8, num_hashes=32, bands=8, threshold=0.5)
+        return dup_clusters(pairs)
+
+    def decontaminate_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.decontam import decontaminate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ev = docs.where(F.col("doc_id") % 10 == 0)
+        tr = docs.where(F.col("doc_id") % 10 != 0)
+        return decontaminate(tr, ev, n=4)
+
     return {
         "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
+        "dup_clusters_xxh64": dup_clusters_xxh64,
+        "decontaminate_xxh64": decontaminate_xxh64,
         "ann_lsh_gauss": ann_lsh_gauss,
         "embedding_dedup_gauss": embedding_dedup_gauss,
         "ann_ivf_adaptive": ann_ivf_adaptive,

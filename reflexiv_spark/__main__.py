@@ -157,6 +157,23 @@ def main(argv: list[str] | None = None) -> int:
     tc.add_argument("--no-near", action="store_true",
                     help="skip the MinHash near-dup stage")
 
+    cl = add("text-cluster", help="datapipe: near-dup clustering "
+             "(MinHash pairs -> connected components); --keep-best "
+             "writes the surviving docs instead of the cluster map")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--threshold", type=float, default=0.5)
+    cl.add_argument("--keep-best", action="store_true",
+                    help="one survivor per cluster, by quality score")
+
+    dc = add("decontam", help="datapipe: flag training docs sharing "
+             "word n-grams with an eval set")
+    dc.add_argument("--eval", required=True, dest="eval_path",
+                    help="eval/benchmark parquet path")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("-n", "--ngram", type=int, default=13)
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -334,6 +351,39 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             langs=None if args.langs == "any" else tuple(args.langs.split(",")),
             near_dup=not args.no_near,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-cluster":
+        from reflexiv_spark.datapipe.cluster import (
+            dup_clusters,
+            keep_best_per_cluster,
+        )
+        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+
+        df = spark.read.parquet(args.input)
+        pairs = minhash_lsh_pairs(
+            df, text_col=args.text_col, id_col=args.id_col,
+            threshold=args.threshold,
+        )
+        if args.keep_best:
+            from reflexiv_spark.datapipe.text import quality_score
+
+            score = quality_score(
+                df, text_col=args.text_col, id_col=args.id_col
+            ).select(args.id_col, "quality")
+            out = keep_best_per_cluster(
+                df, pairs, score, id_col=args.id_col
+            )
+        else:
+            out = dup_clusters(pairs, id_col=args.id_col)
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "decontam":
+        from reflexiv_spark.datapipe.decontam import decontaminate
+
+        out = decontaminate(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.eval_path),
+            text_col=args.text_col, id_col=args.id_col, n=args.ngram,
         )
         _write(out, args.output, args.outformat)
     return 0

@@ -123,3 +123,37 @@ def test_cli_text_clean(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     assert [r.doc_id for r in got] == [1]  # clone and short doc dropped
     assert got[0].pred_lang == "en" and got[0].quality >= 0.6
+
+
+def test_cli_text_cluster_and_decontam(spark, tmp_path):
+    base = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "story of the morning in the field where everything is calm"
+    )
+    near = base.replace("morning", "evening")
+    rows = [(1, base), (2, near), (3, "something else entirely here now")]
+    inp = tmp_path / "docs.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(inp))
+
+    out = tmp_path / "clusters"
+    assert main(["text-cluster", "-i", str(inp), "-o", str(out)]) == 0
+    got = {r.doc_id: r.component for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: 1, 2: 1}  # the near-dup pair, clustered; 3 absent
+
+    kept = tmp_path / "kept"
+    assert main([
+        "text-cluster", "-i", str(inp), "-o", str(kept), "--keep-best",
+    ]) == 0
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(kept)).collect())
+    assert len(ids) == 2 and 3 in ids  # one of {1,2} plus the singleton
+
+    ev = tmp_path / "eval.parquet"
+    spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    ).write.parquet(str(ev))
+    dec = tmp_path / "contaminated"
+    assert main([
+        "decontam", "-i", str(inp), "-o", str(dec), "--eval", str(ev), "-n", "4",
+    ]) == 0
+    hit = {r.doc_id for r in spark.read.parquet(str(dec)).collect()}
+    assert hit == {1, 2}
