@@ -1166,6 +1166,20 @@ def q_meta_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("seq").alias("contig_seq"))
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: fixed-point Lloyd k-means (2 iterations, 16 cells) over
+    the embeddings — the quantizer-training step for IVF/semantic
+    clustering. All-integer arithmetic (int64 GEMM assignment, floored
+    per-component means) so the unrolled SQL oracle replays both
+    iterations bit for bit."""
+    from reflexiv_spark.datapipe.similarity import kmeans_lite
+
+    assign, _ = kmeans_lite(
+        _t(spark, sf_dir, "embeddings"), dim=64, n_centroids=16, n_iter=2
+    )
+    return assign.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -1236,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "kmeans_assign": q_kmeans_assign,
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
         "end_extend": q_end_extend,
@@ -1898,6 +1913,44 @@ def oracle_sql() -> dict[str, str]:
             " >= 0.3) "
             "SELECT vec_id FROM embeddings"
             " WHERE vec_id NOT IN (SELECT id2 FROM drp)"
+        ),
+        "kmeans_assign": (
+            # unrolled replay of kmeans_lite(dim=64, n_centroids=16,
+            # n_iter=2): init = 16 smallest-id vectors (zero-norm
+            # excluded), assign (argmax int-dot/||c||, ties → lowest
+            # cell), floored-mean update (empty/zero-norm cells keep the
+            # old centroid), assign again
+            "WITH v AS (SELECT vec_id,"
+            " list_transform(CAST(embedding AS DOUBLE[]),"
+            " x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM embeddings), "
+            "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+            " qv AS cq FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)"
+            " WHERE list_dot_product(CAST(qv AS DOUBLE[]),"
+            " CAST(qv AS DOUBLE[])) > 0), "
+            "a1 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c0.cell,"
+            " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c0.cq AS DOUBLE[]))"
+            " / sqrt(list_dot_product(CAST(c0.cq AS DOUBLE[]),"
+            " CAST(c0.cq AS DOUBLE[]))) DESC, c0.cell ASC) AS rn"
+            " FROM v CROSS JOIN c0) WHERE rn = 1), "
+            "comp AS (SELECT a1.cell, CAST(p AS INT) AS pos,"
+            " v.qv[CAST(p AS INT) + 1] AS x FROM a1 JOIN v USING (vec_id),"
+            " unnest(generate_series(0, 63)) AS u(p)), "
+            "upd AS (SELECT cell, pos, sum(x) AS s, count(*) AS c FROM comp"
+            " GROUP BY 1, 2), "
+            "updl AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / c)"
+            " AS BIGINT) ORDER BY pos) AS uq FROM upd GROUP BY cell), "
+            "c1 AS (SELECT c0.cell, CASE WHEN updl.uq IS NOT NULL AND"
+            " list_dot_product(CAST(updl.uq AS DOUBLE[]),"
+            " CAST(updl.uq AS DOUBLE[])) > 0 THEN updl.uq ELSE c0.cq END"
+            " AS cq FROM c0 LEFT JOIN updl ON c0.cell = updl.cell), "
+            "a2 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c1.cell,"
+            " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c1.cq AS DOUBLE[]))"
+            " / sqrt(list_dot_product(CAST(c1.cq AS DOUBLE[]),"
+            " CAST(c1.cq AS DOUBLE[]))) DESC, c1.cell ASC) AS rn"
+            " FROM v CROSS JOIN c1) WHERE rn = 1) "
+            "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2"
         ),
         "binary_meta": (
             "SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,"

@@ -261,6 +261,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_cap: int = 4096,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF (inverted-file)
     coarse quantizer — the cell-probing sibling of :func:`ann_topk`'s
@@ -324,12 +325,24 @@ def ivf_topk(
     # merge) — the quantizer collect is the one sanctioned driver
     # materialization: ≤ centroid_cap rows, the IVF coarse-quantizer
     # "model" every implementation holds centrally.
-    cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
-    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
-    cids = np.array([r["vid"] for r in cent_rows], dtype=np.int64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
-    keep = cnorm > 0.0  # zero-norm guard: never divide by a null cell
-    cmat, cids, cnorm = cmat[keep], cids[keep], cnorm[keep]
+    if refine_iters > 0:
+        # Lloyd-refined quantizer (kmeans_lite): better-balanced cells
+        # than min-id sampling at the cost of refine_iters extra passes.
+        # Cell ids become synthetic indices — fine, cid is only a
+        # grouping key downstream.
+        _, cmat = kmeans_lite(
+            df, dim, n_centroids, n_iter=refine_iters + 1,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cids = np.arange(len(cmat), dtype=np.int64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    else:
+        cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
+        cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
+        cids = np.array([r["vid"] for r in cent_rows], dtype=np.int64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+        keep = cnorm > 0.0  # zero-norm guard: never divide by a null cell
+        cmat, cids, cnorm = cmat[keep], cids[keep], cnorm[keep]
     n_probes_eff = min(n_probes, len(cids))
 
     rank_schema = StructType(
@@ -650,3 +663,104 @@ def ann_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmeans_lite(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Fixed-point Lloyd refinement of an IVF-style coarse quantizer →
+    (assignments DataFrame[vec_id, cell], refined int64 centroid
+    matrix).
+
+    Everything is integer/fixed-point so the algorithm is bit-identical
+    in any engine: vectors quantize to floor(x·1000) int64; assignment
+    is argmax of int64-dot / float64 centroid norm (int sums are
+    order-free, IEEE divide of identical operands is correctly rounded;
+    ties → lowest cell index); the centroid update is the per-component
+    FLOOR of sum/count (exact — no float accumulation across rows).
+    Initial centroids are the ``n_centroids`` smallest-id vectors, the
+    same deterministic seed :func:`ivf_topk` uses.
+
+    Scale notes: the centroid state lives on the driver (≤ C × dim
+    int64s — the "model" every k-means ships); each iteration is one
+    Arrow GEMM assignment pass plus a (cell, component) aggregation
+    whose shuffle is n·dim (long, long) rows. Production would train on
+    a hash-sample (``hash_sample``) and assign the full corpus once —
+    the operator takes whatever ``df`` you hand it.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * 1000).cast("long"),
+    )
+    qv = df.select(F.col(id_col).alias("vid"), q.alias("qv"))
+    qv = qv.localCheckpoint(eager=False)
+
+    cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
+    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64).reshape(
+        len(cent_rows), dim
+    )
+    # zero-norm init vectors are excluded (cosine undefined); cell ids
+    # are positions in the SURVIVING list, matching the oracle's
+    # row_number over the id-ordered survivors
+    cmat = cmat[(cmat * cmat).sum(axis=1) > 0]
+
+    assign_schema = StructType(
+        [
+            StructField("vid", LongType(), False),
+            StructField("cell", LongType(), False),
+        ]
+    )
+
+    assign = None
+    for it in range(n_iter):
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+        c_t = cmat.T.copy()
+        local_cnorm = cnorm
+
+        def assign_cells(batches, _ct=c_t, _cn=local_cnorm):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.array(list(pdf["qv"]), dtype=np.int64)
+                scores = (v @ _ct).astype(np.float64) / _cn
+                cell = np.argmax(scores, axis=1)  # first max = lowest idx
+                yield pd.DataFrame(
+                    {"vid": pdf["vid"].to_numpy(), "cell": cell.astype(np.int64)}
+                )
+
+        assign = qv.mapInPandas(assign_cells, assign_schema)
+        if it == n_iter - 1:
+            break
+        # centroid update: per-(cell, component) int sums — exact, then
+        # floor-divide on the driver. C*dim rows collected (bounded).
+        upd = (
+            assign.join(qv, "vid")
+            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        new = np.zeros_like(cmat)
+        counts = np.zeros(len(cmat), dtype=np.int64)
+        for r in upd:
+            new[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["c"]
+        occupied = counts > 0
+        upd_mat = np.zeros_like(cmat)
+        upd_mat[occupied] = np.floor_divide(
+            new[occupied], counts[occupied, None]
+        )
+        # empty cells keep their old centroid; zero-norm updates would
+        # break the cosine — keep old centroid for those too
+        nz = (upd_mat * upd_mat).sum(axis=1) > 0
+        take = occupied & nz
+        cmat = np.where(take[:, None], upd_mat, cmat)
+
+    return assign.select(F.col("vid").alias(id_col), "cell"), cmat

@@ -555,3 +555,56 @@ def test_group_quantiles_exact(spark):
     # invariant under re-partitioning (histogram is plan-independent)
     got2 = {r["g"]: r for r in group_quantiles(df.repartition(13), "v", ["g"], (50, 90, 99)).collect()}
     assert got2 == got
+
+
+def test_kmeans_lite_separates_blobs(spark):
+    import numpy as np
+
+    from reflexiv_spark.datapipe.similarity import kmeans_lite
+
+    rng = np.random.default_rng(11)
+    rows = []
+    centers = np.eye(4)  # 4 well-separated directions in R^4
+    for i in range(200):
+        c = i % 4
+        v = centers[c] * 5 + rng.normal(0, 0.2, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assign, cmat = kmeans_lite(df, dim=4, n_centroids=4, n_iter=3)
+    got = {r["vec_id"]: r["cell"] for r in assign.collect()}
+    # every true blob maps to exactly one cell and cells don't mix
+    blob_to_cell = {}
+    for vid, cell in got.items():
+        blob = vid % 4
+        assert blob_to_cell.setdefault(blob, cell) == cell
+    assert len(set(blob_to_cell.values())) == 4
+    assert cmat.dtype == np.int64  # fixed-point state stays integral
+
+    # deterministic under re-partitioning (integer sums are order-free)
+    assign2, _ = kmeans_lite(df.repartition(9), dim=4, n_centroids=4, n_iter=3)
+    assert {r["vec_id"]: r["cell"] for r in assign2.collect()} == got
+
+
+def test_ivf_refined_quantizer_recall(spark):
+    from reflexiv_spark.datapipe.similarity import cosine_topk, ivf_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_topk(df, k=1).collect()
+    }
+    refined = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            df, dim=16, k=1, n_centroids=8, n_probes=3, refine_iters=2
+        ).collect()
+    }
+    recall = len(truth & refined) / len(truth)
+    assert recall >= 0.6, recall
