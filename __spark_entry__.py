@@ -678,6 +678,16 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: concat-then-chunk sequence packing — each document's
+    training window and offset under a 2048-token context, via the
+    two-phase distributed prefix sum (range shuffle + per-partition
+    totals; never a single-partition global window)."""
+    from reflexiv_spark.datapipe.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), window_tokens=2048)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: benchmark decontamination — training docs sharing word
     n-grams with the eval split (doc_id % 10 == 0 here; n=4 so the
@@ -1239,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "token_quantiles": q_token_quantiles,
         "kmv_distinct": q_kmv_distinct,
@@ -1769,6 +1780,16 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT t AS token, count(*) AS cnt FROM documents,"
             r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)"
             " GROUP BY t HAVING count(*) >= 100"
+        ),
+        "pack_sequences": (
+            r"WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all("
+            r"lower(coalesce(text, '')), '\w+')) AS BIGINT) AS n_tokens"
+            " FROM documents), "
+            "c AS (SELECT doc_id, n_tokens,"
+            " sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t) "
+            "SELECT doc_id, n_tokens,"
+            " CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,"
+            " CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset FROM c"
         ),
         "decontaminate": (
             # replay of decontaminate(n=4, hash_family='md5') with the

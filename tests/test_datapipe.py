@@ -608,3 +608,24 @@ def test_ivf_refined_quantizer_recall(spark):
     }
     recall = len(truth & refined) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_pack_sequences_prefix_sum_invariant(spark):
+    from reflexiv_spark.datapipe.packing import pack_sequences
+
+    rows = [(i, "word " * (10 * (i % 7 + 1))) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+           for r in pack_sequences(df, window_tokens=100).collect()}
+
+    # replay sequentially in python
+    cum = 0
+    for i in range(1, 101):
+        nt = 10 * (i % 7 + 1)
+        assert got[i] == (cum // 100, cum % 100), i
+        cum += nt
+
+    # invariant under any input layout (two-phase scan is exact)
+    got2 = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df.repartition(17), window_tokens=100).collect()}
+    assert got2 == got
