@@ -124,3 +124,41 @@ def test_partition_count_invariance(spark):
         results.append((contigs, pairs))
     assert results[0] == results[1]
     assert results[0][0]  # non-trivial
+
+
+def _uf_components(edges):
+    """Union-find reference: node → min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    from reflexiv_spark.datapipe.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id1 long, id2 long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
