@@ -626,6 +626,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "quality")
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: BM25 keyword-retrieval scoring — broadcast query terms,
+    (doc, term) tf aggregation, scalar corpus stats, one doc-keyed sum.
+    log10/round(6) determinism, same device as unigram_logprob."""
+    from reflexiv_spark.datapipe.retrieval import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), query="spark hash join window"
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: Gopher-style repetition filters — duplicate-line
     fractions and the top word-bigram character fraction, per document.
@@ -1244,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "bm25_rank": q_bm25_rank,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
@@ -1607,6 +1619,29 @@ def oracle_sql() -> dict[str, str]:
             " + (stop_hits / greatest(n_tokens, 1)) * 0.3"
             " + (1.0 - n_punct / n_chars) * 0.2"
             " + (1.0 - n_digits / n_chars) * 0.2, 6) AS quality FROM c"
+        ),
+        "bm25_rank": (
+            # replay of bm25_score(query='spark hash join window',
+            # k1=1.2, b=0.75); expression shapes mirror the Spark column
+            # arithmetic exactly (0.25 is the folded 1.0-b)
+            r"WITH toks AS (SELECT doc_id, t AS term FROM documents,"
+            r" unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+'))"
+            " AS u(t)), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), "
+            "st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,"
+            " sum(dl) / count(*) AS avgdl FROM dl), "
+            "q AS (SELECT unnest(['hash', 'join', 'spark', 'window'])"
+            " AS term), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks"
+            " JOIN q USING (term) GROUP BY 1, 2), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "idf AS (SELECT term, log10(1.0 + (st.n_docs - df + 0.5)"
+            " / (df + 0.5)) AS idf FROM dfq, st), "
+            "p AS (SELECT tf.doc_id, idf.idf * (tf.tf * 2.2)"
+            " / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) AS part"
+            " FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,"
+            " round(sum(part), 6) AS score FROM p GROUP BY doc_id"
         ),
         "repetition_stats": (
             r"WITH ln AS (SELECT doc_id, trim(l) AS line FROM documents,"

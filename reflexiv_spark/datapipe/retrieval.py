@@ -1,0 +1,94 @@
+"""Keyword retrieval scoring — BM25 over the corpus.
+
+Search-style scoring is the missing sibling of the similarity stack:
+embeddings give ANN, MinHash gives near-dup, BM25 gives ranked keyword
+retrieval (Robertson & Spärck Jones's probabilistic model, the default
+lexical ranker in every search engine).
+
+Plan shape at 100 TB: the query is a handful of terms (broadcast); term
+frequencies aggregate keyed by (doc, term) — doc-scoped keys, fan-out
+bounded by document length; corpus statistics (N, avgdl) are two scalar
+aggregates broadcast back via tiny cross joins; the final score is one
+doc-keyed sum. No global sort — callers top-k the result with a
+window/limit, which Spark executes as TakeOrdered.
+
+Determinism: scores use log10/division on identical doubles and round
+to 6 — the same cross-engine-stable device as
+:func:`reflexiv_spark.datapipe.text.unigram_logprob_score`, so the SQL
+oracle replays the ranking exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_score(
+    df: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 scores for every document matching ≥ 1 query term →
+    DataFrame[doc_id, n_matched, score].
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·dl/avgdl))
+    with idf(t) = log10(1 + (N − df_t + 0.5)/(df_t + 0.5)); dl counts
+    ``\\w+`` word tokens, N and avgdl are corpus-wide.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    qdf = df.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"\w+"),
+                0,
+            )
+        ).alias("term"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    tf = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "term",
+        F.log10(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            id_col,
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.round(F.sum("part"), round_digits).alias("score"),
+    )

@@ -629,3 +629,30 @@ def test_pack_sequences_prefix_sum_invariant(spark):
     got2 = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
             for r in pack_sequences(df.repartition(17), window_tokens=100).collect()}
     assert got2 == got
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from reflexiv_spark.datapipe.retrieval import bm25_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark runs fast"),     # tf(spark)=2, dl=4
+            (2, "spark is neat"),             # tf(spark)=1, dl=3
+            (3, "nothing relevant here at all"),  # dl=5
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_score(docs, "spark").collect()}
+    assert set(got) == {1, 2}
+
+    n_docs, avgdl, df = 3.0, 4.0, 2
+    idf = math.log10(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def bm25(tf, dl, k1=1.2, b=0.75):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    assert abs(got[1]["score"] - round(bm25(2, 4), 6)) < 1e-9
+    assert abs(got[2]["score"] - round(bm25(1, 3), 6)) < 1e-9
+    assert got[1]["score"] > got[2]["score"]  # higher tf, same-ish dl

@@ -25,6 +25,18 @@ TABLES = (
 )
 # quadratic-by-design verification oracles — intractable at sf1.0
 EXCLUDE_DUCK = {"read_mapping", "contig_dedup", "contained_dedup"}
+# round-5 oracled additions not in the bench HEADLINE under these names
+# (the bench times their xxhash64 twins) — measured here on the md5
+# family both sides, apples to apples
+EXTRA = [
+    "dup_clusters",
+    "cluster_keep_best",
+    "decontaminate",
+    "token_quantiles",
+    "kmv_distinct",
+    "kmeans_assign",
+    "pack_sequences",
+]
 
 
 def main() -> None:
@@ -46,7 +58,7 @@ def main() -> None:
             f" read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    names = [n for n in HEADLINE if n in qs and n in oracles]
+    names = [n for n in HEADLINE + EXTRA if n in qs and n in oracles]
     out = {}
     for n in names:
         try:
