@@ -424,6 +424,39 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine addition (the brief's category (a) custom operator): as-of
+    join — each purchase gets the user's latest at-or-before click value
+    via the tagged-union + running-last window (ONE shuffle on the key;
+    never an inequality nested-loop join). Oracle: DuckDB native ASOF
+    LEFT JOIN."""
+    from reflexiv_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    out = asof_join(left, right, on="user_id", ts="ts", right_cols=("value",))
+    return out.select("event_id", "user_id", "value_right")
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine addition: bounded range join — (purchase, click) pairs of
+    the same user within an hour, via the time-bin equi-join (candidates
+    bounded by temporal locality; the oracle runs the plain inequality
+    join the bucketed plan avoids)."""
+    from reflexiv_spark.operators.temporal import range_join_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    out = range_join_pairs(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        ts="ts",
+        tolerance_s=3600,
+    )
+    return out.select("user_id", "lid", "rid")
+
+
 def q_fasta_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8: 100-char line wrapping (the FASTA export kernel)."""
     docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
@@ -1238,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "fasta_wrap": q_fasta_wrap,
         "reduction": q_reduction,
         "mercy": q_mercy,
@@ -1405,6 +1440,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')"
             " AS session_start, count(*) AS n_events FROM s"
             " GROUP BY user_id, sid"
+        ),
+        "events_asof": (
+            "SELECT l.event_id, l.user_id, r.value AS value_right"
+            " FROM (SELECT * FROM events WHERE event_type = 'purchase') l"
+            " ASOF LEFT JOIN"
+            " (SELECT * FROM events WHERE event_type = 'click') r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "events_range_join": (
+            # the plain inequality join the bucketed Spark plan avoids
+            "SELECT l.user_id, l.event_id AS lid, r.event_id AS rid"
+            " FROM (SELECT * FROM events WHERE event_type = 'purchase') l"
+            " JOIN (SELECT * FROM events WHERE event_type = 'click') r"
+            " ON l.user_id = r.user_id"
+            " AND epoch_us(l.ts) - epoch_us(r.ts) >= 0"
+            " AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000"
         ),
         "fasta_wrap": (
             "SELECT doc_id, array_to_string(list_transform("

@@ -656,3 +656,43 @@ def test_bm25_hand_computed(spark):
     assert abs(got[1]["score"] - round(bm25(2, 4), 6)) < 1e-9
     assert abs(got[2]["score"] - round(bm25(1, 3), 6)) < 1e-9
     assert got[1]["score"] > got[2]["score"]  # higher tf, same-ish dl
+
+
+def test_asof_and_range_join_planted(spark):
+    from datetime import datetime as dt
+
+    from reflexiv_spark.operators.temporal import asof_join, range_join_pairs
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, dt(2024, 1, 1, 10, 0, 0)),
+            (2, 7, dt(2024, 1, 1, 12, 0, 0)),
+            (3, 8, dt(2024, 1, 1, 9, 0, 0)),   # no prior right row
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 7, dt(2024, 1, 1, 9, 30, 0), 1.5),
+            (11, 7, dt(2024, 1, 1, 11, 59, 0), 2.5),
+            (12, 7, dt(2024, 1, 1, 12, 0, 0), 3.5),  # tie: at-or-before wins
+            (13, 8, dt(2024, 1, 1, 9, 30, 0), 9.9),  # after left's only row
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r["value_right"]
+           for r in asof_join(left, right, on="user_id").collect()}
+    assert out == {1: 1.5, 2: 3.5, 3: None}
+
+    # tolerance: row 1's match (9:30) is 30 min old — drops under 600 s
+    tol = {r["event_id"]: r["value_right"]
+           for r in asof_join(left, right, on="user_id",
+                              tolerance_s=600).collect()}
+    assert tol == {1: None, 2: 3.5, 3: None}
+
+    pairs = {(r["lid"], r["rid"])
+             for r in range_join_pairs(
+                 left, right, on="user_id", tolerance_s=1800).collect()}
+    # within 30 min at-or-before: left 1 ← right 10 (exactly 1800 s),
+    # left 2 ← rights 11 and 12; left 3 matches nothing
+    assert pairs == {(1, 10), (2, 11), (2, 12)}
