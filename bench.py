@@ -79,6 +79,11 @@ HEADLINE = [
     "dup_clusters_xxh64",
     "decontaminate_xxh64",
     "repetition_stats",
+    # hash-family-free round-5 operators: production IS the oracled path
+    "events_asof",
+    "events_range_join",
+    "pack_sequences",
+    "kmeans_assign",
 ]
 
 
