@@ -38,6 +38,8 @@ def clean_corpus(
     min_quality: float = 0.6,
     langs: tuple[str, ...] | None = ("en",),
     near_dup: bool = True,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     w: int = 8,
     num_hashes: int = 32,
     bands: int = 8,
@@ -67,6 +69,23 @@ def clean_corpus(
     )
     if langs is not None:
         kept = kept.where(F.col("pred_lang").isin(*langs))
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        # optional Gopher-repetition stage: rides repetition_stats, runs
+        # with the other filters (before any dedup) so repetitive spam
+        # never influences near-dup tie-breaking
+        from reflexiv_spark.datapipe.text import repetition_stats
+
+        rep = repetition_stats(docs, text_col, id_col).select(
+            id_col, "dup_line_frac", "top_bigram_char_frac"
+        )
+        kept = kept.join(rep, id_col)
+        if max_dup_line_frac is not None:
+            kept = kept.where(F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            kept = kept.where(
+                F.col("top_bigram_char_frac") <= max_top_bigram_frac
+            )
+        kept = kept.drop("dup_line_frac", "top_bigram_char_frac")
 
     deduped = exact_dedup(kept, text_col, id_col)
     if near_dup:

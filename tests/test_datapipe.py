@@ -696,3 +696,26 @@ def test_asof_and_range_join_planted(spark):
     # within 30 min at-or-before: left 1 ← right 10 (exactly 1800 s),
     # left 2 ← rights 11 and 12; left 3 matches nothing
     assert pairs == {(1, 10), (2, 11), (2, 12)}
+
+
+def test_clean_corpus_repetition_stage(spark):
+    from reflexiv_spark.datapipe.pipeline import clean_corpus
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and that is the "
+        "story of the morning in the field where everything is calm"
+    )
+    spam = ("buy now " * 20).strip()
+    rows = [(1, fluent), (2, spam)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r.doc_id for r in clean_corpus(
+        df, min_tokens=10, min_quality=0.0, langs=None, near_dup=False
+    ).collect()}
+    assert base == {1, 2}  # spam passes the base quality gates
+
+    filtered = {r.doc_id for r in clean_corpus(
+        df, min_tokens=10, min_quality=0.0, langs=None, near_dup=False,
+        max_top_bigram_frac=0.5,
+    ).collect()}
+    assert filtered == {1}  # "buy now" covers ~all of doc 2's characters
