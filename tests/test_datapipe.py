@@ -719,3 +719,34 @@ def test_clean_corpus_repetition_stage(spark):
         max_top_bigram_frac=0.5,
     ).collect()}
     assert filtered == {1}  # "buy now" covers ~all of doc 2's characters
+
+
+def test_exploded_ngrams_match_array_reference(spark):
+    """The lead-window n-gram path must produce exactly the rows of the
+    array-building reference (word_ngrams) — same grams, same counts."""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.decontam import (
+        _exploded_ngram_hashes,
+        word_ngrams,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "x y"),          # shorter than n → no grams
+        (3, "p q p q p q"),  # repeats → duplicate grams kept
+        (4, None),
+        (5, "Sol-o; toKen's"),  # punctuation/case normalization
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 4):
+        ref = (
+            df.select(
+                "doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("g")
+            )
+            .select("doc_id", F.xxhash64("g").alias("h"))
+        )
+        got = _exploded_ngram_hashes(df, "text", "doc_id", n, "xxhash64")
+        a = sorted(map(tuple, ref.collect()))
+        b = sorted(map(tuple, got.collect()))
+        assert a == b, n
