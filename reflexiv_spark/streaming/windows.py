@@ -161,3 +161,55 @@ def stream_from_files(
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.load(path)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    ``reflexiv_spark.operators.temporal.range_join_pairs``: pairs of
+    left/right events with the same key where the left event happens at
+    or after the right one, within ``tolerance``.
+
+    Both sides carry a watermark so Structured Streaming can BOUND the
+    join state: a buffered right row becomes garbage once the watermark
+    passes its timestamp + tolerance, which is exactly the condition
+    the time-range predicate expresses. Without the time bound the
+    state store would grow forever — the bound is the price of an
+    unbounded input, and Spark enforces it at analysis time for
+    append-mode stream-stream joins.
+
+    Returns DataFrame[key, lid, rid, lts, rts]; append output mode.
+    """
+    lt = (
+        left.select(
+            F.col(on).alias("__k"),
+            F.col(left_id).alias("lid"),
+            F.col(ts_col).alias("lts"),
+        )
+        .withWatermark("lts", watermark)
+    )
+    rt = (
+        right.select(
+            F.col(on).alias("__rk"),
+            F.col(right_id).alias("rid"),
+            F.col(ts_col).alias("rts"),
+        )
+        .withWatermark("rts", watermark)
+    )
+    joined = lt.join(
+        rt,
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("lts") >= F.col("rts"))
+        & (F.col("lts") <= F.col("rts") + F.expr(f"INTERVAL {tolerance}")),
+    )
+    return joined.select(
+        F.col("__k").alias(on), "lid", "rid", "lts", "rts"
+    )

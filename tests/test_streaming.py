@@ -268,3 +268,46 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3, 4]  # event 2 emitted exactly once
     # the first occurrence (value 2.0), not the duplicate (9.9), survives
     assert [r.value for r in rows if r.event_id == 2] == [2.0]
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: pairs match the batch range join and
+    arrive in append mode with watermark-bounded state."""
+    from reflexiv_spark.operators.temporal import range_join_pairs
+    from reflexiv_spark.streaming.windows import interval_join_streams
+
+    jschema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    ld = tmp_path / "left"; ld.mkdir()
+    rd = tmp_path / "right"; rd.mkdir()
+    _write_batch(ld, "l.json", [
+        {"event_id": 1, "user_id": 7, "ts": "2026-01-01T10:30:00"},
+        {"event_id": 2, "user_id": 7, "ts": "2026-01-01T12:00:00"},
+        {"event_id": 3, "user_id": 8, "ts": "2026-01-01T10:00:00"},
+    ])
+    _write_batch(rd, "r.json", [
+        {"event_id": 10, "user_id": 7, "ts": "2026-01-01T10:00:00"},
+        {"event_id": 11, "user_id": 7, "ts": "2026-01-01T11:30:00"},
+        {"event_id": 12, "user_id": 8, "ts": "2026-01-01T11:00:00"},  # after left 3
+    ])
+
+    lstream = stream_from_files(spark, str(ld), jschema)
+    rstream = stream_from_files(spark, str(rd), jschema)
+    out = interval_join_streams(lstream, rstream, tolerance="1 hour")
+    _run_stream(out, "ivjoin", "append")
+    got = {(r.lid, r.rid) for r in spark.sql("SELECT * FROM ivjoin").collect()}
+    # left 1 ← right 10 (30 min); left 2 ← right 11 (30 min); left 3: none
+    assert got == {(1, 10), (2, 11)}
+
+    lb = spark.read.schema(jschema).json(str(ld))
+    rb = spark.read.schema(jschema).json(str(rd))
+    batch = {
+        (r["lid"], r["rid"])
+        for r in range_join_pairs(lb, rb, on="user_id", tolerance_s=3600).collect()
+    }
+    assert batch == got  # stream and batch twins agree
