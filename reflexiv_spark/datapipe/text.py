@@ -395,3 +395,44 @@ def repetition_stats(
             ),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """DataFrame[id, n_bytes, c_bytes, ratio] — zlib-compressed size over
+    raw UTF-8 size per document.
+
+    The classic cheap repetition detector (used alongside the Gopher
+    rules): templated/spammy text compresses far below ~0.4, fluent
+    prose sits near 0.5–0.7, random or already-compressed payloads near
+    1.0. Arrow-batched ``mapInPandas`` (stdlib zlib — deterministic for
+    a fixed level); no SQL oracle because DuckDB has no zlib, so this
+    stays a library operator with pytest coverage rather than a driver
+    query. Embarrassingly parallel — zero shuffle.
+    """
+    import zlib
+
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, n_bytes bigint, c_bytes bigint, ratio double"
+    )
+
+    def _ratios(batches):
+        for pdf in batches:
+            ids, nb, cb = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                raw = (t or "").encode("utf-8")
+                comp = zlib.compress(raw, level)
+                ids.append(i)
+                nb.append(len(raw))
+                cb.append(len(comp))
+            out = pd.DataFrame(
+                {id_col: ids, "n_bytes": nb, "c_bytes": cb}
+            )
+            out["ratio"] = out["c_bytes"] / out["n_bytes"].clip(lower=1)
+            out["ratio"] = out["ratio"].round(6)
+            yield out
+
+    return df.select(id_col, text_col).mapInPandas(_ratios, schema)

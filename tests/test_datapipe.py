@@ -750,3 +750,18 @@ def test_exploded_ngrams_match_array_reference(spark):
         a = sorted(map(tuple, ref.collect()))
         b = sorted(map(tuple, got.collect()))
         assert a == b, n
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    from reflexiv_spark.datapipe.text import compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "buy now " * 200),          # hyper-repetitive → tiny ratio
+        (3, ""),                         # empty → ratio of 0 bytes guarded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[2]["ratio"] < 0.05 < got[1]["ratio"]
+    assert got[1]["n_bytes"] == 69
+    assert got[3]["n_bytes"] == 0 and got[3]["c_bytes"] > 0
