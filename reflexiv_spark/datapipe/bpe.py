@@ -1,0 +1,183 @@
+"""BPE tokenizer training — learn merge rules from the corpus.
+
+Byte-pair encoding (Sennrich et al., "Neural Machine Translation of
+Rare Words with Subword Units", arXiv:1508.07909) is the tokenizer
+family behind most LLM vocabularies. Training is iterative: count
+adjacent symbol pairs over the word-frequency table, merge the most
+frequent pair everywhere, repeat.
+
+The distributed insight is that AFTER one corpus-wide word count, every
+merge round runs on the VOCABULARY table (distinct words × counts) —
+millions of rows at web scale, not the corpus itself. Rounds here are
+fully declarative: the per-round argmax pair is a one-row DataFrame
+(orderBy + limit — TakeOrdered, no driver collect), the rewrite is a
+Catalyst ``aggregate`` fold whose lambda references the broadcast pair
+row, and each round's vocabulary is lazily checkpointed so the unrolled
+plan stays linear in the number of merges instead of doubling per
+round.
+
+Merge application semantics are the classic leftmost non-overlapping
+scan, expressed as a left fold: append each symbol unless the
+accumulator's last element is the pair's left and the symbol is the
+pair's right, in which case replace the last element with the merged
+token. (A fold cannot re-merge the token it just created as a LEFT
+element in the same round — exactly the classic behaviour.)
+
+No SQL oracle: replaying a data-dependent leftmost fold per round needs
+list-building lambdas DuckDB's ``list_reduce`` cannot express, so this
+is a library operator verified against a pure-Python reference BPE in
+pytest rather than a driver query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame[word, weight] — the corpus word-frequency table
+    (lower-cased ``\\w+`` tokens). One corpus-wide aggregation; every
+    BPE round afterwards touches only this table."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"\w+"),
+                0,
+            )
+        ).alias("word")
+    )
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def _adjacent_pairs(vocab: DataFrame) -> DataFrame:
+    """(left, right, weight) for every adjacent symbol pair occurrence,
+    weighted by word frequency."""
+    pairs = F.when(
+        F.size("syms") >= 2,
+        F.zip_with(
+            F.slice("syms", 1, F.size("syms") - 1),
+            F.slice("syms", 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (
+        vocab.select("weight", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("weight").alias("pair_weight"))
+    )
+
+
+def _apply_merge(vocab: DataFrame, merge_row: DataFrame) -> DataFrame:
+    """Rewrite every word's symbol array under the (broadcast) 1-row
+    merge pair — the leftmost-scan fold."""
+    joined = vocab.crossJoin(F.broadcast(merge_row))
+    folded = F.aggregate(
+        "syms",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("left"))
+            & (x == F.col("right")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("left"), F.col("right"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return joined.select("word", "weight", folded.alias("syms"))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``n_merges`` BPE merge rules from the corpus →
+    (merges DataFrame[step, left, right, merged, pair_weight],
+    final vocabulary DataFrame[word, weight, syms]).
+
+    Ties on pair weight break to the lexicographically smallest
+    (left, right), so training is deterministic. Rounds that find no
+    pair (every word fully merged) emit nothing and stop changing the
+    vocabulary.
+    """
+    vocab = word_counts(df, text_col, id_col).select(
+        "word",
+        "weight",
+        F.filter(
+            F.split(F.col("word"), "(?!^)"), lambda x: x != ""
+        ).alias("syms"),
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+
+    merge_frames = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _adjacent_pairs(vocab)
+            .orderBy(
+                F.col("pair_weight").desc(), F.col("left"), F.col("right")
+            )
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merge_frames.append(
+            best.select(
+                F.lit(step).alias("step"),
+                "left",
+                "right",
+                F.concat("left", "right").alias("merged"),
+                "pair_weight",
+            )
+        )
+        vocab = _apply_merge(vocab, best).localCheckpoint(eager=False)
+
+    merges = merge_frames[0]
+    for f in merge_frames[1:]:
+        merges = merges.unionByName(f)
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with learned merge rules →
+    DataFrame[id, tokens array<string>, n_subwords]. Merges apply in
+    training order (the BPE contract); each is the same fold as
+    training, unrolled — pure Catalyst, shuffle-free."""
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0
+    )
+    syms = F.transform(
+        words, lambda w: F.filter(F.split(w, "(?!^)"), lambda x: x != "")
+    )
+    for left, right in merges:
+        syms = F.transform(
+            syms,
+            lambda s: F.aggregate(
+                s,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(left + right)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+    flat = F.flatten(syms)
+    return df.select(
+        F.col(id_col),
+        flat.alias("tokens"),
+        F.size(flat).cast("bigint").alias("n_subwords"),
+    )

@@ -765,3 +765,64 @@ def test_compression_ratio_separates_spam_from_prose(spark):
     assert got[2]["ratio"] < 0.05 < got[1]["ratio"]
     assert got[1]["n_bytes"] == 69
     assert got[3]["n_bytes"] == 0 and got[3]["c_bytes"] > 0
+
+
+def _ref_bpe(word_weights, n_merges):
+    """Pure-python reference BPE (leftmost non-overlapping merges)."""
+    vocab = {w: list(w) for w in word_weights}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_weights[w]
+        if not counts:
+            break
+        # max weight, ties to lexicographically smallest pair
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((best[0], best[1], counts[best]))
+        for w, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == best[0] and x == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from reflexiv_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    rows = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new"),
+        (3, "low and newer and lower"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference word weights over \w+ lower-cased tokens
+    ww = {}
+    for _, t in rows:
+        for w in t.split():
+            ww[w] = ww.get(w, 0) + 1
+    ref_merges, ref_vocab = _ref_bpe(ww, 6)
+
+    merges, vocab = bpe_train(df, n_merges=6)
+    got = [
+        (r["left"], r["right"], r["pair_weight"])
+        for r in merges.orderBy("step").collect()
+    ]
+    assert got == ref_merges
+
+    gvoc = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    assert gvoc == ref_vocab
+
+    # encoding applies the learned rules in order
+    enc = bpe_encode(df, [(a, b) for a, b, _ in ref_merges])
+    toks = {r["doc_id"]: list(r["tokens"]) for r in enc.collect()}
+    flat_ref = []
+    for w in "low lower lowest low low".split():
+        flat_ref.extend(ref_vocab[w])
+    assert toks[1] == flat_ref
