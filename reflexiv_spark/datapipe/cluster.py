@@ -53,12 +53,15 @@ def connected_components(
     ``max_rounds`` (hash-to-min + jump needs ~log2(longest path) rounds,
     so 25 covers any graph that fits on a cluster).
     """
-    und = edges.select(
+    # materialize the (possibly expensive) edge plan ONCE before the
+    # union references it twice — a MinHash pair generator would
+    # otherwise execute per branch
+    base = edges.select(
         F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
-    )
-    und = und.union(
-        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)
+    und = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
 
     lbl = (
         und.select(F.col("a").alias("node"))
