@@ -174,6 +174,10 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("-n", "--ngram", type=int, default=13)
 
+    bp = add("bpe-train", help="datapipe: learn BPE merge rules from the corpus")
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--merges", type=int, default=50)
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -386,6 +390,15 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col, id_col=args.id_col, n=args.ngram,
         )
         _write(out, args.output, args.outformat)
+    elif args.cmd == "bpe-train":
+        from reflexiv_spark.datapipe.bpe import bpe_train
+
+        merges, _ = bpe_train(
+            spark.read.parquet(args.input),
+            n_merges=args.merges,
+            text_col=args.text_col,
+        )
+        _write(merges, args.output, args.outformat)
     return 0
 
 

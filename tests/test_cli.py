@@ -157,3 +157,15 @@ def test_cli_text_cluster_and_decontam(spark, tmp_path):
     ]) == 0
     hit = {r.doc_id for r in spark.read.parquet(str(dec)).collect()}
     assert hit == {1, 2}
+
+
+def test_cli_bpe_train(spark, tmp_path):
+    inp = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(1, "low lower lowest low low")], "doc_id long, text string"
+    ).write.parquet(str(inp))
+    out = tmp_path / "merges"
+    assert main(["bpe-train", "-i", str(inp), "-o", str(out), "--merges", "3"]) == 0
+    rows = spark.read.parquet(str(out)).orderBy("step").collect()
+    assert [r.step for r in rows] == [1, 2, 3]
+    assert rows[0].left == "l" and rows[0].right == "o"  # 'lo' ×5 words
