@@ -670,6 +670,27 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine surface: multidimensional ROLLUP aggregation — per
+    (lang, source), per lang, and grand-total document counts and token
+    sums in one pass (Spark expands grouping sets inside a single
+    hash-aggregate exchange)."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"\w+"), 0
+        )
+    )
+    return (
+        docs.select("lang", "source", nt.alias("__nt"))
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: Gopher-style repetition filters — duplicate-line
     fractions and the top word-bigram character fraction, per document.
@@ -1291,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bm25_rank": q_bm25_rank,
+        "source_rollup": q_source_rollup,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
@@ -1693,6 +1715,12 @@ def oracle_sql() -> dict[str, str]:
             " FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,"
             " round(sum(part), 6) AS score FROM p GROUP BY doc_id"
+        ),
+        "source_rollup": (
+            r"SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,"
+            r" CAST(sum(length(regexp_extract_all(lower(coalesce(text, '')),"
+            r" '\w+'))) AS BIGINT) AS n_tokens"
+            " FROM documents GROUP BY ROLLUP (lang, source)"
         ),
         "repetition_stats": (
             r"WITH ln AS (SELECT doc_id, trim(l) AS line FROM documents,"
