@@ -691,6 +691,24 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine surface: PIVOT — documents per (source, lang) reshaped to
+    one column per language. Spark compiles the explicit value list to
+    conditional aggregates in a single exchange; the oracle uses the
+    equivalent FILTER aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    out = (
+        docs.groupBy("source")
+        .pivot("lang", ["de", "en", "es", "fr", "zh"])
+        .count()
+    )
+    return out.select(
+        "source",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}")
+          for c in ("de", "en", "es", "fr", "zh")],
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: Gopher-style repetition filters — duplicate-line
     fractions and the top word-bigram character fraction, per document.
@@ -1313,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "bm25_rank": q_bm25_rank,
         "source_rollup": q_source_rollup,
+        "lang_pivot": q_lang_pivot,
         "repetition_stats": q_repetition_stats,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
@@ -1721,6 +1740,15 @@ def oracle_sql() -> dict[str, str]:
             r" CAST(sum(length(regexp_extract_all(lower(coalesce(text, '')),"
             r" '\w+'))) AS BIGINT) AS n_tokens"
             " FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
+        "lang_pivot": (
+            "SELECT source,"
+            " CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,"
+            " CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,"
+            " CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es,"
+            " CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,"
+            " CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh"
+            " FROM documents GROUP BY source"
         ),
         "repetition_stats": (
             r"WITH ln AS (SELECT doc_id, trim(l) AS line FROM documents,"
