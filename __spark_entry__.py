@@ -424,6 +424,32 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine surface: sliding RANGE-frame window — per event, the count
+    and integer-cent value sum of the same user's events in the
+    preceding hour (inclusive). Integer sums make the frame aggregate
+    order-independent, so both engines agree bit for bit."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_1h"),
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """engine addition (the brief's category (a) custom operator): as-of
     join — each purchase gets the user's latest at-or-before click value
@@ -1310,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "events_running": q_events_running,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "fasta_wrap": q_fasta_wrap,
@@ -1481,6 +1508,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')"
             " AS session_start, count(*) AS n_events FROM s"
             " GROUP BY user_id, sid"
+        ),
+        "events_running": (
+            "SELECT event_id, user_id,"
+            " CAST(count(*) OVER w AS BIGINT) AS n_1h,"
+            " CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT)"
+            " AS cents_1h FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)"
+            " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         "events_asof": (
             "SELECT l.event_id, l.user_id, r.value AS value_right"
