@@ -15,6 +15,10 @@ container):
   upsample, YCbCr→RGB, true pixel mean — for SOF0 streams (1 or 3
   components, any sampling, restart intervals); progressive returns
   real dimensions with a null mean.
+- **GIF** (``decode_images(fake=False)``): full first-frame decode —
+  header/extension walk, global/local color table, LZW decompression
+  (growing code width, KwKwK), palette lookup, true pixel mean;
+  interlaced raises ``ValueError`` (rare in the wild).
 - **WAV PCM16** (``sample_audio_frames(fake=False)``): canonical-header
   files are frame-chunked JVM-side (aligned to the sample grid) and each
   frame's RMS is computed from the real int16 samples; undecodable rows
@@ -41,6 +45,7 @@ _MAGIC = {
     "89504e47": "png",
     "ffd8ffe0": "jpeg",
     "ffd8ffe1": "jpeg",
+    "47494638": "gif",
     "52494646": "riff",  # wav/avi container
     "1a45dfa3": "matroska",
 }
@@ -462,13 +467,15 @@ def decode_images(
                         w, h, ch, mean = decode_png(b)
                     elif b[:2] == b"\xff\xd8":
                         w, h, ch, mean = decode_jpeg(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, ch, mean = decode_gif(b)
                     else:
                         raise NotImplementedError(
-                            "only PNG (stdlib zlib) and baseline JPEG "
-                            "(numpy Huffman+IDCT) decode natively; other "
-                            "image formats require PIL/opencv — not "
-                            "available in this container. Pass fake=True "
-                            "for the stub"
+                            "only PNG (stdlib zlib), baseline JPEG "
+                            "(numpy Huffman+IDCT) and GIF (numpy LZW) "
+                            "decode natively; other image formats "
+                            "require PIL/opencv — not available in this "
+                            "container. Pass fake=True for the stub"
                         )
                     rows.append((i, w, h, ch, mean))
                 yield pd.DataFrame(
@@ -688,11 +695,13 @@ def _decode_pixels(blob: bytes):
         _w, _h, _ch, px = _png_pixels(blob)
     elif blob[:2] == b"\xff\xd8":
         _w, _h, _ch, px = _jpeg_pixels(blob)
+    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, _ch, px = _gif_pixels(blob)
     else:
         raise NotImplementedError(
-            "only PNG (stdlib zlib) and baseline JPEG (numpy "
-            "Huffman+IDCT) decode natively; other image formats require "
-            "PIL/opencv — not available in this container"
+            "only PNG (stdlib zlib), baseline JPEG (numpy Huffman+IDCT) "
+            "and GIF (numpy LZW) decode natively; other image formats "
+            "require PIL/opencv — not available in this container"
         )
     if px is None:
         raise ValueError("image variant not decodable natively")
@@ -1137,3 +1146,121 @@ def image_near_dups(
         .dropDuplicates(["id1", "id2"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF decode — pure stdlib/numpy (LZW). First frame, global/local palette.
+# ---------------------------------------------------------------------------
+
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF LZW decompression (LSB-first bit packing, growing code width,
+    CLEAR/END control codes, KwKwK case). Returns index bytes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("GIF invalid LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _gif_pixels(blob: bytes):
+    """GIF87a/89a first frame → (width, height, 3, (h, w, 3) uint8 RGB).
+
+    Raises ``ValueError`` for interlaced images (rare; not produced by
+    any mainstream encoder default) and corrupt streams."""
+    import numpy as np
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w = int.from_bytes(blob[6:8], "little")
+    h = int.from_bytes(blob[8:10], "little")
+    packed = blob[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(blob[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            iw = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+            ipacked = blob[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    blob[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported natively")
+            if palette is None:
+                raise ValueError("GIF frame has no color table")
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data.extend(blob[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw(bytes(data), mcs, iw * ih), dtype=np.uint8
+            )
+            if idx.max(initial=0) >= len(palette):
+                raise ValueError("GIF index outside color table")
+            px = palette[idx].reshape(ih, iw, 3)
+            return iw, ih, 3, px
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("GIF corrupt block")
+    raise ValueError("GIF has no image frame")
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, float | None]:
+    """Pure stdlib+numpy GIF decode → (width, height, channels,
+    mean_value) for the first frame."""
+    w, h, ch, px = _gif_pixels(blob)
+    return w, h, ch, round(float(px.mean()), 4)

@@ -388,3 +388,45 @@ def test_image_phash_and_near_dups(spark):
     }
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 2)] == 0
+
+
+def test_gif_decode_real(spark):
+    from tests.gif_encoder import encode_gif
+
+    from reflexiv_spark.datapipe.multimodal import decode_gif, decode_images
+
+    # 4x3 image with a red/green checker and one blue pixel
+    px = [
+        [(255, 0, 0), (0, 255, 0), (255, 0, 0), (0, 255, 0)],
+        [(0, 255, 0), (255, 0, 0), (0, 255, 0), (255, 0, 0)],
+        [(0, 0, 255), (255, 0, 0), (0, 255, 0), (255, 0, 0)],
+    ]
+    blob = encode_gif(px)
+    w, h, ch, mean = decode_gif(blob)
+    assert (w, h, ch) == (4, 3, 3)
+    flat = [c for row in px for rgb in row for c in rgb]
+    assert abs(mean - sum(flat) / len(flat)) < 1e-3
+
+    # larger randomized image forces LZW code-width growth
+    import random
+
+    rng = random.Random(3)
+    big = [
+        [(rng.randrange(256), rng.randrange(2), 0) for _ in range(40)]
+        for _ in range(30)
+    ]
+    # cap distinct colors at <=256 by construction? (256*2 combos) — quantize r
+    big = [[(r // 2 * 2, g, 0) for r, g, _ in row] for row in big]
+    blob2 = encode_gif(big)
+    w2, h2, ch2, mean2 = decode_gif(blob2)
+    flat2 = [c for row in big for rgb in row for c in rgb]
+    assert (w2, h2, ch2) == (40, 30, 3)
+    assert abs(mean2 - sum(flat2) / len(flat2)) < 1e-3
+
+    # through the Arrow-batched operator
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob2))], "id long, blob binary"
+    )
+    rows = {r.id: r for r in decode_images(df, fake=False).collect()}
+    assert (rows[1].width, rows[1].height) == (4, 3)
+    assert abs(rows[2].mean_value - sum(flat2) / len(flat2)) < 1e-3
