@@ -46,6 +46,7 @@ _MAGIC = {
     "ffd8ffe0": "jpeg",
     "ffd8ffe1": "jpeg",
     "47494638": "gif",
+    "424d": "bmp",
     "52494646": "riff",  # wav/avi container
     "1a45dfa3": "matroska",
 }
@@ -69,7 +70,8 @@ def sniff_format(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     prefix = F.lower(F.hex(F.substring(F.col(blob_col), 1, 4)))
     expr = F.lit("unknown")
     for magic, fmt in _MAGIC.items():
-        expr = F.when(prefix == magic, fmt).otherwise(expr)
+        # magics are 2-4 bytes; match on the hex prefix
+        expr = F.when(prefix.startswith(magic), fmt).otherwise(expr)
     return df.withColumn("format", expr)
 
 
@@ -469,6 +471,8 @@ def decode_images(
                         w, h, ch, mean = decode_jpeg(b)
                     elif b[:6] in (b"GIF87a", b"GIF89a"):
                         w, h, ch, mean = decode_gif(b)
+                    elif b[:2] == b"BM":
+                        w, h, ch, mean = decode_bmp(b)
                     else:
                         raise NotImplementedError(
                             "only PNG (stdlib zlib), baseline JPEG "
@@ -697,6 +701,8 @@ def _decode_pixels(blob: bytes):
         _w, _h, _ch, px = _jpeg_pixels(blob)
     elif blob[:6] in (b"GIF87a", b"GIF89a"):
         _w, _h, _ch, px = _gif_pixels(blob)
+    elif blob[:2] == b"BM":
+        _w, _h, _ch, px = _bmp_pixels(blob)
     else:
         raise NotImplementedError(
             "only PNG (stdlib zlib), baseline JPEG (numpy Huffman+IDCT) "
@@ -1263,4 +1269,43 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, float | None]:
     """Pure stdlib+numpy GIF decode → (width, height, channels,
     mean_value) for the first frame."""
     w, h, ch, px = _gif_pixels(blob)
+    return w, h, ch, round(float(px.mean()), 4)
+
+
+def _bmp_pixels(blob: bytes):
+    """Uncompressed 24/32-bit BI_RGB BMP → (width, height, 3,
+    (h, w, 3) uint8 RGB). Bottom-up or top-down rows; other BMP
+    variants (palette, RLE, bitfields) raise ``ValueError``."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_off = struct.unpack("<I", blob[10:14])[0]
+    hdr_size = struct.unpack("<I", blob[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w, h_raw = struct.unpack("<ii", blob[18:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    comp = struct.unpack("<I", blob[30:34])[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError("only uncompressed 24/32-bit BI_RGB BMP decodes")
+    h = abs(h_raw)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            blob[data_off + y * stride : data_off + y * stride + w * nch],
+            dtype=np.uint8,
+        ).reshape(w, nch)
+        out_y = h - 1 - y if h_raw > 0 else y  # bottom-up default
+        px[out_y] = row[:, [2, 1, 0]]  # BGR(A) → RGB
+    return w, h, 3, px
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, float | None]:
+    """Pure stdlib+numpy BMP decode → (width, height, channels, mean)."""
+    w, h, ch, px = _bmp_pixels(blob)
     return w, h, ch, round(float(px.mean()), 4)

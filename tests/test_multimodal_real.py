@@ -430,3 +430,32 @@ def test_gif_decode_real(spark):
     rows = {r.id: r for r in decode_images(df, fake=False).collect()}
     assert (rows[1].width, rows[1].height) == (4, 3)
     assert abs(rows[2].mean_value - sum(flat2) / len(flat2)) < 1e-3
+
+
+def test_bmp_decode_real(spark):
+    import struct
+
+    from reflexiv_spark.datapipe.multimodal import blob_meta, decode_bmp
+
+    # hand-build a 3x2 24-bit bottom-up BMP: rows padded to 4 bytes
+    w, h = 3, 2
+    stride = (w * 3 + 3) & ~3
+    # pixel rows in FILE order (bottom-up): file row 0 = image bottom row
+    bottom = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]   # image row 1
+    top = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]   # image row 0
+    body = bytearray()
+    for row in (bottom, top):
+        for r, g, b in row:
+            body += bytes([b, g, r])  # BGR on disk
+        body += b"\x00" * (stride - w * 3)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    blob = hdr + dib + bytes(body)
+
+    bw, bh, ch, mean = decode_bmp(blob)
+    assert (bw, bh, ch) == (3, 2, 3)
+    flat = [c for row in (top, bottom) for rgb in row for c in rgb]
+    assert abs(mean - sum(flat) / len(flat)) < 1e-3
+
+    df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
+    assert blob_meta(df).collect()[0].format == "bmp"
