@@ -167,3 +167,41 @@ def test_read_legacy_kmer_tuples(spark, tmp_path):
     p.write_text("(ACGTA,3)\n(tggca, 12)\nnot a tuple\n(NNNNN,1)\n(,5)\n")
     rows = {r["kmer"]: r["count"] for r in read_legacy_kmer_tuples(spark, str(p)).collect()}
     assert rows == {"ACGTA": 3, "TGGCA": 12, "NNNNN": 1}
+
+
+def test_python_datasource_matches_mapinpandas_reader(spark, tmp_path):
+    """The Spark 4 Python DataSource path must produce exactly the rows
+    of the primary mapInPandas reader — same parsers, two surfaces."""
+    from reflexiv_spark.sources import datasource as ds
+    from reflexiv_spark.sources.records import read_fasta, read_fastq
+
+    fq = tmp_path / "reads.fq"
+    fq.write_text(
+        "@r1\nACGT\n+\nIIII\n"
+        "@r2\nTTGGCC\n+\nIIIIII\n"
+        "@r3\nGATTACA\n+\nIIIIIII\n"
+    )
+    fa = tmp_path / "refs.fa"
+    fa.write_text(">c1\nacgt\nACGT\n>c2\nGGGG\n")
+
+    ds.register(spark)
+    via_ds = sorted(
+        map(tuple, spark.read.format("fastq").load(str(fq)).collect())
+    )
+    via_mp = sorted(map(tuple, read_fastq(spark, str(fq)).collect()))
+    assert via_ds == via_mp and len(via_ds) == 3
+
+    fa_ds = sorted(
+        map(tuple, spark.read.format("fastabio").load(str(fa)).collect())
+    )
+    fa_mp = sorted(map(tuple, read_fasta(spark, str(fa)).collect()))
+    assert fa_ds == fa_mp and len(fa_ds) == 2
+
+    # gzip example from the reference keeps working through the API
+    via_gz = (
+        spark.read.format("fastq")
+        .load("/root/reference/example/paired_dat1.fq.gz")
+        .count()
+    )
+    gz_mp = read_fastq(spark, "/root/reference/example/paired_dat1.fq.gz").count()
+    assert via_gz == gz_mp > 0
