@@ -84,6 +84,9 @@ HEADLINE = [
     "events_range_join",
     "pack_sequences",
     "kmeans_assign",
+    "bm25_rank",
+    # KMV on the production hash family (the md5 twin stays oracle-only)
+    "kmv_distinct_xxh64",
 ]
 
 
@@ -156,10 +159,24 @@ def _bench_only_queries():
         tr = docs.where(F.col("doc_id") % 10 != 0)
         return decontaminate(tr, ev, n=4)
 
+    def kmv_distinct_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.sketch import kmv_distinct
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+            ).alias("tok")
+        )
+        return kmv_distinct(toks, "tok", k=256)
+
     return {
         "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
         "dup_clusters_xxh64": dup_clusters_xxh64,
         "decontaminate_xxh64": decontaminate_xxh64,
+        "kmv_distinct_xxh64": kmv_distinct_xxh64,
         "ann_lsh_gauss": ann_lsh_gauss,
         "embedding_dedup_gauss": embedding_dedup_gauss,
         "ann_ivf_adaptive": ann_ivf_adaptive,

@@ -826,3 +826,29 @@ def test_bpe_train_matches_reference(spark):
     for w in "low lower lowest low low".split():
         flat_ref.extend(ref_vocab[w])
     assert toks[1] == flat_ref
+
+
+def test_cluster_and_asof_empty_inputs(spark):
+    """No near-dups / no right rows are normal production states — the
+    operators must return empty/null results, not throw."""
+    from datetime import datetime as dt
+
+    from reflexiv_spark.datapipe.cluster import dup_clusters, keep_best_per_cluster
+    from reflexiv_spark.operators.temporal import asof_join
+
+    empty_pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert dup_clusters(empty_pairs).count() == 0
+
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    score = spark.createDataFrame([(1, 0.5), (2, 0.7)], "doc_id long, quality double")
+    kept = keep_best_per_cluster(docs, empty_pairs, score)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+    left = spark.createDataFrame(
+        [(1, 7, dt(2024, 1, 1, 10, 0, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    empty_right = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = asof_join(left, empty_right, on="user_id").collect()
+    assert len(out) == 1 and out[0]["value_right"] is None
