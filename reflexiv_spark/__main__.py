@@ -178,6 +178,13 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--text-col", default="text")
     bp.add_argument("--merges", type=int, default=50)
 
+    pk = add("text-pack", help="datapipe: concat-then-chunk sequence packing "
+             "(window id + offset per document)")
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--window", type=int, default=2048,
+                    help="context window size in tokens")
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -399,6 +406,16 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
         )
         _write(merges, args.output, args.outformat)
+    elif args.cmd == "text-pack":
+        from reflexiv_spark.datapipe.packing import pack_sequences
+
+        out = pack_sequences(
+            spark.read.parquet(args.input),
+            window_tokens=args.window,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        _write(out, args.output, args.outformat)
     return 0
 
 

@@ -169,3 +169,16 @@ def test_cli_bpe_train(spark, tmp_path):
     rows = spark.read.parquet(str(out)).orderBy("step").collect()
     assert [r.step for r in rows] == [1, 2, 3]
     assert rows[0].left == "l" and rows[0].right == "o"  # 'lo' ×5 words
+
+
+def test_cli_text_pack(spark, tmp_path):
+    inp = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [(i, "tok " * 30) for i in range(1, 11)], "doc_id long, text string"
+    ).write.parquet(str(inp))
+    out = tmp_path / "packed"
+    assert main(["text-pack", "-i", str(inp), "-o", str(out), "--window", "100"]) == 0
+    got = {r.doc_id: (r.bin_id, r.bin_offset)
+           for r in spark.read.parquet(str(out)).collect()}
+    # 30 tokens/doc in id order: doc 4 starts at 90 -> straddles into bin 0
+    assert got[1] == (0, 0) and got[4] == (0, 90) and got[5] == (1, 20)

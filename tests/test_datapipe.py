@@ -852,3 +852,15 @@ def test_cluster_and_asof_empty_inputs(spark):
     )
     out = asof_join(left, empty_right, on="user_id").collect()
     assert len(out) == 1 and out[0]["value_right"] is None
+
+
+def test_bpe_encode_empty_and_null_docs(spark):
+    from reflexiv_spark.datapipe.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_subwords"])
+           for r in bpe_encode(df, [("a", "b")]).collect()}
+    assert got[1] == (["ab", "ab"], 2)
+    assert got[2] == ([], 0) and got[3] == ([], 0)
