@@ -745,6 +745,24 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: C4-style global line-frequency filter. The corpus is
+    single-line docs, so a boilerplate banner is prepended to every
+    document first; the operator must then drop exactly that line
+    (corpus frequency = n_docs) and reassemble each document's
+    surviving lines in order."""
+    from reflexiv_spark.datapipe.text import drop_frequent_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+        ).alias("text"),
+    )
+    return drop_frequent_lines(docs, max_count=2)
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe capstone: the composed training-data cleaning pipeline —
     quality/language scoring → threshold filters → exact dedup → MinHash
@@ -1360,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": q_source_rollup,
         "lang_pivot": q_lang_pivot,
         "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
         "clean_corpus": q_clean_corpus,
         "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
@@ -1819,6 +1838,31 @@ def oracle_sql() -> dict[str, str]:
             " coalesce(top.tbcf, 0.0) AS top_bigram_char_frac"
             " FROM documents d LEFT JOIN la ON d.doc_id = la.doc_id"
             " LEFT JOIN top ON d.doc_id = top.doc_id"
+        ),
+        "line_dedup": (
+            # banner-injected corpus → global line counts → ordered
+            # reassembly of surviving lines
+            "WITH d AS (SELECT doc_id,"
+            " 'subscribe to our newsletter' || chr(10) ||"
+            " coalesce(text, '') AS text FROM documents), "
+            "sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls"
+            " FROM d), "
+            "ln AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos,"
+            " ls[CAST(i AS INT)] AS line, trim(ls[CAST(i AS INT)]) AS key"
+            " FROM sp, unnest(generate_series(1, len(ls))) AS u(i)), "
+            "cnt AS (SELECT key, count(*) AS n FROM ln WHERE key <> ''"
+            " GROUP BY key), "
+            "tg AS (SELECT ln.doc_id, ln.pos, ln.line,"
+            " coalesce(cnt.n, 0) <= 2 AS keep FROM ln LEFT JOIN cnt"
+            " ON ln.key = cnt.key) "
+            "SELECT d.doc_id, coalesce(string_agg(tg.line, chr(10)"
+            " ORDER BY tg.pos) FILTER (tg.keep), '') AS cleaned,"
+            " CAST(coalesce(sum(CASE WHEN tg.keep THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT) AS n_lines_kept,"
+            " CAST(coalesce(sum(CASE WHEN tg.keep THEN 0 ELSE 1 END), 0)"
+            " AS BIGINT) AS n_lines_dropped"
+            " FROM d LEFT JOIN tg ON d.doc_id = tg.doc_id"
+            " GROUP BY d.doc_id"
         ),
         "clean_corpus": (
             # CTE chain replaying the composed pipeline end to end:

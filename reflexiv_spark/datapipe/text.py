@@ -436,3 +436,71 @@ def compression_ratio(
             yield out
 
     return df.select(id_col, text_col).mapInPandas(_ratios, schema)
+
+
+def drop_frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_count: int = 2,
+) -> DataFrame:
+    """C4-style global line deduplication: remove every line that occurs
+    more than ``max_count`` times across the WHOLE corpus (boilerplate —
+    nav bars, cookie banners, license headers — repeats across
+    documents; prose does not), then reassemble each document with its
+    surviving lines in original order.
+
+    DataFrame[id, cleaned, n_lines_kept, n_lines_dropped].
+
+    Plan: posexplode lines (doc-scoped positions), count per trimmed
+    line globally — the one corpus-wide shuffle, map-side combined, one
+    row per DISTINCT line — then rejoin counts and rebuild with an
+    ordered ``string_agg``-equivalent (sort_array over (pos, line)
+    structs). The frequent-line table is usually tiny, but the plan
+    never assumes it: the count join is a plain equi-join on the line
+    key, broadcast by AQE when it fits. Empty/whitespace lines are kept
+    verbatim (they carry formatting, and counting them globally would
+    make every paragraph break "frequent").
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, "\n")).alias("pos", "line"),
+    ).withColumn("key", F.trim(F.col("line")))
+
+    counts = (
+        lines.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    tagged = lines.join(counts, "key", "left").withColumn(
+        "__keep", F.coalesce(F.col("__n"), F.lit(0)) <= max_count
+    )
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines_kept"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_lines_dropped"),
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+    )

@@ -864,3 +864,23 @@ def test_bpe_encode_empty_and_null_docs(spark):
            for r in bpe_encode(df, [("a", "b")]).collect()}
     assert got[1] == (["ab", "ab"], 2)
     assert got[2] == ([], 0) and got[3] == ([], 0)
+
+
+def test_drop_frequent_lines_c4_rule(spark):
+    from reflexiv_spark.datapipe.text import drop_frequent_lines
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (1, f"{banner}\nunique prose one\n\nmore prose"),
+        (2, f"{banner}\nunique prose two"),
+        (3, f"{banner}\nunique prose three"),
+        (4, "no banner here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in drop_frequent_lines(df, max_count=2).collect()}
+    # the banner (3 occurrences > 2) is gone; order and blank lines kept
+    assert got[1]["cleaned"] == "unique prose one\n\nmore prose"
+    assert got[1]["n_lines_dropped"] == 1 and got[1]["n_lines_kept"] == 3
+    assert got[2]["cleaned"] == "unique prose two"
+    assert got[4]["cleaned"] == "no banner here at all"
+    assert got[4]["n_lines_dropped"] == 0
