@@ -233,10 +233,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # materialized once: consumed by the band explode AND the two
     # signature rejoins below (3 plan references otherwise recompute the
-    # shingle aggregation 3×)
+    # shingle aggregation 3×). Lazy: the signature job runs with the
+    # caller's FIRST action, not at DataFrame-construction time (the
+    # md5 family's 800M-hash build made construction itself take ~20 s
+    # at sf1.0 before this)
     sigs = minhash_signatures(
         df, text_col, id_col, w, num_hashes, hash_family
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def band_key(b):
         key = F.concat_ws(
