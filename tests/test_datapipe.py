@@ -884,3 +884,24 @@ def test_drop_frequent_lines_c4_rule(spark):
     assert got[2]["cleaned"] == "unique prose two"
     assert got[4]["cleaned"] == "no banner here at all"
     assert got[4]["n_lines_dropped"] == 0
+
+
+def test_round5_ops_tolerate_empty_corpus(spark):
+    """Zero-row inputs must yield zero-row (or identity) outputs."""
+    from reflexiv_spark.datapipe.decontam import decontaminate
+    from reflexiv_spark.datapipe.packing import pack_sequences
+    from reflexiv_spark.datapipe.retrieval import bm25_score
+    from reflexiv_spark.datapipe.sketch import kmv_distinct
+    from reflexiv_spark.datapipe.text import (
+        drop_frequent_lines,
+        repetition_stats,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert repetition_stats(empty).count() == 0
+    assert drop_frequent_lines(empty).count() == 0
+    assert pack_sequences(empty, window_tokens=128).count() == 0
+    assert bm25_score(empty, "anything at all").count() == 0
+    assert decontaminate(empty, empty, n=3).count() == 0
+    row = kmv_distinct(empty.select(F.col("text").alias("tok")), "tok").collect()[0]
+    assert row["est_ndv"] == 0 and row["n_mins"] == 0
