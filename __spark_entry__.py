@@ -861,6 +861,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(toks, "tok", k=256, hash_family="md5")
 
 
+def q_kmv_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: grouped KMV — per-language vocabulary estimates via
+    two-level partition minima (≤ k longs per group per partition
+    exchanged; no O(NDV) shuffle, no per-group collect)."""
+    from reflexiv_spark.datapipe.sketch import kmv_distinct_by
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\w+"), 0)
+        ).alias("tok"),
+    )
+    return kmv_distinct_by(toks, "tok", "lang", k=128, hash_family="md5")
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: deterministic hash-gated sampling — reproducible under
     any partitioning (a pure function of the row id), bit-replayable by
@@ -1387,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "token_quantiles": q_token_quantiles,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_by_lang": q_kmv_by_lang,
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "unigram_logprob": q_unigram_logprob,
@@ -2061,6 +2077,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(256 AS BIGINT) AS k, CAST(n_mins AS BIGINT) AS n_mins,"
             " kth_hash, CAST(CASE WHEN n_mins < 256 THEN CAST(n_mins AS DOUBLE)"
             " ELSE floor(255.0 * 1152921504606846976.0 /"
+            " (CAST(kth_hash AS DOUBLE) + 1.0)) END AS BIGINT) AS est_ndv"
+            " FROM a"
+        ),
+        "kmv_by_lang": (
+            # grouped replay: ranked DISTINCT hashes per language,
+            # keep 128, same estimator arithmetic
+            "WITH toks AS (SELECT lang, t FROM documents,"
+            r" unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)"
+            " WHERE lang IS NOT NULL), "
+            "hs AS (SELECT DISTINCT lang, " + _sql_md5l("t")
+            + " AS h FROM toks), "
+            "rk AS (SELECT lang, h, row_number() OVER ("
+            "PARTITION BY lang ORDER BY h) AS r FROM hs), "
+            "mins AS (SELECT lang, h FROM rk WHERE r <= 128), "
+            "a AS (SELECT lang, max(h) AS kth_hash, count(*) AS n_mins"
+            " FROM mins GROUP BY lang) "
+            "SELECT lang, CAST(128 AS BIGINT) AS k,"
+            " CAST(n_mins AS BIGINT) AS n_mins, kth_hash,"
+            " CAST(CASE WHEN n_mins < 128 THEN CAST(n_mins AS DOUBLE)"
+            " ELSE floor(127.0 * 1152921504606846976.0 /"
             " (CAST(kth_hash AS DOUBLE) + 1.0)) END AS BIGINT) AS est_ndv"
             " FROM a"
         ),

@@ -17,7 +17,7 @@ oracles in :mod:`reflexiv_spark.datapipe.dedup`).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reflexiv_spark.datapipe.dedup import md5_long
@@ -220,6 +220,90 @@ def kmv_distinct(
             F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_mins")
         )
         .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_mins").cast("bigint").alias("n_mins"),
+            "kth_hash",
+            F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+            .otherwise(F.floor(est).cast("double"))
+            .cast("bigint")
+            .alias("est_ndv"),
+        )
+    )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    key_col,
+    group_col: str,
+    k: int = 256,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group KMV distinct-count estimates →
+    DataFrame[group, k, n_mins, kth_hash, est_ndv].
+
+    Same estimator as :func:`kmv_distinct`, sharded by ``group_col``.
+    Scale shape: one Arrow pass folds each PARTITION to ≤ k minima per
+    group it contains (state: groups-in-partition × k longs), then a
+    per-group merge over ≤ k × n_partitions rows — grouped NDV without
+    an O(NDV) shuffle and without ever collecting a group's full hash
+    set anywhere. The per-group minima set is plan-invariant, so the
+    SQL oracle replays it with a ranked DISTINCT per group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if hash_family == "md5":
+        h = md5_long(c.cast("string"))
+    else:
+        h = F.xxhash64(c)
+    hs = df.select(
+        F.col(group_col).alias("g"), h.alias("h")
+    ).where(F.col("h").isNotNull() & F.col("g").isNotNull())
+
+    def _part_minima(batches):
+        carry: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g", sort=False):
+                u = np.unique(sub["h"].to_numpy())
+                prev = carry.get(g)
+                merged = u if prev is None else np.unique(np.concatenate([prev, u]))
+                carry[g] = merged[:k]
+        if carry:
+            yield pd.DataFrame(
+                {
+                    "g": np.repeat(
+                        np.array(list(carry.keys()), dtype=object),
+                        [len(v) for v in carry.values()],
+                    ),
+                    "h": np.concatenate(list(carry.values())),
+                }
+            )
+
+    part = hs.mapInPandas(_part_minima, "g string, h long")
+    merged = (
+        part.dropDuplicates(["g", "h"])
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("h")
+            ),
+        )
+        .where(F.col("__rk") <= k)
+    )
+    if hash_family == "md5":
+        est = (F.lit(float(k - 1)) * F.lit(float(1 << 60))) / (
+            F.col("kth_hash").cast("double") + F.lit(1.0)
+        )
+    else:
+        est = (F.lit(float(k - 1)) * F.lit(float(1 << 64))) / (
+            F.col("kth_hash").cast("double") + F.lit(float(1 << 63)) + F.lit(1.0)
+        )
+    return (
+        merged.groupBy(F.col("g").alias(group_col))
+        .agg(F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_mins"))
+        .select(
+            group_col,
             F.lit(k).cast("bigint").alias("k"),
             F.col("n_mins").cast("bigint").alias("n_mins"),
             "kth_hash",

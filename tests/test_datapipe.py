@@ -905,3 +905,19 @@ def test_round5_ops_tolerate_empty_corpus(spark):
     assert decontaminate(empty, empty, n=3).count() == 0
     row = kmv_distinct(empty.select(F.col("text").alias("tok")), "tok").collect()[0]
     assert row["est_ndv"] == 0 and row["n_mins"] == 0
+
+
+def test_kmv_distinct_by_group_accuracy(spark):
+    from reflexiv_spark.datapipe.sketch import kmv_distinct_by
+
+    rows = []
+    for g, n in (("a", 50), ("b", 5000)):
+        rows += [(g, f"{g}-key-{i % n}") for i in range(n * 2)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    got = {r["g"]: r for r in kmv_distinct_by(df, "key", "g", k=128).collect()}
+    assert got["a"]["est_ndv"] == 50  # below k → exact
+    assert abs(got["b"]["est_ndv"] - 5000) / 5000 < 0.25
+
+    got2 = {r["g"]: r["est_ndv"]
+            for r in kmv_distinct_by(df.repartition(11), "key", "g", k=128).collect()}
+    assert got2 == {g: r["est_ndv"] for g, r in got.items()}  # layout-invariant
