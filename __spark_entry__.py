@@ -1318,6 +1318,16 @@ def q_meta_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("seq").alias("contig_seq"))
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: per-vector symmetric int8 quantization report — scale
+    and mean reconstruction error (the 4× shuffle/storage lever for
+    vector pipelines). Floor arithmetic + order-identical list folds
+    make both engines agree bit for bit."""
+    from reflexiv_spark.datapipe.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: fixed-point Lloyd k-means (2 iterations, 16 cells) over
     the embeddings — the quantizer-training step for IVF/semantic
@@ -1411,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_quantize": q_embedding_quantize,
         "kmeans_assign": q_kmeans_assign,
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
@@ -2191,6 +2202,19 @@ def oracle_sql() -> dict[str, str]:
             " >= 0.3) "
             "SELECT vec_id FROM embeddings"
             " WHERE vec_id NOT IN (SELECT id2 FROM drp)"
+        ),
+        "embedding_quantize": (
+            # replay of quantize_embeddings: scale = max|x|,
+            # q = floor(x/scale*127), err via the same sequential fold
+            "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            " FROM embeddings), "
+            "s AS (SELECT vec_id, e,"
+            " list_max(list_transform(e, x -> abs(x))) AS scale FROM v) "
+            "SELECT vec_id, round(scale, 6) AS scale,"
+            " CASE WHEN scale > 0 THEN round(list_sum(list_transform(e,"
+            " x -> abs(x - (CAST(floor(x / scale * 127) AS BIGINT)"
+            " * scale / 127)))) / len(e), 6) ELSE 0.0 END AS mean_abs_err"
+            " FROM s"
         ),
         "kmeans_assign": (
             # unrolled replay of kmeans_lite(dim=64, n_centroids=16,

@@ -764,3 +764,43 @@ def kmeans_lite(
         cmat = np.where(take[:, None], upd_mat, cmat)
 
     return assign.select(F.col("vid").alias(id_col), "cell"), cmat
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization report →
+    DataFrame[id, scale, mean_abs_err].
+
+    scale = max|x|; q_i = floor(x_i/scale·127) ∈ [-127, 127];
+    reconstruction x̂_i = q_i·scale/127. At 100 TB this is the 4×
+    shuffle/storage lever for vector pipelines (int8 + one float scale
+    per vector instead of float32s); the operator reports the scale and
+    the mean absolute reconstruction error so a pipeline can gate on
+    quality before switching its ANN stages to the quantized column.
+
+    Every step is floor/abs/multiply in IEEE doubles over the SAME
+    element order in both engines (list folds are sequential), so the
+    SQL oracle matches bit for bit — no round-half-to-even hazards.
+    Zero vectors (scale 0) report zero error.
+    """
+    e = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    q = F.transform(e, lambda x: F.floor(x / scale * 127).cast("long"))
+    deq = F.transform(q, lambda v: v.cast("double") * scale / 127)
+    err_sum = F.aggregate(
+        F.zip_with(e, deq, lambda a, b: F.abs(a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_err = F.when(
+        scale > 0, F.round(err_sum / F.size(e), round_digits)
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.round(scale, round_digits).alias("scale"),
+        mean_err.alias("mean_abs_err"),
+    )

@@ -921,3 +921,23 @@ def test_kmv_distinct_by_group_accuracy(spark):
     got2 = {r["g"]: r["est_ndv"]
             for r in kmv_distinct_by(df.repartition(11), "key", "g", k=128).collect()}
     assert got2 == {g: r["est_ndv"] for g, r in got.items()}  # layout-invariant
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    import math
+
+    from reflexiv_spark.datapipe.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector → zero error, scale 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["scale"] == 1.0
+    err = sum(
+        abs(x - math.floor(x / 1.0 * 127) * 1.0 / 127)
+        for x in (1.0, -0.5, 0.25, 0.0)
+    ) / 4
+    assert abs(got[1]["mean_abs_err"] - round(err, 6)) < 1e-12
+    assert got[2]["scale"] == 0.0 and got[2]["mean_abs_err"] == 0.0
