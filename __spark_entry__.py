@@ -450,6 +450,42 @@ def q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine surface: funnel analysis — users who viewed, and users who
+    purchased within an hour of their FIRST view. Two keyed aggregations
+    and one join; all-integer outputs."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first_view = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    converted = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_view, "user_id")
+        .where(
+            (F.col("us") >= F.col("v_us"))
+            & (F.col("us") <= F.col("v_us") + 3_600_000_000)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(first_view.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted")))
+        .select(
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_viewed").cast("bigint").alias("n_viewed"),
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+        )
+    )
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """engine addition (the brief's category (a) custom operator): as-of
     join — each purchase gets the user's latest at-or-before click value
@@ -1379,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
         "events_running": q_events_running,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -1554,6 +1591,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S')"
             " AS session_start, count(*) AS n_events FROM s"
             " GROUP BY user_id, sid"
+        ),
+        "events_funnel": (
+            "WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS v_us"
+            " FROM events WHERE event_type = 'view' GROUP BY user_id), "
+            "cv AS (SELECT DISTINCT e.user_id FROM events e JOIN fv"
+            " ON e.user_id = fv.user_id WHERE e.event_type = 'purchase'"
+            " AND epoch_us(e.ts) >= fv.v_us"
+            " AND epoch_us(e.ts) <= fv.v_us + 3600000000) "
+            "SELECT CAST((SELECT count(DISTINCT user_id) FROM events)"
+            " AS BIGINT) AS n_users,"
+            " CAST((SELECT count(*) FROM fv) AS BIGINT) AS n_viewed,"
+            " CAST((SELECT count(*) FROM cv) AS BIGINT) AS n_converted"
         ),
         "events_running": (
             "SELECT event_id, user_id,"
