@@ -787,20 +787,31 @@ def quantize_embeddings(
     SQL oracle matches bit for bit — no round-half-to-even hazards.
     Zero vectors (scale 0) report zero error.
     """
-    e = F.col(vec_col).cast("array<double>")
-    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    q = F.transform(e, lambda x: F.floor(x / scale * 127).cast("long"))
-    deq = F.transform(q, lambda v: v.cast("double") * scale / 127)
+    # scale is staged as a COLUMN before the per-element lambdas use it:
+    # inlining the array_max subexpression into a transform lambda makes
+    # Spark's interpreted higher-order functions re-evaluate it per
+    # element — O(dim²) work per row (measured 7 s vs 0.4 s at sf1.0)
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
+    ).withColumn(
+        "__scale",
+        F.array_max(F.transform(F.col("__e"), lambda x: F.abs(x))),
+    )
+    sc = F.col("__scale")
+    deq = F.transform(
+        F.col("__e"),
+        lambda x: F.floor(x / sc * 127).cast("long").cast("double") * sc / 127,
+    )
     err_sum = F.aggregate(
-        F.zip_with(e, deq, lambda a, b: F.abs(a - b)),
+        F.zip_with(F.col("__e"), deq, lambda a, b: F.abs(a - b)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     mean_err = F.when(
-        scale > 0, F.round(err_sum / F.size(e), round_digits)
+        sc > 0, F.round(err_sum / F.size(F.col("__e")), round_digits)
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        F.round(scale, round_digits).alias("scale"),
+        F.round(sc, round_digits).alias("scale"),
         mean_err.alias("mean_abs_err"),
     )
