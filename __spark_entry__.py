@@ -1399,67 +1399,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver oracles the FIRST 50 dict entries.  Slots 1-20 are the
+    # queries with no round-5 green row (6 never checked + 14 stale since
+    # round 4); slots 21-50 are the round-5-green queries whose kernels
+    # this round touches (asof payload fix, kmv schema fix, cluster
+    # left-join fix, packed/long-block k-mer work).  Slots 51-70 rotate
+    # out — their CORRECTNESS_r05.json rows stand as evidence.
     return {
-        "kmer_count": q_kmer_count,
-        "kmer_band": q_kmer_band,
-        "kmer_clip": q_kmer_clip,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        "assemble_paths": q_assemble_paths,
-        "fork_argmax": q_fork_argmax,
-        "fork_argmax_gated": q_fork_argmax_gated,
-        "union_counts": q_union_counts,
-        "best_connection": q_best_connection,
-        "top_orders": q_top_orders,
-        "distinct_pairs": q_distinct_pairs,
-        "multi_join_agg": q_multi_join_agg,
-        "events_window": q_events_window,
-        "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
-        "events_running": q_events_running,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "fasta_wrap": q_fasta_wrap,
-        "reduction": q_reduction,
-        "mercy": q_mercy,
-        "contig_dedup": q_contig_dedup,
-        "contig_merge": q_contig_merge,
-        "junction_support": q_junction_support,
-        "exact_dedup": q_exact_dedup,
-        "contained_dedup": q_contained_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_near_dup": q_minhash_near_dup,
-        "dup_clusters": q_dup_clusters,
-        "cluster_keep_best": q_cluster_keep_best,
-        "simhash_dup": q_simhash_dup,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "bm25_rank": q_bm25_rank,
-        "source_rollup": q_source_rollup,
-        "lang_pivot": q_lang_pivot,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "clean_corpus": q_clean_corpus,
-        "doc_chunk": q_doc_chunk,
-        "cms_estimate": q_cms_estimate,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "token_quantiles": q_token_quantiles,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_by_lang": q_kmv_by_lang,
+        # --- never driver-checked (r5 slots 51-60) ---
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "unigram_logprob": q_unigram_logprob,
         "redact_pii": q_redact_pii,
+        "embedding_quantize": q_embedding_quantize,
+        "kmeans_assign": q_kmeans_assign,
+        # --- green in r4, fell out of the r5 window ---
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "embedding_quantize": q_embedding_quantize,
-        "kmeans_assign": q_kmeans_assign,
+        "embedding_dedup": q_embedding_dedup,
         "binary_meta": q_binary_meta,
         "read_mapping": q_read_mapping,
         "end_extend": q_end_extend,
@@ -1469,7 +1428,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_assemble": q_meta_assemble,
         "pair_merge": q_pair_merge,
         "error_correct": q_error_correct,
-        "embedding_dedup": q_embedding_dedup,
+        # --- r5-green, re-checked because round 6 touches their code ---
+        "events_asof": q_events_asof,
+        "cluster_keep_best": q_cluster_keep_best,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_lang": q_kmv_by_lang,
+        "dup_clusters": q_dup_clusters,
+        "minhash_near_dup": q_minhash_near_dup,
+        "kmer_count": q_kmer_count,
+        "kmer_band": q_kmer_band,
+        "kmer_clip": q_kmer_clip,
+        "rc_expand": q_rc_expand,
+        "prune_forks": q_prune_forks,
+        "assemble_paths": q_assemble_paths,
+        "reduction": q_reduction,
+        "mercy": q_mercy,
+        "contig_dedup": q_contig_dedup,
+        "contig_merge": q_contig_merge,
+        "junction_support": q_junction_support,
+        "fork_argmax": q_fork_argmax,
+        "fork_argmax_gated": q_fork_argmax_gated,
+        "union_counts": q_union_counts,
+        "best_connection": q_best_connection,
+        "distinct_pairs": q_distinct_pairs,
+        "exact_dedup": q_exact_dedup,
+        "contained_dedup": q_contained_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_dup": q_simhash_dup,
+        "clean_corpus": q_clean_corpus,
+        "events_range_join": q_events_range_join,
+        "events_window": q_events_window,
+        "fasta_wrap": q_fasta_wrap,
+        # --- r5-green, rotated out of the 50-entry window ---
+        "top_orders": q_top_orders,
+        "multi_join_agg": q_multi_join_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
+        "events_running": q_events_running,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "bm25_rank": q_bm25_rank,
+        "source_rollup": q_source_rollup,
+        "lang_pivot": q_lang_pivot,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "doc_chunk": q_doc_chunk,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "token_quantiles": q_token_quantiles,
     }
 
 
