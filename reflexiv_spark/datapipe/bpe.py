@@ -125,6 +125,11 @@ def bpe_train(
             .limit(1)
             .localCheckpoint(eager=False)
         )
+        # n_merges can exceed the merges the corpus supports: once no
+        # adjacent pair remains, `best` is 0 rows and _apply_merge's
+        # crossJoin would wipe the vocabulary — stop instead.
+        if not best.take(1):
+            break
         merge_frames.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -136,6 +141,13 @@ def bpe_train(
         )
         vocab = _apply_merge(vocab, best).localCheckpoint(eager=False)
 
+    if not merge_frames:
+        merges = df.sparkSession.createDataFrame(
+            [],
+            "step int, left string, right string, merged string,"
+            " pair_weight bigint",
+        )
+        return merges, vocab
     merges = merge_frames[0]
     for f in merge_frames[1:]:
         merges = merges.unionByName(f)

@@ -158,13 +158,21 @@ def keep_best_per_cluster(
     from pyspark.sql import Window
 
     cc = connected_components(pairs)
+    # LEFT join: a clustered doc missing a score row must still compete
+    # (nulls rank last), otherwise incomplete score tables silently keep
+    # every unscored duplicate. An all-unscored cluster keeps its
+    # smallest-id member.
     ranked = (
-        cc.join(score.select(F.col(id_col).alias("node"), score_col), "node")
+        cc.join(
+            score.select(F.col(id_col).alias("node"), score_col),
+            "node",
+            "left",
+        )
         .withColumn(
             "__rk",
             F.row_number().over(
                 Window.partitionBy("component").orderBy(
-                    F.col(score_col).desc(), F.col("node").asc()
+                    F.col(score_col).desc_nulls_last(), F.col("node").asc()
                 )
             ),
         )

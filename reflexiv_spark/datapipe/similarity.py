@@ -336,6 +336,8 @@ def ivf_topk(
         )
         cids = np.arange(len(cmat), dtype=np.int64)
         cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+        keep = cnorm > 0.0  # same zero-norm guard as the sampled branch
+        cmat, cids, cnorm = cmat[keep], cids[keep], cnorm[keep]
     else:
         cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
         cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64)
@@ -717,6 +719,12 @@ def kmeans_lite(
             StructField("cell", LongType(), False),
         ]
     )
+
+    if not len(cmat):
+        # every init vector was zero-norm: no valid quantizer exists —
+        # degrade to an empty assignment like ivf_topk's sampled branch
+        empty = df.sparkSession.createDataFrame([], assign_schema)
+        return empty.select(F.col("vid").alias(id_col), "cell"), cmat
 
     assign = None
     for it in range(n_iter):

@@ -260,6 +260,9 @@ def kmv_distinct_by(
     hs = df.select(
         F.col(group_col).alias("g"), h.alias("h")
     ).where(F.col("h").isNotNull() & F.col("g").isNotNull())
+    # the group column keeps its real type (bigint user ids etc.) —
+    # hardcoding string here would coerce it at the Arrow boundary
+    g_type = df.schema[group_col].dataType.simpleString()
 
     def _part_minima(batches):
         carry: dict = {}
@@ -280,7 +283,7 @@ def kmv_distinct_by(
                 }
             )
 
-    part = hs.mapInPandas(_part_minima, "g string, h long")
+    part = hs.mapInPandas(_part_minima, f"g {g_type}, h long")
     merged = (
         part.dropDuplicates(["g", "h"])
         .withColumn(

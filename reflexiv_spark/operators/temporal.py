@@ -77,31 +77,35 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Timestamp and every payload column travel in ONE struct so they
+    # all come from the same (latest) right row — carrying payloads in
+    # separate last(ignorenulls) windows would let a NULL payload on the
+    # matched row fall back to a stale earlier row's value and let the
+    # tolerance check validate freshness against a different row than
+    # the one supplying the value.
+    rrow = F.when(
+        F.col("__tag") == 0,
+        F.struct(
+            F.col(ts).alias("__rts"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in right_cols],
+        ),
+    )
     picked = u.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__p_{c}")
-            for c in carried
-        ],
-        F.last(F.when(F.col("__tag") == 0, F.col(ts)), ignorenulls=True)
-        .over(w)
-        .alias("__rts"),
+        "*", F.last(rrow, ignorenulls=True).over(w).alias("__r")
     )
     out = picked.where(F.col("__tag") == 1)
     if tolerance_s is not None:
         fresh = (
-            _epoch_us(F.col(ts)) - _epoch_us(F.col("__rts"))
+            _epoch_us(F.col(ts)) - _epoch_us(F.col("__r.__rts"))
         ) <= tolerance_s * 1_000_000
-        out = out.select(
-            "*",
-            *[
-                F.when(fresh, F.col(f"__p_{c}")).alias(f"__f_{c}")
-                for c in carried
-            ],
-        )
-        keep = [F.col(f"__f_{c}").alias(c) for c in carried]
+        keep = [
+            F.when(fresh, F.col(f"__r.{c}")).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
     else:
-        keep = [F.col(f"__p_{c}").alias(c) for c in carried]
+        keep = [
+            F.col(f"__r.{c}").alias(f"{c}{suffix}") for c in right_cols
+        ]
     return out.select(
         *[c for c in left.columns],
         *keep,

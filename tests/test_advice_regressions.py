@@ -162,3 +162,110 @@ def test_ivf_topk_excludes_zero_norm_centroids(spark):
     assert all(r.score is not None and r.score == r.score for r in out)
     # queries were assigned via the surviving centroid(s) only
     assert {r.vec_id for r in out} >= set(range(3, 23))
+
+
+# --- round 6 ---
+
+
+def test_bpe_train_survives_exhausted_merges(spark):
+    """n_merges beyond what the corpus supports must stop changing the
+    vocabulary, not crossJoin it against a 0-row merge and wipe it."""
+    from reflexiv_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id long, text string"
+    )
+    # "ab" supports exactly one merge (a+b); ask for ten
+    merges, vocab = bpe_train(df, n_merges=10)
+    mrows = merges.collect()
+    assert len(mrows) == 1 and mrows[0].merged == "ab"
+    vrows = vocab.collect()
+    assert len(vrows) == 1 and vrows[0].syms == ["ab"]
+    enc = bpe_encode(df, [(m.left, m.right) for m in mrows]).collect()
+    assert enc[0].tokens == ["ab", "ab", "ab"]
+
+
+def test_bpe_train_zero_possible_merges(spark):
+    from reflexiv_spark.datapipe.bpe import bpe_train
+
+    # single-symbol words: no adjacent pair exists at all
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    merges, vocab = bpe_train(df, n_merges=3)
+    assert merges.count() == 0
+    assert {tuple(r.syms) for r in vocab.collect()} == {("a",), ("b",)}
+
+
+def test_asof_null_payload_comes_from_matched_row(spark):
+    """A matched right row whose payload is NULL must yield NULL — not a
+    stale earlier row's value — and the tolerance check must measure
+    freshness against the row that supplies the payload."""
+    from reflexiv_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [("u", 1, 10), ("u", 5, None)],
+        "user_id string, ts long, value int",
+    )
+    left = spark.createDataFrame(
+        [("u", 6, "e1")], "user_id string, ts long, event string"
+    )
+    out = asof_join(left, right, on="user_id").collect()
+    assert len(out) == 1 and out[0].value_right is None
+    # with tolerance 3: the matched row is ts=5 (fresh, NULL payload) —
+    # NOT ts=1 with a fresh-looking NULL-skipping fallback
+    out_tol = asof_join(
+        left, right, on="user_id", tolerance_s=3
+    ).collect()
+    assert len(out_tol) == 1 and out_tol[0].value_right is None
+    # sanity: a non-null matched payload still carries through
+    left2 = spark.createDataFrame(
+        [("u", 2, "e2")], "user_id string, ts long, event string"
+    )
+    out2 = asof_join(left2, right, on="user_id").collect()
+    assert out2[0].value_right == 10
+
+
+def test_kmv_distinct_by_preserves_group_type(spark):
+    from reflexiv_spark.datapipe.sketch import kmv_distinct_by
+
+    rows = [(uid, f"item-{uid}-{i}") for uid in (100, 200) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+    out = kmv_distinct_by(df, "item", "user_id", k=16)
+    assert dict(out.dtypes)["user_id"] == "bigint"
+    got = {r.user_id: r.est_ndv for r in out.collect()}
+    assert set(got) == {100, 200}
+    for est in got.values():
+        assert 30 <= est <= 80  # KMV tolerance at k=16, true NDV 50
+
+
+def test_keep_best_unscored_docs_still_compete(spark):
+    from reflexiv_spark.datapipe.cluster import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id1 long, id2 long"
+    )
+    # cluster {1,2,3}: only 2 is scored -> 2 must win, 1 and 3 must lose
+    # cluster {4,5}: nobody scored -> smallest id survives
+    score = spark.createDataFrame([(2, 0.9)], "doc_id long, quality double")
+    kept = {
+        r.doc_id
+        for r in keep_best_per_cluster(docs, pairs, score).collect()
+    }
+    assert kept == {2, 4, 6}
+
+
+def test_ivf_refine_branch_all_zero_vectors(spark):
+    from reflexiv_spark.datapipe.similarity import ivf_topk
+
+    df = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(1, 9)],
+        "vec_id long, embedding array<double>",
+    )
+    # refine branch (kmeans centroids all zero-norm) must not raise —
+    # it degrades to an empty result like the sampled branch
+    out = ivf_topk(
+        df, dim=8, k=2, n_centroids=2, n_probes=2, refine_iters=1
+    ).collect()
+    assert out == []
