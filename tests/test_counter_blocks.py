@@ -1,0 +1,148 @@
+"""Long-block (k > 31) packed k-mer kernels: every operator must match
+the oracle-proven string path bit for bit (tie-breaks included)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import (
+    brute_force_kmer_counts,
+    random_genome,
+    revcomp,
+    simulate_reads,
+)
+
+
+@pytest.mark.parametrize("k", [5, 31, 32, 41, 62, 63, 95])
+def test_blocks_roundtrip_and_revcomp(spark, k):
+    from reflexiv_spark.operators.counter_blocks import (
+        blocks_to_kmer,
+        canonical_blocks,
+        kmer_to_blocks,
+        revcomp_blocks,
+    )
+
+    kmers = [random_genome(k, seed=s) for s in range(20)]
+    kmers += ["A" * k, "T" * k, "AC" * (k // 2) + "A" * (k % 2)]
+    df = spark.createDataFrame([(s,) for s in kmers], "kmer string")
+    out = df.select(
+        "kmer",
+        blocks_to_kmer(kmer_to_blocks("kmer", k), k).alias("rt"),
+        blocks_to_kmer(revcomp_blocks(kmer_to_blocks("kmer", k), k), k).alias(
+            "rc"
+        ),
+        blocks_to_kmer(
+            canonical_blocks(kmer_to_blocks("kmer", k), k), k
+        ).alias("canon"),
+    ).collect()
+    for r in out:
+        assert r.rt == r.kmer
+        assert r.rc == revcomp(r.kmer)
+        assert r.canon == min(r.kmer, revcomp(r.kmer))
+
+
+@pytest.mark.parametrize("k,o", [(41, 40), (41, 31), (62, 61), (95, 94), (33, 20)])
+def test_blocks_sub_kmer_keys(spark, k, o):
+    from reflexiv_spark.operators.counter_blocks import (
+        blocks_to_kmer,
+        kmer_to_blocks,
+        prefix_key_blocks,
+        suffix_key_blocks,
+        suffix_str_blocks,
+    )
+
+    kmers = [random_genome(k, seed=100 + s) for s in range(16)]
+    df = spark.createDataFrame([(s,) for s in kmers], "kmer string")
+    out = df.select(
+        "kmer",
+        blocks_to_kmer(
+            prefix_key_blocks(kmer_to_blocks("kmer", k), k, o), o
+        ).alias("pre"),
+        blocks_to_kmer(
+            suffix_key_blocks(kmer_to_blocks("kmer", k), k, o), o
+        ).alias("suf"),
+        suffix_str_blocks(kmer_to_blocks("kmer", k), k, o).alias("tail"),
+    ).collect()
+    for r in out:
+        assert r.pre == r.kmer[:o]
+        assert r.suf == r.kmer[-o:]
+        assert r.tail == r.kmer[o:]
+    # the key layouts must agree: successor prefix == predecessor suffix
+    # as ARRAYS, not just as decoded strings
+    a, b = kmers[0], kmers[1]
+    chained = a + b[: k - o]  # suffix-o of a == prefix-o of (a<<(k-o))
+    df2 = spark.createDataFrame([(a, chained[k - o :])], "x string, y string")
+    eq = df2.select(
+        (
+            suffix_key_blocks(kmer_to_blocks("x", k), k, o)
+            == prefix_key_blocks(kmer_to_blocks("y", k), k, o)
+        ).alias("eq")
+    ).collect()
+    assert eq[0].eq
+
+
+@pytest.mark.parametrize("k", [35, 41, 62, 95])
+def test_count_kmers_blocks_matches_string_counter(spark, k):
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.counter_blocks import count_kmers_blocks
+
+    genome = random_genome(700, seed=k)
+    seqs = simulate_reads(genome, read_len=120, coverage=18.0, seed=k)
+    # one read with an N: its windows must be dropped identically
+    seqs.append(genome[:50] + "N" + genome[51:140])
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    want = {
+        (r.kmer, r["count"])
+        for r in count_kmers(reads, k, min_coverage=1, max_coverage=None).collect()
+    }
+    got = {
+        (r.kmer, r["count"])
+        for r in count_kmers_blocks(
+            reads, k, min_coverage=1, max_coverage=None
+        ).collect()
+    }
+    assert got == want
+    assert want == {
+        (km, n) for km, n in brute_force_kmer_counts(seqs, k).items()
+    }
+
+
+def test_count_kmers_blocks_coverage_band(spark):
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.counter_blocks import count_kmers_blocks
+
+    genome = random_genome(500, seed=7)
+    seqs = simulate_reads(genome, read_len=90, coverage=20.0, seed=3)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    k = 41
+    want = {
+        (r.kmer, r["count"])
+        for r in count_kmers(reads, k, min_coverage=2, max_coverage=30).collect()
+    }
+    got = {
+        (r.kmer, r["count"])
+        for r in count_kmers_blocks(
+            reads, k, min_coverage=2, max_coverage=30
+        ).collect()
+    }
+    assert got == want
+
+
+def test_blocks_groupby_and_join_on_arrays(spark):
+    """The whole design rides on array<long> being a first-class
+    grouping/join key — pin that contract."""
+    from reflexiv_spark.operators.counter_blocks import kmer_to_blocks
+
+    kmers = [random_genome(41, seed=s) for s in range(8)]
+    df = spark.createDataFrame([(s,) for s in kmers * 3], "kmer string")
+    g = (
+        df.select(kmer_to_blocks("kmer", 41).alias("kid"))
+        .groupBy("kid")
+        .count()
+        .collect()
+    )
+    assert len(g) == len(set(kmers)) and all(r["count"] == 3 for r in g)
+    a = df.select(kmer_to_blocks("kmer", 41).alias("kid")).distinct()
+    j = a.join(a.withColumnRenamed("kid", "kid2"), F.col("kid") == F.col("kid2"))
+    assert j.count() == len(set(kmers))
