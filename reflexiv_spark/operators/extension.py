@@ -191,7 +191,7 @@ def rank_paths(
     # string path's pre/suc/decode-join) reads the barrier, not the
     # upstream lineage
     if packed is None:
-        packed = 0 < o < k <= 31
+        packed = 0 < o < k
     if packed:
         # The packed id is injective only for fixed-length pure-ACGT rows;
         # one short-circuit scan guards the fallback (limit(1) stops at the
@@ -201,12 +201,22 @@ def rank_paths(
             .limit(1)
             .count()
         )
-        packed = bad == 0
-    if packed:
+        packed = bad == 0 and 0 < o < k
+    if packed and k <= 31:
         from reflexiv_spark.operators.counter_packed import kmer_to_packed
 
         return rank_paths_packed(
             km.select(kmer_to_packed("kmer", k).alias("kid"), "count"),
+            k,
+            max_rounds=max_rounds,
+            overlap=overlap,
+            checkpoint_every=checkpoint_every,
+        )
+    if packed:  # k > 31: long-block representation
+        from reflexiv_spark.operators.counter_blocks import kmer_to_blocks
+
+        return rank_paths_blocks(
+            km.select(kmer_to_blocks("kmer", k).alias("kid"), "count"),
             k,
             max_rounds=max_rounds,
             overlap=overlap,
@@ -289,14 +299,71 @@ def rank_paths_packed(
     )
 
 
+def rank_paths_blocks(
+    block_counts: DataFrame,
+    k: int,
+    max_rounds: int = 40,
+    overlap: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """:func:`rank_paths` over long-block packed k-mers (k > 31) —
+    DataFrame[kid: array<long>, count] as produced by
+    :func:`reflexiv_spark.operators.counter_blocks.count_kmers_blocks`
+    with ``decode=False``.
+
+    The multi-long analogue of :func:`rank_paths_packed`: per round the
+    pointer exchange carries 2·⌈k/31⌉ longs + 1 per row (e.g. ~5 longs
+    at k=41 vs two 41-byte ASCII strings), join keys are plan-time
+    shift/mask rechunks, and bases decode exactly once at final
+    assembly. This is the reference's long-k array-of-longs encoding
+    (``ReflexivDSDynamicKmerRuduction.java:3220-3241``) carried through
+    the contraction loop.
+    """
+    from reflexiv_spark.operators.counter_blocks import (
+        blocks_to_kmer,
+        prefix_key_blocks,
+        suffix_key_blocks,
+        suffix_str_blocks,
+    )
+
+    o = (k - 1) if overlap is None else overlap
+    km = block_counts.select(
+        "kid", F.col("count").cast("int").alias("count")
+    ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
+    pre = km.select("kid", prefix_key_blocks("kid", k, o).alias("__pk"))
+    suc = km.select(
+        F.col("kid").alias("__pred"),
+        suffix_key_blocks("kid", k, o).alias("__pk"),
+    )
+    state, heads = _init_pointers(pre, suc)
+    state = _double_pointers(state, max_rounds, checkpoint_every)
+    done = state.join(heads, "anc", "left_semi")
+    parts = done.join(km, "kid").groupBy("anc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("off", "kid", "count"))
+        ).alias("xs")
+    )
+    rest_bases = F.array_join(
+        F.transform(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            lambda x: suffix_str_blocks(x["kid"], k, o),
+        ),
+        "",
+    )
+    return _assemble_tail(
+        parts, blocks_to_kmer(F.col("xs").getItem(0)["kid"], k), rest_bases
+    )
+
+
 def _init_pointers(pre: DataFrame, suc: DataFrame):
     """(state, heads) for the doubling loop: each k-mer points at its
     unique predecessor (fork-free input) or itself when it is a path head.
     A self-loop k-mer has anc == itself but off == 1, so it is NOT a head
     and correctly never converges."""
-    state = (
-        pre.join(suc, "__pk", "left")
-        .select(
+    from reflexiv_spark.plans.barriers import iteration_barrier
+
+    state = iteration_barrier(
+        pre.join(suc, "__pk", "left").select(
             "kid",
             F.coalesce("__pred", F.col("kid")).alias("anc"),
             F.when(F.col("__pred").isNull(), F.lit(0))
@@ -304,7 +371,6 @@ def _init_pointers(pre: DataFrame, suc: DataFrame):
             .cast("long")
             .alias("off"),
         )
-        .localCheckpoint(eager=True)
     )
     heads = state.where(F.col("off") == 0).select(F.col("kid").alias("anc"))
     return state, heads
@@ -320,7 +386,14 @@ def _double_pointers(
     CYCLES — whose members keep moving forever unless their length is a
     power of two — cannot pin the loop at max_rounds. state is already
     materialized by the eager checkpoint, so the count is a cheap scan.
+
+    Every round's barrier is :func:`iteration_barrier` — plain
+    ``localCheckpoint`` preserves the join's squared sizeInBytes
+    estimate and the compounding BigInt turns plan time exponential
+    (see ``plans/barriers.py``).
     """
+    from reflexiv_spark.plans.barriers import iteration_barrier
+
     n_rows = state.count()
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
 
@@ -340,7 +413,7 @@ def _double_pointers(
             (F.col("__anc2") != F.col("anc")).alias("__moved"),
         )
         if r % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = iteration_barrier(nxt)
         # converged when no pointer moved; cycle members keep moving and
         # are dropped by the head semi-join when max_rounds is hit
         moved = nxt.where(F.col("__moved")).limit(1).count()
@@ -387,7 +460,9 @@ def extend_to_convergence(
     pair) and never stop before ``min_iterations`` (the reference gates the
     same check behind minimumIteration = 15, ``DefaultParam.java:116``).
     """
-    current = paths.dropDuplicates(["seq"]).localCheckpoint(eager=True)
+    from reflexiv_spark.plans.barriers import iteration_barrier
+
+    current = iteration_barrier(paths.dropDuplicates(["seq"]))
     prev_count = current.count()
     unchanged_windows = 0
     for i in range(1, max_iterations + 1):
@@ -395,7 +470,7 @@ def extend_to_convergence(
             current, k, i, overlap=overlap, allowed_keys=allowed_keys
         )
         if i % checkpoint_every == 0 or i % check_every == 0:
-            current = current.localCheckpoint(eager=True)
+            current = iteration_barrier(current)
         if i % check_every == 0:
             n = current.count()
             if n == prev_count:

@@ -174,7 +174,9 @@ def merge_contigs(
             chosen.select(F.col("id_b").alias("cid"))
         ).distinct()
         rest = cur.join(used, "cid", "left_anti")
-        cur = merged.unionByName(rest).localCheckpoint(eager=True)
+        from reflexiv_spark.plans.barriers import iteration_barrier
+
+        cur = iteration_barrier(merged.unionByName(rest))
     deduped = drop_contained_contigs(
         cur, seq_col="seq", id_col="cid", w=min(31, min_overlap)
     )

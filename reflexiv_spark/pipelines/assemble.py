@@ -84,6 +84,44 @@ def prune_forks_packed(
     return pruned.drop("fwd_key", "refl_key")
 
 
+def expand_orientations_blocks(block_counts: DataFrame, k: int) -> DataFrame:
+    """Step 2 over long-block k-mer ids (DataFrame[kid: array<long>,
+    count], k > 31) — the RC is plan-time shift/mask expressions and the
+    palindrome dedup shuffles ⌈k/31⌉ longs per row."""
+    from reflexiv_spark.operators.counter_blocks import revcomp_blocks
+
+    fwd = block_counts
+    rc = block_counts.select(
+        revcomp_blocks("kid", k).alias("kid"), F.col("count")
+    )
+    return fwd.unionByName(rc).dropDuplicates(["kid"])
+
+
+def prune_forks_blocks(
+    blocks: DataFrame, k: int, min_error_coverage: int | None = None
+) -> DataFrame:
+    """W1+W2 over long-block ids: sub-k-mer keys are rechunked block
+    arrays; tie-breaks on ``kid`` equal the string path's ``kmer`` ties
+    because array order is digit-lexicographic for fixed k."""
+    from reflexiv_spark.operators.counter_blocks import (
+        prefix_key_blocks,
+        suffix_key_blocks,
+    )
+
+    with_keys = blocks.withColumn(
+        "fwd_key", prefix_key_blocks("kid", k, k - 1)
+    ).withColumn("refl_key", suffix_key_blocks("kid", k, k - 1))
+    pruned = filter_forks(
+        with_keys, "fwd_key", cover_col="count", tie_cols=("kid",),
+        min_winner_cover=min_error_coverage,
+    )
+    pruned = filter_forks(
+        pruned, "refl_key", cover_col="count", tie_cols=("kid",),
+        min_winner_cover=min_error_coverage,
+    )
+    return pruned.drop("fwd_key", "refl_key")
+
+
 def prune_forks(
     kmers: DataFrame, k: int, min_error_coverage: int | None = None
 ) -> DataFrame:
@@ -203,6 +241,33 @@ def assemble_from_packed_counts(
     return _finalize_contigs(contracted, min_contig)
 
 
+def assemble_from_blocks_counts(
+    block_counts: DataFrame,
+    k: int,
+    min_contig: int = DEFAULT_MIN_CONTIG,
+    max_iterations: int = 150,
+    min_error_coverage: int | None = None,
+) -> DataFrame:
+    """The fully-packed rank pipeline for k > 31: DataFrame[kid:
+    array<long>, count] (from ``count_kmers_blocks(decode=False)``) →
+    contigs, every shuffle from counting through the contraction loop
+    carrying long-block ids — the k>31 sibling of
+    :func:`assemble_from_packed_counts`."""
+    from reflexiv_spark.operators.extension import rank_paths_blocks
+
+    block_counts = block_counts.select(
+        F.col("kid"), "count"
+    ).localCheckpoint(eager=False)
+    expanded = expand_orientations_blocks(block_counts, k)
+    pruned = prune_forks_blocks(
+        expanded, k, min_error_coverage=min_error_coverage
+    )
+    contracted = rank_paths_blocks(
+        pruned.select("kid", "count"), k, max_rounds=max_iterations
+    )
+    return _finalize_contigs(contracted, min_contig)
+
+
 def assemble(
     reads: DataFrame,
     k: int = 31,
@@ -220,13 +285,42 @@ def assemble(
     ``min_error_coverage`` defaults to 4× ``min_coverage`` like the
     reference (``DefaultParam.java:106``); pass 0/None semantics via an
     explicit value to disable. ``packed=True`` uses the 2-bit fast-path
-    counter (k ≤ 31; ~3× counting throughput, identical counts); with
-    ``algorithm="rank"`` the packed ids flow straight through expansion,
-    pruning, and the contraction loop with no string decode until final
-    assembly (:func:`assemble_from_packed_counts`).
+    counter (scalar int64 for k ≤ 31, long-block ``array<long>`` above —
+    identical counts either way); with ``algorithm="rank"`` the packed
+    ids flow straight through expansion, pruning, and the contraction
+    loop with no string decode until final assembly
+    (:func:`assemble_from_packed_counts` /
+    :func:`assemble_from_blocks_counts`).
     """
     if min_error_coverage is None:
         min_error_coverage = 4 * min_coverage
+    if packed and k > 31:
+        from reflexiv_spark.operators.counter_blocks import count_kmers_blocks
+
+        counts_b = count_kmers_blocks(
+            reads,
+            k,
+            seq_col=seq_col,
+            min_coverage=min_coverage,
+            max_coverage=max_coverage,
+            decode=algorithm != "rank",
+        )
+        if algorithm == "rank":
+            return assemble_from_blocks_counts(
+                counts_b,
+                k,
+                min_contig=min_contig,
+                max_iterations=max_iterations,
+                min_error_coverage=min_error_coverage,
+            )
+        return assemble_from_counts(
+            counts_b,
+            k,
+            min_contig=min_contig,
+            max_iterations=max_iterations,
+            min_error_coverage=min_error_coverage,
+            algorithm=algorithm,
+        )
     if packed:
         from reflexiv_spark.operators.counter_packed import count_kmers_packed
 

@@ -33,6 +33,59 @@ from reflexiv_spark.pipelines.assemble import assemble_from_counts
 DEFAULT_META_KLIST = (23, 31, 41)
 
 
+def _combined_counts_packed(
+    reads: DataFrame,
+    contigs: DataFrame | None,
+    k: int,
+    min_coverage: int,
+    max_coverage: int,
+    seq_col: str,
+) -> DataFrame:
+    """:func:`_combined_counts` in packed space — scalar int64 ids for
+    k ≤ 31, long-block ``array<long>`` ids above (the reference's
+    long-k encoding, ``ReflexivDSDynamicKmerRuduction.java:3220-3241``).
+    The k=41..95 ladder rounds shuffle 2-bit blocks instead of ASCII
+    k-mers (~2 bits/base vs ~4 B/base), and the contig-boost union and
+    coverage floors run on the packed keys directly."""
+    if k <= 31:
+        from reflexiv_spark.operators.counter_packed import (
+            count_kmers_packed as counter,
+        )
+    else:
+        from reflexiv_spark.operators.counter_blocks import (
+            count_kmers_blocks as counter,
+        )
+
+    def norm(df: DataFrame) -> DataFrame:
+        kid = "packed" if "packed" in df.columns else "kid"
+        return df.select(F.col(kid).alias("kid"), "count")
+
+    read_counts = norm(
+        counter(
+            reads, k, seq_col=seq_col, min_coverage=1, max_coverage=None,
+            decode=False,
+        )
+    )
+    if contigs is None:
+        combined = read_counts
+    else:
+        contig_kmers = norm(
+            counter(
+                contigs, k, seq_col="seq", min_coverage=1,
+                max_coverage=None, decode=False,
+            )
+        ).select("kid", F.lit(min_coverage).cast("long").alias("count"))
+        combined = (
+            read_counts.unionByName(contig_kmers)
+            .groupBy("kid")
+            .agg(F.sum("count").alias("count"))
+        )
+    out = combined.where(F.col("count") >= min_coverage)
+    if max_coverage is not None:
+        out = out.where(F.col("count") <= max_coverage)
+    return out
+
+
 def _combined_counts(
     reads: DataFrame,
     contigs: DataFrame | None,
@@ -82,6 +135,7 @@ def meta_assemble(
     spark: SparkSession | None = None,
     resume: bool = True,
     algorithm: str = "contract",
+    packed: bool = False,
 ) -> DataFrame:
     """reads[seq] → deduplicated contigs via the multi-k ladder.
 
@@ -91,21 +145,47 @@ def meta_assemble(
     ``algorithm`` picks the contraction kernel per round (``"contract"``
     reference-parity randomized; ``"rank"`` pointer-doubling — identical
     contigs on cycle-free graphs, anchored-path semantics otherwise).
+    ``packed=True`` (rank kernel only) carries 2-bit packed ids through
+    every round — scalar int64 for k ≤ 31, long-block ``array<long>``
+    for the k=41..95 rounds — identical contigs, ~2-4× smaller count
+    and contraction shuffles.
     """
     if workdir is not None and spark is None:
         spark = reads.sparkSession
+    if packed and algorithm != "rank":
+        raise ValueError('packed=True requires algorithm="rank"')
 
     contigs: DataFrame | None = None
     for k in sorted(klist):
         def build(k: int = k, prev: DataFrame | None = contigs) -> DataFrame:
+            # keep every path ≥ k+1 between rounds; the caller's
+            # min_contig applies only to the final output
+            if packed:
+                from reflexiv_spark.pipelines.assemble import (
+                    assemble_from_blocks_counts,
+                    assemble_from_packed_counts,
+                )
+
+                pcounts = _combined_counts_packed(
+                    reads, prev, k, min_coverage, max_coverage, seq_col
+                )
+                kernel = (
+                    assemble_from_packed_counts
+                    if k <= 31
+                    else assemble_from_blocks_counts
+                )
+                return kernel(
+                    pcounts,
+                    k,
+                    min_contig=k + 1,
+                    min_error_coverage=4 * min_coverage,
+                ).select("contig_id", "seq")
             counts = _combined_counts(
                 reads, prev, k, min_coverage, max_coverage, seq_col
             )
             return assemble_from_counts(
                 counts,
                 k,
-                # keep every path ≥ k+1 between rounds; the caller's
-                # min_contig applies only to the final output
                 min_contig=k + 1,
                 min_error_coverage=4 * min_coverage,
                 algorithm=algorithm,
@@ -116,7 +196,9 @@ def meta_assemble(
 
             contigs = stage(spark, f"round_k{k}", workdir, build, resume=resume)
         else:
-            contigs = build().localCheckpoint(eager=True)
+            from reflexiv_spark.plans.barriers import iteration_barrier
+
+            contigs = iteration_barrier(build())
 
     fixed = fix_junctions(
         contigs.select("seq"), fix_k=fix_k or (sorted(klist)[-1] - 1)

@@ -269,3 +269,28 @@ def test_ivf_refine_branch_all_zero_vectors(spark):
         df, dim=8, k=2, n_centroids=2, n_probes=2, refine_iters=1
     ).collect()
     assert out == []
+
+
+def test_bpe_train_sampled_mode_matches_exact_on_sample(spark):
+    """sample=r must equal exact training run on the same hash-sampled
+    subset (same algorithm, same tie-breaks) — the production
+    train-on-sample / encode-everywhere split."""
+    from reflexiv_spark.datapipe.bpe import bpe_encode, bpe_train
+    from reflexiv_spark.datapipe.sampling import hash_sample
+
+    rows = [
+        (i, "the quick brown fox " * (1 + i % 3) + "jumps over lazy dogs")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_s, _ = bpe_train(df, n_merges=5, sample=0.5, sample_salt="t")
+    sub = hash_sample(df, 0.5, id_col="doc_id", salt="t")
+    assert 0 < sub.count() < 40
+    merges_e, _ = bpe_train(sub, n_merges=5)
+    got = [(r.step, r.left, r.right) for r in merges_s.collect()]
+    want = [(r.step, r.left, r.right) for r in merges_e.collect()]
+    assert got == want and len(got) == 5
+    # and the learned rules encode the FULL corpus
+    pairs = [(r.left, r.right) for r in sorted(merges_s.collect(), key=lambda r: r.step)]
+    enc = bpe_encode(df, pairs)
+    assert enc.count() == 40

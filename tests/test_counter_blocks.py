@@ -146,3 +146,92 @@ def test_blocks_groupby_and_join_on_arrays(spark):
     a = df.select(kmer_to_blocks("kmer", 41).alias("kid")).distinct()
     j = a.join(a.withColumnRenamed("kid", "kid2"), F.col("kid") == F.col("kid2"))
     assert j.count() == len(set(kmers))
+
+
+@pytest.mark.parametrize("k", [41, 62])
+def test_blocks_pipeline_matches_string_pipeline(spark, k):
+    """assemble(packed=True) above k=31 — counting, RC expansion, fork
+    pruning, and the pointer-doubling loop all on array<long> — must
+    emit exactly the string pipeline's contigs."""
+    from reflexiv_spark.pipelines.assemble import assemble
+
+    genome = random_genome(1500, seed=k * 3 + 1)
+    seqs = simulate_reads(genome, read_len=150, coverage=25.0, seed=k)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    kw = dict(
+        k=k, min_coverage=2, min_contig=k + 1, algorithm="rank",
+        min_error_coverage=8,
+    )
+    want = {
+        (r.contig_id, r.seq, r.left_cover, r.right_cover)
+        for r in assemble(reads, packed=False, **kw).collect()
+    }
+    got = {
+        (r.contig_id, r.seq, r.left_cover, r.right_cover)
+        for r in assemble(reads, packed=True, **kw).collect()
+    }
+    assert got == want and want  # identical and non-trivial
+    # the assembled contig must actually cover the genome
+    longest = max((s for _, s, _, _ in want), key=len)
+    assert longest in genome or revcomp(longest) in genome
+
+
+def test_prune_forks_blocks_matches_string(spark):
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.counter_blocks import (
+        blocks_to_kmer,
+        count_kmers_blocks,
+    )
+    from reflexiv_spark.pipelines.assemble import (
+        expand_orientations,
+        expand_orientations_blocks,
+        prune_forks,
+        prune_forks_blocks,
+    )
+
+    k = 41
+    genome = random_genome(900, seed=5)
+    seqs = simulate_reads(genome, read_len=120, coverage=20.0, seed=9)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+
+    s_counts = count_kmers(reads, k, min_coverage=1, max_coverage=None)
+    want = {
+        (r.kmer, r["count"])
+        for r in prune_forks(
+            expand_orientations(s_counts), k, min_error_coverage=4
+        ).collect()
+    }
+    b_counts = count_kmers_blocks(
+        reads, k, min_coverage=1, max_coverage=None, decode=False
+    )
+    got = {
+        (r.kmer, r["count"])
+        for r in prune_forks_blocks(
+            expand_orientations_blocks(b_counts, k), k, min_error_coverage=4
+        )
+        .select(blocks_to_kmer("kid", k).alias("kmer"), "count")
+        .collect()
+    }
+    assert got == want and want
+
+
+def test_meta_ladder_packed_matches_string(spark):
+    """The multi-k ladder with packed=True (int64 ids at k=23, long
+    blocks at k=41) must emit exactly the string ladder's contigs."""
+    from reflexiv_spark.pipelines.meta import meta_assemble
+
+    genome = random_genome(1000, seed=61)
+    seqs = simulate_reads(genome, read_len=150, coverage=15.0, seed=13)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    kw = dict(
+        klist=(23, 41), min_coverage=2, min_contig=100, algorithm="rank"
+    )
+    want = {
+        (r.contig_id, r.seq)
+        for r in meta_assemble(reads, packed=False, **kw).collect()
+    }
+    got = {
+        (r.contig_id, r.seq)
+        for r in meta_assemble(reads, packed=True, **kw).collect()
+    }
+    assert got == want and want

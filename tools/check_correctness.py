@@ -25,7 +25,12 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
-SF_DIR = "/root/testdata/sf0.01"
+# SPARK_GRAFT_CHECK_SF overrides for scale spot-checks (e.g. the scaled
+# sf1.0 under .scaled/ — overflow/precision/skew bugs can be
+# scale-dependent, so the sf0.01 gate alone is not enough)
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF", "/root/testdata/sf0.01")
 
 
 def _norm_cell(v) -> str:
