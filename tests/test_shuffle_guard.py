@@ -1,0 +1,95 @@
+"""Shuffle-payload regression guards for the contraction loop.
+
+The packed pipelines' measured win (BASELINE.md: −42% wall / 1.5×
+fewer shuffle bytes at sf1.0 for k≤31; 1.6× fewer bytes at k=41/61)
+rests on the pointer-doubling state being FIXED-WIDTH: (kid, anc, off)
+as three longs (~24 B/row) on the scalar path, and (array<long>[B],
+array<long>[B], long) on the long-block path. These tests capture the
+state DataFrame that actually enters ``_double_pointers`` and fail if
+anyone reintroduces string payloads (or any variable-width column)
+into the per-round exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from tests.conftest import random_genome, simulate_reads
+
+
+def _capture_loop_state(monkeypatch, run):
+    import reflexiv_spark.operators.extension as ext
+
+    captured = {}
+    orig = ext._double_pointers
+
+    def spy(state, max_rounds, checkpoint_every):
+        captured["schema"] = state.schema
+        return orig(state, max_rounds, checkpoint_every)
+
+    monkeypatch.setattr(ext, "_double_pointers", spy)
+    run()
+    return captured["schema"]
+
+
+def _counts(spark, k, seed=17):
+    genome = random_genome(800, seed=seed)
+    seqs = simulate_reads(genome, read_len=120, coverage=15.0, seed=seed)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    from reflexiv_spark.functions.kmer import explode_kmers
+
+    return (
+        explode_kmers(reads, k)
+        .groupBy("kmer")
+        .agg(F.count(F.lit(1)).cast("int").alias("count"))
+    )
+
+
+def test_packed_rank_loop_state_is_three_longs(spark, monkeypatch):
+    from reflexiv_spark.operators.extension import rank_paths
+
+    k = 21
+    counts = _counts(spark, k)
+    schema = _capture_loop_state(
+        monkeypatch, lambda: rank_paths(counts, k).count()
+    )
+    assert [f.name for f in schema.fields] == ["kid", "anc", "off"]
+    for f in schema.fields:
+        assert isinstance(f.dataType, LongType), (
+            f"{f.name} is {f.dataType}: the packed loop must exchange "
+            "8-byte longs only (~24 B/row)"
+        )
+
+
+def test_blocks_rank_loop_state_is_long_blocks(spark, monkeypatch):
+    from reflexiv_spark.operators.extension import rank_paths
+
+    k = 41
+    counts = _counts(spark, k, seed=23)
+    schema = _capture_loop_state(
+        monkeypatch, lambda: rank_paths(counts, k).count()
+    )
+    assert [f.name for f in schema.fields] == ["kid", "anc", "off"]
+    for f in schema.fields[:2]:
+        assert isinstance(f.dataType, ArrayType) and isinstance(
+            f.dataType.elementType, LongType
+        ), (
+            f"{f.name} is {f.dataType}: the k>31 loop must exchange "
+            "long-block arrays, never ASCII k-mers"
+        )
+    assert isinstance(schema.fields[2].dataType, LongType)
+
+
+def test_string_fallback_still_available(spark, monkeypatch):
+    """Non-ACGT input must keep falling back to the string loop (the
+    packed representations are injective only on fixed-length ACGT)."""
+    from reflexiv_spark.operators.extension import rank_paths
+
+    counts = spark.createDataFrame(
+        [("ANCDE", 1), ("NCDEF", 1)], "kmer string, count int"
+    )
+    schema = _capture_loop_state(
+        monkeypatch, lambda: rank_paths(counts, 5).count()
+    )
+    assert not isinstance(schema.fields[0].dataType, (LongType, ArrayType))
