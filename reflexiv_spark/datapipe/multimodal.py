@@ -10,11 +10,12 @@ container):
   zlib-inflate, scanline unfilter (filters 0-4), true pixel mean — for
   8-bit gray/RGB/(A) images; palette/16-bit return real dimensions with a
   null mean.
-- **baseline JPEG** (``decode_images(fake=False)``): full decode —
-  marker walk, Huffman entropy decode, dequantize, IDCT, chroma
-  upsample, YCbCr→RGB, true pixel mean — for SOF0 streams (1 or 3
-  components, any sampling, restart intervals); progressive returns
-  real dimensions with a null mean.
+- **JPEG** (``decode_images(fake=False)``): full decode — marker walk,
+  Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr→RGB,
+  true pixel mean — for baseline SOF0 streams (1 or 3 components, any
+  sampling, restart intervals) AND progressive SOF2 streams (spectral
+  selection + successive approximation per T.81 Annex G).
+  Arithmetic-coded streams are not supported.
 - **GIF** (``decode_images(fake=False)``): full first-frame decode —
   header/extension walk, global/local color table, LZW decompression
   (growing code width, KwKwK), palette lookup, true pixel mean;
@@ -284,17 +285,19 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, float | None]:
     mean). Marker walk → DQT/DHT/SOF0/SOS → Huffman-decoded MCUs →
     dequantize → inverse zigzag → 2-D IDCT → chroma upsample →
     YCbCr→RGB → true pixel mean. Supports baseline sequential (SOF0),
-    1 or 3 components, arbitrary sampling factors, restart intervals.
-    Progressive (SOF2) and arithmetic-coded streams return real
-    dimensions with mean=None. Raises ``ValueError`` on malformed data.
+    1 or 3 components, arbitrary sampling factors, restart intervals,
+    and progressive (SOF2) streams — spectral selection + successive
+    approximation per T.81 Annex G (:func:`_jpeg_pixels_progressive`).
+    Arithmetic-coded streams are not supported. Raises ``ValueError``
+    on malformed data.
     """
     w, h, ch, px = _jpeg_pixels(blob)
     return (w, h, ch, float(px.mean()) if px is not None else None)
 
 
 def _jpeg_pixels(blob: bytes):
-    """JPEG → (width, height, channels, pixels (h, w, ch) uint8 or None
-    for progressive streams)."""
+    """JPEG → (width, height, channels, (h, w, ch) uint8 pixels);
+    SOF2 streams dispatch to :func:`_jpeg_pixels_progressive`."""
     import struct
 
     import numpy as np
@@ -366,7 +369,9 @@ def _jpeg_pixels(blob: bytes):
         raise ValueError("JPEG missing SOF frame header")
     w, h, comps = frame
     channels = len(comps)
-    if progressive or scan is None:
+    if progressive:
+        return _jpeg_pixels_progressive(blob)
+    if scan is None:
         return (w, h, channels, None)
 
     hmax = max(c[1] for c in comps)
@@ -423,7 +428,15 @@ def _jpeg_pixels(blob: bytes):
                         x0 = (mx * ch + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px + 128.0
 
-    # upsample every plane to full resolution and crop
+    return _jpeg_color_finish(comps, planes, hmax, vmax, w, h)
+
+
+def _jpeg_color_finish(comps, planes, hmax, vmax, w, h):
+    """Upsample component planes to full resolution, crop, and convert
+    YCbCr→RGB (3-comp) or clamp gray (1-comp) → (w, h, ch, uint8 px)."""
+    import numpy as np
+
+    channels = len(comps)
     full = []
     for cid, ch, cv, tq in comps:
         p = planes[cid]
@@ -440,6 +453,248 @@ def _jpeg_pixels(blob: bytes):
     else:
         out = np.clip(np.round(full[0]), 0, 255)[..., None]
     return (w, h, channels, out.astype(np.uint8))
+
+
+def _jpeg_pixels_progressive(blob: bytes):
+    """Progressive (SOF2) JPEG → (width, height, channels, uint8 pixels).
+
+    ITU-T T.81 Annex G: coefficients accumulate across multiple scans —
+    spectral selection (each scan carries a zigzag band [Ss, Se]) and
+    successive approximation (first scans carry values at reduced
+    precision ``<< Al``; refinement scans carry one bit per coefficient).
+    DC scans may interleave components over the MCU grid; AC scans are
+    always single-component over that component's own block grid. After
+    all scans, dequantize + IDCT every block in one vectorized pass and
+    reuse the baseline color pipeline.
+    """
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    # (scan comps, Ss, Se, Ah, Al, entropy bytes, table snapshot, DRI)
+    scans = []
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = blob[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        seg = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            s = 0
+            while s < len(seg):
+                prec, tid = seg[s] >> 4, seg[s] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = seg[s + 1 : s + 1 + n]
+                qt[tid] = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                s += 1 + n
+        elif marker == 0xC4:
+            s = 0
+            while s < len(seg):
+                cls, tid = seg[s] >> 4, seg[s] & 0xF
+                bits = list(seg[s + 1 : s + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _build_huffman(bits, seg[s + 17 : s + 17 + n])
+                s += 17 + n
+        elif marker == 0xC2:
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = struct.unpack(">BBB", seg[6 + ci * 3 : 9 + ci * 3])
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:
+            ns = seg[0]
+            sc = [
+                (seg[1 + ci * 2], seg[2 + ci * 2] >> 4, seg[2 + ci * 2] & 0xF)
+                for ci in range(ns)
+            ]
+            ss, se, ahal = seg[1 + ns * 2], seg[2 + ns * 2], seg[3 + ns * 2]
+            start = pos + 2 + seg_len
+            end = start
+            while end + 1 < len(blob):
+                if (
+                    blob[end] == 0xFF
+                    and blob[end + 1] != 0x00
+                    and not (0xD0 <= blob[end + 1] <= 0xD7)
+                ):
+                    break
+                end += 1
+            else:
+                end = len(blob)
+            scans.append(
+                (sc, ss, se, ahal >> 4, ahal & 0xF, blob[start:end],
+                 dict(huff), restart_interval)
+            )
+            pos = end
+            continue
+        pos += 2 + seg_len
+    if frame is None:
+        raise ValueError("JPEG missing SOF2 frame header")
+    w, h, comps = frame
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # coefficient store per component: MCU-padded block grid, zigzag order
+    coefs: dict[int, np.ndarray] = {}
+    nblocks: dict[int, tuple[int, int]] = {}  # actual (non-MCU) block dims
+    for cid, ch, cv, tq in comps:
+        coefs[cid] = np.zeros((mcus_y * cv, mcus_x * ch, 64), np.int32)
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nblocks[cid] = ((chh + 7) // 8, (cw + 7) // 8)
+    samp = {cid: (ch, cv) for cid, ch, cv, tq in comps}
+
+    for sc, ss, se, ah, al, data, htabs, ri in scans:
+        reader = _BitReader(data)
+        if ss == 0:
+            # DC scan — interleaved over MCUs when ns > 1
+            dc_tabs = {cid: htabs.get((0, dc_t)) for cid, dc_t, _ in sc}
+            pred = {cid: 0 for cid, *_ in sc}
+            if len(sc) > 1:
+                mcu_count = 0
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if ri and mcu_count and mcu_count % ri == 0:
+                            reader.align_to_restart()
+                            pred = {cid: 0 for cid, *_ in sc}
+                        mcu_count += 1
+                        for cid, dc_t, _ac in sc:
+                            ch, cv = samp[cid]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    blk = coefs[cid][my * cv + by, mx * ch + bx]
+                                    if ah == 0:
+                                        t = _huff_decode(reader, dc_tabs[cid])
+                                        diff = _extend(reader.read(t), t) if t else 0
+                                        pred[cid] += diff
+                                        blk[0] = pred[cid] << al
+                                    elif reader.read(1):
+                                        blk[0] = int(blk[0]) | (1 << al)
+            else:
+                cid, dc_t, _ac = sc[0]
+                nby, nbx = nblocks[cid]
+                blk_count = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if ri and blk_count and blk_count % ri == 0:
+                            reader.align_to_restart()
+                            pred = {cid: 0}
+                        blk_count += 1
+                        blk = coefs[cid][by, bx]
+                        if ah == 0:
+                            t = _huff_decode(reader, dc_tabs[cid])
+                            diff = _extend(reader.read(t), t) if t else 0
+                            pred[cid] += diff
+                            blk[0] = pred[cid] << al
+                        elif reader.read(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+            continue
+        # AC scan — always one component, its own block grid (T.81 G.1.1)
+        if len(sc) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cid, _dc, ac_t = sc[0]
+        ac_tab = htabs.get((1, ac_t))
+        nby, nbx = nblocks[cid]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        blk_count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if ri and blk_count and blk_count % ri == 0:
+                    reader.align_to_restart()
+                    eobrun = 0
+                blk_count += 1
+                blk = coefs[cid][by, bx]
+                if ah == 0:
+                    # first scan for this band: values arrive at << al
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overrun")
+                        blk[k] = _extend(reader.read(s), s) << al
+                        k += 1
+                else:
+                    # refinement: one more magnitude bit per coefficient
+                    if eobrun > 0:
+                        eobrun -= 1
+                        for k in range(ss, se + 1):
+                            c = int(blk[k])
+                            if c != 0 and reader.read(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _huff_decode(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read(r)
+                                r = 64  # EOB: sweep rest of band for bits
+                        else:
+                            val = p1 if reader.read(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if reader.read(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val != 0 and k <= se:
+                            blk[k] = val
+                        k += 1
+
+    # vectorized dequantize → dezigzag → IDCT over every block at once
+    idct = _idct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        deq = coefs[cid].astype(np.float64) * qt[tq][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        nby_f, nbx_f = deq.shape[0], deq.shape[1]
+        blocks = nat.reshape(nby_f, nbx_f, 8, 8)
+        px = np.einsum("ab,yxbc,cd->yxad", idct.T, blocks, idct) + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(nby_f * 8, nbx_f * 8)
+    return _jpeg_color_finish(comps, planes, hmax, vmax, w, h)
 
 
 def decode_images(
@@ -694,7 +949,7 @@ def _decode_pixels(blob: bytes):
 
     Raises ``NotImplementedError`` for formats needing an external
     decoder and ``ValueError`` for streams whose pixels the native
-    decoders cannot produce (palette/16-bit PNG, progressive JPEG)."""
+    decoders cannot produce (palette/16-bit PNG)."""
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         _w, _h, _ch, px = _png_pixels(blob)
     elif blob[:2] == b"\xff\xd8":
@@ -1061,8 +1316,8 @@ def phash64_of_pixels(px) -> int:
 def image_phash(
     df: DataFrame, blob_col: str = "blob", id_col: str = "id"
 ) -> DataFrame:
-    """DataFrame[id, phash: bigint, status] — perceptual hashes of PNG /
-    baseline-JPEG blobs via the shared pixel decoder, Arrow-batched.
+    """DataFrame[id, phash: bigint, status] — perceptual hashes of
+    PNG/JPEG/GIF/BMP blobs via the shared pixel decoder, Arrow-batched.
     Undecodable rows get a NULL hash and a reason, never a dead batch.
     """
     from pyspark.sql.types import (

@@ -134,3 +134,235 @@ def encode_jpeg(pixels, subsample=False, restart_interval=0):
     bw.align()
     out += bw.buf + b"\xff\xd9"
     return bytes(out)
+
+
+def _coef_blocks(pixels, subsample):
+    """Forward path shared by the progressive encoder: color-convert,
+    pad/downsample per component, DCT+quantize (all-ones table) every
+    8x8 block → (w, h, samp, zigzag coef arrays over the MCU-padded
+    block grid, actual (nby, nbx) per component)."""
+    pixels = np.asarray(pixels, dtype=np.float64)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if gray:
+        comps_px = [pixels]
+    else:
+        r, g, b = pixels[..., 0], pixels[..., 1], pixels[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        comps_px = [y, cb, cr]
+    nc = len(comps_px)
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) else [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mw, mh = 8 * hmax, 8 * vmax
+    mx = (w + mw - 1) // mw
+    my = (h + mh - 1) // mh
+    C = _dct_mat()
+    coefs, nblocks = [], []
+    for (ch, cv), px in zip(samp, comps_px):
+        pw, ph = mx * ch * 8, my * cv * 8
+        if (ch, cv) != (hmax, vmax):
+            fx, fy = hmax // ch, vmax // cv
+            fp = np.pad(px, ((0, my * mh - h), (0, mx * mw - w)), mode="edge")
+            px = fp.reshape(ph, fy, pw, fx).mean(axis=(1, 3))
+        else:
+            px = np.pad(
+                px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge"
+            )
+        arr = np.zeros((my * cv, mx * ch, 64), np.int32)
+        for by in range(my * cv):
+            for bx in range(mx * ch):
+                blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                Fq = np.round(C @ blk @ C.T).astype(int)
+                arr[by, bx] = Fq.reshape(64)[_ZZ]
+        coefs.append(arr)
+        cw = (w * ch + hmax - 1) // hmax
+        chh = (h * cv + vmax - 1) // vmax
+        nblocks.append(((chh + 7) // 8, (cw + 7) // 8))
+    return w, h, samp, coefs, nblocks
+
+
+def encode_progressive_jpeg(pixels, subsample=False, scans=None, restart_interval=0):
+    """Progressive (SOF2) JPEG encoder: spectral selection + successive
+    approximation, libjpeg-style EOB runs and buffered correction bits.
+    ``scans`` is a list of (comp_indices, Ss, Se, Ah, Al); the default
+    script exercises every decoder path (DC SA + refinement, AC bands at
+    two approximation levels, refinement with history corrections)."""
+    w, h, samp, coefs, nblocks = _coef_blocks(pixels, subsample)
+    nc = len(coefs)
+    if scans is None:
+        allc = list(range(nc))
+        scans = [(allc, 0, 0, 0, 1)]
+        for c in range(nc):
+            scans += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2)]
+        for c in range(nc):
+            scans += [([c], 1, 5, 2, 1), ([c], 6, 63, 2, 1)]
+        scans.append((allc, 0, 0, 1, 0))
+        for c in range(nc):
+            scans.append(([c], 1, 63, 1, 0))
+    dc_syms = list(range(12))
+    # AC alphabet: EOBn (n<<4)|0 for n=0..14, ZRL, and (run, size) pairs
+    ac_syms = [(r << 4) for r in range(15)] + [0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits, dc_vals, dc_enc = _huff(dc_syms)
+    ac_bits, ac_vals, ac_enc = _huff(ac_syms)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, (ch, cv) in enumerate(samp):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_bits) + dc_vals
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    dht = bytes([0x10]) + bytes(ac_bits) + ac_vals
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for cs, ss, se, ah, al, in scans:
+        sos = bytes([len(cs)])
+        for c in cs:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BW()
+        rst = 0
+        if ss == 0:
+            pred = {c: 0 for c in cs}
+            # interleaved MCU walk for multi-component DC scans; the
+            # component's own block grid otherwise
+            if len(cs) > 1:
+                c0 = cs[0]
+                my_n = coefs[c0].shape[0] // samp[c0][1]
+                mx_n = coefs[c0].shape[1] // samp[c0][0]
+                units = []
+                for yy in range(my_n):
+                    for xx in range(mx_n):
+                        mcu = []
+                        for c in cs:
+                            ch, cv = samp[c]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    mcu.append((c, yy * cv + by, xx * ch + bx))
+                        units.append(mcu)
+            else:
+                c = cs[0]
+                nby, nbx = nblocks[c]
+                units = [
+                    [(c, by, bx)] for by in range(nby) for bx in range(nbx)
+                ]
+            for ui, unit in enumerate(units):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    bw.raw(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    pred = {c: 0 for c in cs}
+                for c, by, bx in unit:
+                    v = int(coefs[c][by, bx, 0]) >> al
+                    if ah == 0:
+                        diff = v - pred[c]
+                        pred[c] = v
+                        t = _cat(diff)
+                        ln, code = dc_enc[t]
+                        bw.put(code, ln)
+                        if t:
+                            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    else:
+                        bw.put(v & 1, 1)
+        else:
+            c = cs[0]
+            nby, nbx = nblocks[c]
+            eobrun = 0
+            pending = []  # correction bits deferred with the EOB run
+
+            def flush_eob():
+                nonlocal eobrun, pending
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    ln, code = ac_enc[n << 4]
+                    bw.put(code, ln)
+                    if n:
+                        bw.put(eobrun - (1 << n), n)
+                    eobrun = 0
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+
+            blk_i = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and blk_i and blk_i % restart_interval == 0:
+                        flush_eob()
+                        bw.raw(bytes([0xFF, 0xD0 + (rst % 8)]))
+                        rst += 1
+                    blk_i += 1
+                    blk = coefs[c][by, bx]
+                    if ah == 0:
+                        r = 0
+                        for k in range(ss, se + 1):
+                            v = int(blk[k])
+                            t = abs(v) >> al
+                            if t == 0:
+                                r += 1
+                                continue
+                            flush_eob()
+                            while r > 15:
+                                ln, code = ac_enc[0xF0]
+                                bw.put(code, ln)
+                                r -= 16
+                            s = t.bit_length()
+                            sv = t if v > 0 else -t
+                            ln, code = ac_enc[(r << 4) | s]
+                            bw.put(code, ln)
+                            bw.put(sv if sv >= 0 else sv + (1 << s) - 1, s)
+                            r = 0
+                        if r:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+                    else:
+                        ks = list(range(ss, se + 1))
+                        absv = [abs(int(blk[k])) >> al for k in ks]
+                        EOB = ss - 1
+                        for i, k in enumerate(ks):
+                            if absv[i] == 1:
+                                EOB = k
+                        r = 0
+                        BR = []
+                        for i, k in enumerate(ks):
+                            t = absv[i]
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and k <= EOB:
+                                flush_eob()
+                                ln, code = ac_enc[0xF0]
+                                bw.put(code, ln)
+                                r -= 16
+                                for b in BR:
+                                    bw.put(b, 1)
+                                BR = []
+                            if t > 1:
+                                # history coefficient: next magnitude bit
+                                BR.append(t & 1)
+                                continue
+                            flush_eob()
+                            ln, code = ac_enc[(r << 4) | 1]
+                            bw.put(code, ln)
+                            bw.put(1 if int(blk[k]) > 0 else 0, 1)
+                            for b in BR:
+                                bw.put(b, 1)
+                            BR = []
+                            r = 0
+                        if r > 0 or BR:
+                            eobrun += 1
+                            pending.extend(BR)
+                            if eobrun == 0x7FFF:
+                                flush_eob()
+            flush_eob()
+        bw.align()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)

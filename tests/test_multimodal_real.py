@@ -145,6 +145,64 @@ def test_decode_jpeg_restart_interval():
     assert mean == pytest.approx(float(px.mean()), abs=0.25)
 
 
+def _pixels(blob):
+    from reflexiv_spark.datapipe.multimodal import _jpeg_pixels
+
+    return _jpeg_pixels(blob)[3]
+
+
+def test_decode_jpeg_progressive_full_script_matches_baseline():
+    """Default progressive script (DC SA + refinement, AC bands at two
+    approximation levels incl. history correction bits) reconstructs the
+    exact coefficients — pixels identical to the baseline encode."""
+    from tests.jpeg_encoder import encode_progressive_jpeg
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(24, 17)).astype(float)
+    blob = encode_progressive_jpeg(px)
+    assert blob[3] == 0xC2 or b"\xff\xc2" in blob  # really SOF2
+    w, h, ch, mean = decode_jpeg(blob)
+    assert (w, h, ch) == (17, 24, 1)
+    assert np.array_equal(_pixels(blob), _pixels(encode_jpeg(px)))
+
+
+def test_decode_jpeg_progressive_rgb_420_odd_size():
+    """Subsampled odd-size image: the non-interleaved AC scans cover the
+    component's own block grid, smaller than the MCU-padded grid."""
+    from tests.jpeg_encoder import encode_progressive_jpeg
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(26, 21, 3)).astype(float)
+    prog = encode_progressive_jpeg(px, subsample=True)
+    base = encode_jpeg(px, subsample=True)
+    assert np.array_equal(_pixels(prog), _pixels(base))
+
+
+def test_decode_jpeg_progressive_restart_and_spectral_only():
+    from tests.jpeg_encoder import encode_progressive_jpeg
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=(40, 40)).astype(float)
+    want = _pixels(encode_jpeg(px))
+    rst = encode_progressive_jpeg(px, restart_interval=3)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    assert np.array_equal(_pixels(rst), want)
+    # spectral selection without successive approximation
+    sc = [([0], 0, 0, 0, 0), ([0], 1, 9, 0, 0), ([0], 10, 63, 0, 0)]
+    assert np.array_equal(_pixels(encode_progressive_jpeg(px, scans=sc)), want)
+
+
+def test_decode_jpeg_progressive_smooth_eob_runs():
+    """Smooth gradient → most AC bands zero → long cross-block EOB runs
+    (EOBn codes with extension bits) on both encode and decode."""
+    from tests.jpeg_encoder import encode_progressive_jpeg
+
+    gx = np.tile(np.linspace(0.0, 255.0, 64), (64, 1))
+    assert np.array_equal(
+        _pixels(encode_progressive_jpeg(gx)), _pixels(encode_jpeg(gx))
+    )
+
+
 def test_decode_images_real_mixed_png_jpeg(spark):
     rng = np.random.RandomState(24)
     png_px = rng.randint(0, 256, size=(4, 6, 3), dtype=np.uint8)
