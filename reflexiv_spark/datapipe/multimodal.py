@@ -8,8 +8,8 @@ container):
 
 - **PNG** (``decode_images(fake=False)``): full decode — chunk walk,
   zlib-inflate, scanline unfilter (filters 0-4), true pixel mean — for
-  8-bit gray/RGB/(A) images; palette/16-bit return real dimensions with a
-  null mean.
+  every legal IHDR combination: gray/RGB/palette/gray+A/RGBA at depths
+  1/2/4/8/16 (16-bit at high-byte precision), interlace 0 and Adam7.
 - **JPEG** (``decode_images(fake=False)``): full decode — marker walk,
   Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr→RGB,
   true pixel mean — for baseline SOF0 streams (1 or 3 components, any
@@ -18,8 +18,8 @@ container):
   Arithmetic-coded streams are not supported.
 - **GIF** (``decode_images(fake=False)``): full first-frame decode —
   header/extension walk, global/local color table, LZW decompression
-  (growing code width, KwKwK), palette lookup, true pixel mean;
-  interlaced raises ``ValueError`` (rare in the wild).
+  (growing code width, KwKwK), palette lookup, 4-pass de-interlacing,
+  true pixel mean.
 - **WAV PCM16** (``sample_audio_frames(fake=False)``): canonical-header
   files are frame-chunked JVM-side (aligned to the sample grid) and each
   frame's RMS is computed from the real int16 samples; undecodable rows
@@ -95,52 +95,33 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
     """Pure stdlib+numpy PNG decode → (width, height, channels, mean).
 
     Chunk walk → IHDR fields → zlib-inflated IDAT → per-scanline
-    unfilter (filter types 0-4) → true pixel mean, for 8-bit depth color
-    types 0/2/4/6 (gray, RGB, gray+A, RGBA), non-interlaced. Palette,
-    16-bit and interlaced images return real dimensions with mean=None.
+    unfilter (filter types 0-4) → true pixel mean, for every legal
+    IHDR combination: color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+A, RGBA), bit depths 1/2/4/8/16 (16-bit renders at 8-bit
+    precision via the high byte; sub-byte gray scales to 0-255;
+    palette indices look up PLTE), interlace 0 and Adam7.
     Raises ``ValueError`` on a malformed stream.
     """
     w, h, ch, px = _png_pixels(blob)
     return (w, h, ch, float(px.mean()) if px is not None else None)
 
 
-def _png_pixels(blob: bytes):
-    """PNG → (width, height, channels, pixels (h, w, ch) uint8 or None
-    for palette/16-bit/interlaced)."""
-    import struct
-    import zlib
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(raw, at: int, rows: int, stride: int, bpp: int):
+    """Undo scanline filters 0-4 for ``rows`` lines of ``stride`` bytes
+    starting at byte ``at`` → (next offset, (rows, stride) uint8)."""
     import numpy as np
 
-    if blob[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG stream")
-    pos, idat, ihdr = len(_PNG_SIG), [], None
-    while pos + 8 <= len(blob):
-        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
-        typ = blob[pos + 4 : pos + 8]
-        data = blob[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    channels = _PNG_CHANNELS.get(ctype)
-    if channels is None:
-        raise ValueError(f"PNG unknown color type {ctype}")
-    if depth != 8 or ctype == 3 or interlace != 0:
-        return (w, h, channels, None)  # real dims, undecoded pixels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride, bpp = w * channels, channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel payload size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    at = 0
-    for y in range(h):
+    out = np.empty((rows, stride), dtype=np.uint8)
+    for y in range(rows):
+        if at >= len(raw) or at + 1 + stride > len(raw):
+            raise ValueError("PNG pixel payload size mismatch")
         f = int(raw[at])
         line = raw[at + 1 : at + 1 + stride].astype(np.int32)
         at += 1 + stride
@@ -167,7 +148,101 @@ def _png_pixels(blob: bytes):
         else:
             raise ValueError(f"PNG bad filter type {f}")
         out[y] = rec.astype(np.uint8)
-    return (w, h, channels, out.reshape(h, w, channels))
+    return at, out
+
+
+def _png_samples(flt, pw: int, depth: int, nch: int):
+    """(rows, stride) unfiltered bytes → (rows, pw, nch) uint8 samples:
+    16-bit keeps the high byte, sub-byte depths unpack MSB-first."""
+    import numpy as np
+
+    rows = flt.shape[0]
+    if depth == 8:
+        return flt.reshape(rows, pw, nch)
+    if depth == 16:
+        return flt.reshape(rows, pw * nch, 2)[:, :, 0].reshape(rows, pw, nch)
+    bits = np.unpackbits(flt, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[:, : (flt.shape[1] * 8 // depth) * depth]
+            .reshape(rows, -1, depth) * weights).sum(axis=2)
+    return vals[:, :pw].astype(np.uint8)[..., None]
+
+
+def _png_pixels(blob: bytes):
+    """PNG → (width, height, channels, (h, w, ch) uint8 pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if blob[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, ihdr, plte = len(_PNG_SIG), [], None, None
+    while pos + 8 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos : pos + 4])
+        typ = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None:
+        raise ValueError(f"PNG unknown color type {ctype}")
+    # legal IHDR combos only (T.81 for JPEG; PNG spec 11.2.2 here)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    if (
+        depth not in (1, 2, 4, 8, 16)
+        or (depth < 8 and ctype not in (0, 3))
+        or (depth == 16 and ctype == 3)
+        or interlace not in (0, 1)
+    ):
+        return (w, h, channels, None)  # real dims, undecoded pixels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    bits_px = depth * nch
+    bpp = max(1, bits_px // 8)
+
+    def region(at: int, pw: int, ph: int):
+        stride = (pw * bits_px + 7) // 8
+        at, flt = _png_unfilter(raw, at, ph, stride, bpp)
+        return at, _png_samples(flt, pw, depth, nch)
+
+    if interlace == 0:
+        if len(raw) != h * ((w * bits_px + 7) // 8 + 1):
+            raise ValueError("PNG pixel payload size mismatch")
+        _, img = region(0, w, h)
+    else:
+        img = np.zeros((h, w, nch), np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty passes carry no bytes, not even filters
+            at, sub = region(at, pw, ph)
+            img[y0::dy, x0::dx] = sub
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: len(pal) - len(pal) % 3].reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return (w, h, 3, pal[idx])
+    if depth < 8:
+        img = np.round(
+            img.astype(np.float64) * (255.0 / ((1 << depth) - 1))
+        ).astype(np.uint8)
+    return (w, h, channels, img)
 
 
 _ZIGZAG = [
@@ -949,7 +1024,7 @@ def _decode_pixels(blob: bytes):
 
     Raises ``NotImplementedError`` for formats needing an external
     decoder and ``ValueError`` for streams whose pixels the native
-    decoders cannot produce (palette/16-bit PNG)."""
+    decoders cannot produce (e.g. arithmetic-coded JPEG)."""
     if blob[: len(_PNG_SIG)] == _PNG_SIG:
         _w, _h, _ch, px = _png_pixels(blob)
     elif blob[:2] == b"\xff\xd8":
@@ -1458,10 +1533,9 @@ def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
 
 
 def _gif_pixels(blob: bytes):
-    """GIF87a/89a first frame → (width, height, 3, (h, w, 3) uint8 RGB).
-
-    Raises ``ValueError`` for interlaced images (rare; not produced by
-    any mainstream encoder default) and corrupt streams."""
+    """GIF87a/89a first frame → (width, height, 3, (h, w, 3) uint8 RGB),
+    including 4-pass interlaced frames (GIF89a appendix E row order).
+    Raises ``ValueError`` on corrupt streams."""
     import numpy as np
 
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
@@ -1495,8 +1569,7 @@ def _gif_pixels(blob: bytes):
                     blob[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported natively")
+            interlaced = bool(ipacked & 0x40)
             if palette is None:
                 raise ValueError("GIF frame has no color table")
             mcs = blob[pos]
@@ -1511,7 +1584,16 @@ def _gif_pixels(blob: bytes):
             )
             if idx.max(initial=0) >= len(palette):
                 raise ValueError("GIF index outside color table")
-            px = palette[idx].reshape(ih, iw, 3)
+            rows = idx.reshape(ih, iw)
+            if interlaced:
+                # stored row order: y%8==0, then y%8==4, y%4==2, y%2==1
+                order = np.concatenate(
+                    [np.arange(s, ih, t) for s, t in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            px = palette[rows]
             return iw, ih, 3, px
         elif b0 == 0x3B:  # trailer
             break

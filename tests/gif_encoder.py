@@ -54,9 +54,11 @@ def lzw_encode(indices: list[int], min_code_size: int) -> bytes:
 
 def encode_gif(
     pixels: list[list[tuple[int, int, int]]],
+    interlace: bool = False,
 ) -> bytes:
     """pixels[y][x] = (r, g, b) → GIF89a bytes (global palette built
-    from the distinct colors; ≤ 256)."""
+    from the distinct colors; ≤ 256). ``interlace`` stores rows in the
+    GIF89a 4-pass order and sets the descriptor flag."""
     h = len(pixels)
     w = len(pixels[0])
     colors = []
@@ -79,10 +81,18 @@ def encode_gif(
         out += bytes([r, g, b])
     out += b"\x2c" + b"\x00\x00\x00\x00"  # image descriptor at (0,0)
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out.append(0)  # no local table, not interlaced
+    out.append(0x40 if interlace else 0)  # no local table
     mcs = max(2, bits)
     out.append(mcs)
-    data = lzw_encode([cmap[c] for row in pixels for c in row], mcs)
+    row_order = range(h)
+    if interlace:
+        row_order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+    data = lzw_encode(
+        [cmap[c] for y in row_order for c in pixels[y]], mcs
+    )
     for i in range(0, len(data), 255):
         block = data[i : i + 255]
         out.append(len(block))

@@ -71,6 +71,120 @@ def _encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
     )
 
 
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _encode_png_variant(img, depth=8, ctype=2, palette=None, interlace=0):
+    """PNG writer for the exotic IHDR combos (palette, sub-byte, 16-bit,
+    Adam7), filter 0 per scanline. ``img`` holds palette indices /
+    gray values (2-D) or samples (3-D); uint16 values for depth 16."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+
+    def pack(sub):
+        out = bytearray()
+        for y in range(sub.shape[0]):
+            row = sub[y].reshape(-1)
+            out.append(0)
+            if depth == 8:
+                out += bytes(row.astype(np.uint8))
+            elif depth == 16:
+                out += row.astype(">u2").tobytes()
+            else:
+                bits = (
+                    (row[:, None].astype(int) >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).ravel()
+                out += np.packbits(bits).tobytes()
+        return out
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pack(sub)
+    else:
+        raw += pack(img)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_decode_png_palette_8bit_and_4bit():
+    from reflexiv_spark.datapipe.multimodal import _png_pixels
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (200, 3)).astype(np.uint8)
+    idx = rng.randint(0, 200, (9, 14))
+    w, h, ch, px = _png_pixels(_encode_png_variant(idx, ctype=3, palette=pal))
+    assert (w, h, ch) == (14, 9, 3)
+    assert np.array_equal(px, pal[idx])
+    pal4 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx4 = rng.randint(0, 16, (7, 11))
+    w, h, ch, px = _png_pixels(
+        _encode_png_variant(idx4, depth=4, ctype=3, palette=pal4)
+    )
+    assert (w, h, ch) == (11, 7, 3)
+    assert np.array_equal(px, pal4[idx4])
+
+
+def test_decode_png_16bit_high_byte():
+    from reflexiv_spark.datapipe.multimodal import _png_pixels
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 65536, (6, 9)).astype(np.uint16)
+    w, h, ch, px = _png_pixels(_encode_png_variant(gray, depth=16, ctype=0))
+    assert (w, h, ch) == (9, 6, 1)
+    assert np.array_equal(px[..., 0], (gray >> 8).astype(np.uint8))
+    rgb = rng.randint(0, 65536, (5, 7, 3)).astype(np.uint16)
+    w, h, ch, px = _png_pixels(_encode_png_variant(rgb, depth=16, ctype=2))
+    assert (w, h, ch) == (7, 5, 3)
+    assert np.array_equal(px, (rgb >> 8).astype(np.uint8))
+
+
+def test_decode_png_sub_byte_gray_scales():
+    from reflexiv_spark.datapipe.multimodal import _png_pixels
+
+    bil = np.array([[0, 1, 1, 0, 1], [1, 0, 0, 1, 0], [1, 1, 0, 0, 1]])
+    w, h, ch, px = _png_pixels(_encode_png_variant(bil, depth=1, ctype=0))
+    assert (w, h, ch) == (5, 3, 1)
+    assert np.array_equal(px[..., 0], (bil * 255).astype(np.uint8))
+    g2 = np.array([[0, 1, 2, 3], [3, 2, 1, 0]])
+    w, h, ch, px = _png_pixels(_encode_png_variant(g2, depth=2, ctype=0))
+    assert np.array_equal(px[..., 0], np.round(g2 * 255 / 3).astype(np.uint8))
+
+
+def test_decode_png_adam7_interlaced():
+    from reflexiv_spark.datapipe.multimodal import _png_pixels
+
+    rng = np.random.RandomState(9)
+    rgb = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    w, h, ch, px = _png_pixels(_encode_png_variant(rgb, ctype=2, interlace=1))
+    assert (w, h, ch) == (11, 13, 3)
+    assert np.array_equal(px, rgb)
+    # interlaced palette at depth 4: both exotic paths at once
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (10, 9))
+    w, h, ch, px = _png_pixels(
+        _encode_png_variant(idx, depth=4, ctype=3, palette=pal, interlace=1)
+    )
+    assert (w, h, ch) == (9, 10, 3)
+    assert np.array_equal(px, pal[idx])
+
+
 def _wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
     data = samples.astype("<i2").tobytes()
     return (
@@ -446,6 +560,30 @@ def test_image_phash_and_near_dups(spark):
     }
     assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
     assert pairs[(1, 2)] == 0
+
+
+def test_gif_decode_interlaced_exact():
+    """4-pass interlaced frame de-interlaces to the original rows."""
+    import random
+
+    from tests.gif_encoder import encode_gif
+
+    from reflexiv_spark.datapipe.multimodal import _gif_pixels
+
+    rng = random.Random(17)
+    px = [
+        [(rng.randrange(0, 256, 16), rng.randrange(0, 256, 64), 0) for _ in range(7)]
+        for _ in range(13)  # odd height: uneven pass sizes
+    ]
+    blob = encode_gif(px, interlace=True)
+    assert blob[13 + 3 * (2 << (blob[10] & 7)) + 9] & 0x40  # flag really set
+    w, h, ch, got = _gif_pixels(blob)
+    assert (w, h, ch) == (7, 13, 3)
+    want = np.array(px, dtype=np.uint8)
+    assert np.array_equal(got, want)
+    # non-interlaced twin decodes identically
+    _, _, _, plain = _gif_pixels(encode_gif(px))
+    assert np.array_equal(got, plain)
 
 
 def test_gif_decode_real(spark):
