@@ -177,11 +177,36 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str | None = None,
 ) -> DataFrame:
     """Tokenize documents with learned merge rules →
     DataFrame[id, tokens array<string>, n_subwords]. Merges apply in
-    training order (the BPE contract); each is the same fold as
-    training, unrolled — pure Catalyst, shuffle-free."""
+    training order (the BPE contract).
+
+    Two shuffle-free kernels, same result:
+
+    - ``engine="catalyst"`` unrolls one leftmost-scan fold per merge —
+      pure JVM expressions, ideal for small rule lists, but the plan
+      grows linearly with ``len(merges)`` and Catalyst analysis cost
+      grows with it (a 50k-merge vocabulary would be a 50k-deep
+      expression tree — unusable).
+    - ``engine="pandas"`` broadcasts the merge table into an
+      Arrow-batched ``mapInPandas`` kernel: per distinct word (cached
+      per batch) repeatedly merge the lowest-rank adjacent pair — the
+      standard tokenizer apply loop, O(word²) per distinct word and
+      independent of vocabulary size. For merge lists produced by
+      training this is provably identical to in-order application:
+      a merge can only create pairs involving its new token, and any
+      rule over that token was necessarily learned later, so no
+      earlier rule ever becomes applicable again.
+
+    Default: catalyst up to 64 merges, pandas beyond — the crossover
+    where plan depth starts to dominate.
+    """
+    if engine is None:
+        engine = "catalyst" if len(merges) <= 64 else "pandas"
+    if engine == "pandas":
+        return _bpe_encode_pandas(df, merges, text_col, id_col)
     words = F.regexp_extract_all(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0
     )
@@ -211,3 +236,87 @@ def bpe_encode(
         flat.alias("tokens"),
         F.size(flat).cast("bigint").alias("n_subwords"),
     )
+
+
+def _bpe_encode_pandas(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Arrow-batched BPE apply: rank-loop per distinct word with a
+    per-batch cache. The merge list rides the closure (broadcast by
+    task serialization — thousands of rules is a few hundred KB)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rank = {pair: i for i, pair in enumerate(merges)}
+    rules = list(merges)
+
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, True),
+            StructField("tokens", ArrayType(StringType()), False),
+            StructField("n_subwords", LongType(), False),
+        ]
+    )
+    cols = df.select(id_col, text_col)
+
+    def encode(batches):
+        import re as _re
+
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def apply_word(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                left, right = rules[best]
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        # ASCII \w to match the Catalyst path's Java regex semantics
+        word_re = _re.compile(r"\w+", _re.ASCII)
+        for pdf in batches:
+            toks_col, n_col = [], []
+            for txt in pdf[text_col]:
+                toks: list[str] = []
+                for wd in word_re.findall((txt or "").lower()):
+                    toks.extend(apply_word(wd))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "tokens": toks_col, "n_subwords": n_col}
+            )
+
+    return cols.mapInPandas(encode, schema=schema)

@@ -828,6 +828,44 @@ def test_bpe_train_matches_reference(spark):
     assert toks[1] == flat_ref
 
 
+def test_bpe_encode_pandas_engine_matches_catalyst(spark):
+    """The Arrow-batched rank-loop kernel (production shape for large
+    vocabularies) must tokenize identically to the unrolled Catalyst
+    folds on merges learned by training."""
+    from reflexiv_spark.datapipe.bpe import bpe_encode, bpe_train
+
+    rows = [
+        (1, "low lower lowest low low banana bandana"),
+        (2, "new newer newest new nana banana"),
+        (3, "low and newer and lower bandana bandit"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges_df, _ = bpe_train(df, n_merges=10)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("step").collect()
+    ]
+    assert merges
+    cat = {
+        r["doc_id"]: (list(r["tokens"]), r["n_subwords"])
+        for r in bpe_encode(df, merges, engine="catalyst").collect()
+    }
+    pan = {
+        r["doc_id"]: (list(r["tokens"]), r["n_subwords"])
+        for r in bpe_encode(df, merges, engine="pandas").collect()
+    }
+    assert cat == pan
+    # default dispatch: small lists stay catalyst, big lists go pandas
+    assert bpe_encode(df, merges).collect()  # smoke: auto path runs
+    big = merges + [(f"x{i}", f"y{i}") for i in range(100)]
+    pan2 = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(df, big).collect()  # auto → pandas
+    }
+    assert pan2 == {k: v[0] for k, v in cat.items()}
+
+
 def test_cluster_and_asof_empty_inputs(spark):
     """No near-dups / no right rows are normal production states — the
     operators must return empty/null results, not throw."""
