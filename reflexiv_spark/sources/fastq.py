@@ -170,22 +170,16 @@ def write_fasta(df: DataFrame, path: str, id_col: str = "id", seq_col: str = "se
     (``ReflexivDSMain.java:773-790``). IDs are taken from ``id_col`` —
     deterministic, unlike the reference's ``zipWithIndex`` numbering
     (FIXTURES.md §6 determinism note)."""
-    # sequence(1, 0) is an illegal range in Spark — one empty-seq row would
-    # fail the whole write job, so drop them up front.
     df = df.where(F.length(seq_col) > 0)
+    # one regex pass inserts "\n" after every full wrap-block except a
+    # trailing one — identical to chunk-and-join, no array materialized
     wrapped = df.select(
         F.concat(
             F.lit(">"),
             F.col(id_col),
             F.lit("\n"),
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.length(seq_col), F.lit(wrap)
-                    ),
-                    lambda i: F.col(seq_col).substr(i, F.lit(wrap)),
-                ),
+            F.regexp_replace(
+                seq_col, f"(?s)(.{{{wrap}}})(?!$)", "$1\n"
             ),
         ).alias("value")
     )
