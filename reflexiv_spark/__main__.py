@@ -176,7 +176,12 @@ def main(argv: list[str] | None = None) -> int:
 
     bp = add("bpe-train", help="datapipe: learn BPE merge rules from the corpus")
     bp.add_argument("--text-col", default="text")
+    bp.add_argument("--id-col", default="doc_id")
     bp.add_argument("--merges", type=int, default=50)
+    bp.add_argument("--sample", type=float, default=None,
+                    help="train on a deterministic hash-sample of the "
+                    "documents (the production shape for large "
+                    "vocabularies; e.g. 0.01)")
 
     pk = add("text-pack", help="datapipe: concat-then-chunk sequence packing "
              "(window id + offset per document)")
@@ -404,6 +409,8 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input),
             n_merges=args.merges,
             text_col=args.text_col,
+            id_col=args.id_col,
+            sample=args.sample,
         )
         _write(merges, args.output, args.outformat)
     elif args.cmd == "text-pack":
