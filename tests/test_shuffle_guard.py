@@ -93,3 +93,35 @@ def test_string_fallback_still_available(spark, monkeypatch):
         monkeypatch, lambda: rank_paths(counts, 5).count()
     )
     assert not isinstance(schema.fields[0].dataType, (LongType, ArrayType))
+
+
+def test_iteration_barrier_stops_stats_squaring(spark):
+    """Pin the plans/barriers.py mechanism: a self-join loop under plain
+    ``localCheckpoint`` squares Catalyst's sizeInBytes estimate every
+    round (the preserved originStats BigInt doubles in bit length —
+    the round-6 ladder stall), while ``iteration_barrier`` keeps the
+    estimate at the engine default. If ``reset_stats`` ever silently
+    falls back to identity (its py4j surface moved), the barrier column
+    here starts doubling and this test fails."""
+    from reflexiv_spark.plans.barriers import iteration_barrier
+
+    def bits(df):
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+    plain = df
+    barr = df
+    barrier_bits = []
+    for _ in range(4):
+        plain = (
+            plain.alias("a").join(plain.alias("b"), "k")
+            .localCheckpoint(eager=True)
+        )
+        barr = iteration_barrier(barr.alias("a").join(barr.alias("b"), "k"))
+        barrier_bits.append(bits(barr))
+    assert max(barrier_bits) <= 64, barrier_bits  # flat at engine default
+    assert bits(plain) > 100  # the leak the barrier exists to prevent
+    # rows are identical through the barrier (plan surgery, not a job)
+    assert barr.count() == 100
