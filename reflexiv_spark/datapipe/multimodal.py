@@ -36,10 +36,43 @@ libraries/models; those bodies raise ``NotImplementedError`` unless
 
 from __future__ import annotations
 
+import functools
+import struct as _struct
+import zlib as _zlib
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _parser(fmt: str):
+    """Decoder-boundary error discipline for untrusted bytes: anything
+    a malformed stream can trip inside a parser (short reads, bad
+    lengths, dangling indices, zlib garbage) re-raises as ``ValueError``
+    so callers — and the per-row status handlers in the Arrow operators
+    — see exactly two failure types: ValueError (malformed stream) and
+    NotImplementedError (unsupported format)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(blob, *a, **k):
+            try:
+                return fn(blob, *a, **k)
+            except (ValueError, NotImplementedError):
+                raise
+            except (
+                _struct.error,
+                _zlib.error,
+                IndexError,
+                KeyError,
+                OverflowError,
+                TypeError,
+            ) as e:
+                raise ValueError(f"malformed {fmt} stream: {e}") from e
+
+        return wrapped
+
+    return deco
 
 # Magic-byte prefixes for cheap format sniffing (JVM-side, no decode).
 _MAGIC = {
@@ -106,6 +139,17 @@ def decode_png(blob: bytes) -> tuple[int, int, int, float | None]:
     return (w, h, ch, float(px.mean()) if px is not None else None)
 
 
+# Decompression-bomb guard shared by all native decoders: a forged
+# header claiming astronomic dimensions must raise, not allocate.
+# 2^26 px ≈ an 8K×8K frame — far above any sane corpus image.
+_MAX_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"image dimensions out of bounds: {w}x{h}")
+
+
 # Adam7 interlace passes: (x_start, y_start, x_step, y_step)
 _PNG_ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -168,6 +212,7 @@ def _png_samples(flt, pw: int, depth: int, nch: int):
     return vals[:, :pw].astype(np.uint8)[..., None]
 
 
+@_parser("PNG")
 def _png_pixels(blob: bytes):
     """PNG → (width, height, channels, (h, w, ch) uint8 pixels)."""
     import struct
@@ -206,9 +251,24 @@ def _png_pixels(blob: bytes):
         or interlace not in (0, 1)
     ):
         return (w, h, channels, None)  # real dims, undecoded pixels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    _check_dims(w, h)
     bits_px = depth * nch
     bpp = max(1, bits_px // 8)
+    # bound the inflate to the pixel payload the header promises — a
+    # zlib bomb cannot expand past it
+    if interlace == 0:
+        expected = h * ((w * bits_px + 7) // 8 + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * ((pw * bits_px + 7) // 8 + 1)
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(b"".join(idat), expected),
+        dtype=np.uint8,
+    )
 
     def region(at: int, pw: int, ph: int):
         stride = (pw * bits_px + 7) // 8
@@ -370,6 +430,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, float | None]:
     return (w, h, ch, float(px.mean()) if px is not None else None)
 
 
+@_parser("JPEG")
 def _jpeg_pixels(blob: bytes):
     """JPEG → (width, height, channels, (h, w, ch) uint8 pixels);
     SOF2 streams dispatch to :func:`_jpeg_pixels_progressive`."""
@@ -448,6 +509,7 @@ def _jpeg_pixels(blob: bytes):
         return _jpeg_pixels_progressive(blob)
     if scan is None:
         return (w, h, channels, None)
+    _check_dims(w, h)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -530,6 +592,7 @@ def _jpeg_color_finish(comps, planes, hmax, vmax, w, h):
     return (w, h, channels, out.astype(np.uint8))
 
 
+@_parser("JPEG")
 def _jpeg_pixels_progressive(blob: bytes):
     """Progressive (SOF2) JPEG → (width, height, channels, uint8 pixels).
 
@@ -623,6 +686,7 @@ def _jpeg_pixels_progressive(blob: bytes):
     if frame is None:
         raise ValueError("JPEG missing SOF2 frame header")
     w, h, comps = frame
+    _check_dims(w, h)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -1154,6 +1218,7 @@ def resize_images(
     return cols.mapInPandas(resize, schema=RESIZED_IMAGE_SCHEMA)
 
 
+@_parser("AVI")
 def _avi_video_frames(blob: bytes) -> list[tuple[int, bytes, bool]]:
     """Parse a RIFF/AVI container → [(stream_frame_idx, frame_bytes,
     is_keyframe)] for the video stream ('##dc'/'##db' chunks), pure
@@ -1532,6 +1597,7 @@ def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     return bytes(out[:n_pixels])
 
 
+@_parser("GIF")
 def _gif_pixels(blob: bytes):
     """GIF87a/89a first frame → (width, height, 3, (h, w, 3) uint8 RGB),
     including 4-pass interlaced frames (GIF89a appendix E row order).
@@ -1561,6 +1627,7 @@ def _gif_pixels(blob: bytes):
         elif b0 == 0x2C:  # image descriptor
             iw = int.from_bytes(blob[pos + 5 : pos + 7], "little")
             ih = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+            _check_dims(iw, ih)
             ipacked = blob[pos + 9]
             pos += 10
             if ipacked & 0x80:  # local color table wins
@@ -1609,6 +1676,7 @@ def decode_gif(blob: bytes) -> tuple[int, int, int, float | None]:
     return w, h, ch, round(float(px.mean()), 4)
 
 
+@_parser("BMP")
 def _bmp_pixels(blob: bytes):
     """Uncompressed 24/32-bit BI_RGB BMP → (width, height, 3,
     (h, w, 3) uint8 RGB). Bottom-up or top-down rows; other BMP
@@ -1629,6 +1697,7 @@ def _bmp_pixels(blob: bytes):
     if comp != 0 or bpp not in (24, 32):
         raise ValueError("only uncompressed 24/32-bit BI_RGB BMP decodes")
     h = abs(h_raw)
+    _check_dims(w, h)
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     px = np.zeros((h, w, 3), dtype=np.uint8)
