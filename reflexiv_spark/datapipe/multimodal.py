@@ -837,19 +837,35 @@ def _jpeg_pixels_progressive(blob: bytes):
 
 
 def decode_images(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "id", fake: bool = False
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "id",
+    fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
-    """blob → (id, width, height, channels, mean_value) via mapInPandas.
+    """blob → (id, width, height, channels, mean_value[, status]) via
+    mapInPandas.
 
-    ``fake=False`` really decodes PNG payloads (:func:`decode_png` —
-    stdlib zlib + numpy unfilter) and baseline JPEG payloads
-    (:func:`decode_jpeg` — numpy Huffman + dequant + IDCT), both with a
-    true pixel mean, and raises ``NotImplementedError`` for formats that
-    need an external decoder (webp etc.). ``fake=True`` derives
+    ``fake=False`` really decodes PNG/JPEG/GIF/BMP payloads (every
+    variant the native decoders cover — see the module docstring) with
+    a true pixel mean, and raises ``NotImplementedError`` for formats
+    that need an external decoder (webp etc.). ``fake=True`` derives
     deterministic pseudo-dimensions from the payload bytes (real batch
     shapes, fake pixels).
+
+    ``on_error`` is the web-corpus ingest switch: ``"raise"`` (default)
+    fails the job on the first malformed blob — right for curated
+    inputs where corruption means a pipeline bug; ``"status"`` adds a
+    ``status`` column and degrades per ROW (null metrics + reason) —
+    right at corpus scale, where some fraction of a billion crawled
+    blobs is always garbage and one bad row must not kill a batch.
     """
+    if on_error not in ("raise", "status"):
+        raise ValueError(f"on_error must be 'raise' or 'status': {on_error}")
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    schema = DECODED_IMAGE_SCHEMA
+    if on_error == "status":
+        schema += ", status string"
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -859,40 +875,54 @@ def decode_images(
                 rows = []
                 for i, b in zip(pdf["id"], pdf["blob"]):
                     b = bytes(b or b"")
-                    if b[: len(_PNG_SIG)] == _PNG_SIG:
-                        w, h, ch, mean = decode_png(b)
-                    elif b[:2] == b"\xff\xd8":
-                        w, h, ch, mean = decode_jpeg(b)
-                    elif b[:6] in (b"GIF87a", b"GIF89a"):
-                        w, h, ch, mean = decode_gif(b)
-                    elif b[:2] == b"BM":
-                        w, h, ch, mean = decode_bmp(b)
-                    else:
-                        raise NotImplementedError(
-                            "only PNG (stdlib zlib), baseline JPEG "
-                            "(numpy Huffman+IDCT) and GIF (numpy LZW) "
-                            "decode natively; other image formats "
-                            "require PIL/opencv — not available in this "
-                            "container. Pass fake=True for the stub"
+                    try:
+                        if b[: len(_PNG_SIG)] == _PNG_SIG:
+                            w, h, ch, mean = decode_png(b)
+                        elif b[:2] == b"\xff\xd8":
+                            w, h, ch, mean = decode_jpeg(b)
+                        elif b[:6] in (b"GIF87a", b"GIF89a"):
+                            w, h, ch, mean = decode_gif(b)
+                        elif b[:2] == b"BM":
+                            w, h, ch, mean = decode_bmp(b)
+                        else:
+                            raise NotImplementedError(
+                                "only PNG (stdlib zlib), JPEG "
+                                "(numpy Huffman+IDCT) and GIF (numpy "
+                                "LZW) decode natively; other image "
+                                "formats require PIL/opencv — not "
+                                "available in this container. Pass "
+                                "fake=True for the stub"
+                            )
+                    except (ValueError, NotImplementedError) as e:
+                        if on_error == "raise":
+                            raise
+                        rows.append(
+                            (i, None, None, None, None, f"{e}"[:80])
                         )
-                    rows.append((i, w, h, ch, mean))
-                yield pd.DataFrame(
-                    rows, columns=["id", "width", "height", "channels", "mean_value"]
-                )
+                        continue
+                    row = (i, w, h, ch, mean)
+                    rows.append(
+                        (row + ("ok",)) if on_error == "status" else row
+                    )
+                cols_out = ["id", "width", "height", "channels", "mean_value"]
+                if on_error == "status":
+                    cols_out.append("status")
+                yield pd.DataFrame(rows, columns=cols_out)
                 continue
             blobs = pdf["blob"]
             n = blobs.str.len().fillna(0).astype(int)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "width": (n % 640) + 1,
-                    "height": ((n // 7) % 480) + 1,
-                    "channels": (n % 3) + 1,
-                    "mean_value": ((n % 256) / 255.0).round(6),
-                }
-            )
+            out = {
+                "id": pdf["id"],
+                "width": (n % 640) + 1,
+                "height": ((n // 7) % 480) + 1,
+                "channels": (n % 3) + 1,
+                "mean_value": ((n % 256) / 255.0).round(6),
+            }
+            if on_error == "status":
+                out["status"] = "ok"
+            yield pd.DataFrame(out)
 
-    return cols.mapInPandas(decode, schema=DECODED_IMAGE_SCHEMA)
+    return cols.mapInPandas(decode, schema=schema)
 
 
 def _le16(blob: Column, pos: int) -> Column:

@@ -195,3 +195,29 @@ def test_image_phash_survives_garbage_batch(spark):
     assert all(
         (r.status == "ok") == (r.phash is not None) for r in out.values()
     )
+
+
+def test_decode_images_on_error_status(spark):
+    """on_error='status' degrades per row with a reason; the default
+    keeps the fail-fast contract for curated inputs."""
+    from reflexiv_spark.datapipe.multimodal import decode_images
+
+    rng = np.random.RandomState(1)
+    good = encode_jpeg(rng.randint(0, 256, (8, 8)).astype(float))
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"\xff\xd8garbage")),
+        (3, bytearray(b"not-an-image")),
+        (4, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {r.id: r for r in decode_images(df, on_error="status").collect()}
+    assert out[1].status == "ok" and out[1].width == 8
+    assert out[2].status != "ok" and out[2].width is None
+    assert out[3].status != "ok" and out[4].status != "ok"
+    # default mode still raises on the bad rows
+    with pytest.raises(Exception):
+        decode_images(df).collect()
+    # fake mode composes with the status schema
+    fk = decode_images(df, fake=True, on_error="status").collect()
+    assert all(r.status == "ok" for r in fk) and len(fk) == 4
