@@ -213,3 +213,106 @@ def interval_join_streams(
     return joined.select(
         F.col("__k").alias(on), "lid", "rid", "lts", "rts"
     )
+
+
+def streaming_hot_tokens(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    min_count: int = 100,
+    watermark: str | None = "15 minutes",
+) -> DataFrame:
+    """Windowed heavy hitters over the token stream → (win_start,
+    win_end, token, n) for tokens whose exact per-window count reaches
+    ``min_count``.
+
+    One stateful operator: tokenize (codegen'd regexp, zero state) →
+    windowed hash count (the ONLY shuffle; watermark bounds state to
+    live windows) → threshold filter. In append mode rows emit once,
+    when the watermark closes the window — the streaming analog of the
+    batch CMS heavy-hitters pass (``datapipe/sketch.py``), exact
+    instead of sketched because per-window state is already bounded by
+    the watermark. On a batch DataFrame the same call is the plain
+    windowed count (batch/stream equivalence contract).
+    """
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    toks = src.select(
+        F.col(ts_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"\w+"),
+                0,
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "token",
+            "n",
+        )
+    )
+
+
+def streaming_top_tokens(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    k: int = 10,
+    watermark: str | None = "15 minutes",
+) -> DataFrame:
+    """Exact per-window top-k tokens → (win_start, win_end, top:
+    array<struct<n, token>> ranked desc).
+
+    Two CHAINED stateful aggregations (Spark 3.4+ multiple-stateful-
+    operator support): the windowed token count, then a re-window over
+    ``window_time`` that folds each closed window's counts into one
+    ranked array ((n, token) struct order — count desc, ties by token
+    desc — fully deterministic). Append mode only on streams — each
+    window emits once, after the watermark passes.
+    """
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    counts = (
+        src.select(
+            F.col(ts_col),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    F.lit(r"\w+"),
+                    0,
+                )
+            ).alias("token"),
+        )
+        .groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy(
+            F.window(F.window_time("w"), window).alias("w2")
+        )
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("n", "token")), asc=False
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(
+            F.col("w2.start").alias("win_start"),
+            F.col("w2.end").alias("win_end"),
+            "top",
+        )
+    )

@@ -311,3 +311,77 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
         for r in range_join_pairs(lb, rb, on="user_id", tolerance_s=3600).collect()
     }
     assert batch == got  # stream and batch twins agree
+
+
+def test_streaming_hot_tokens_stream_matches_batch(spark, tmp_path):
+    from reflexiv_spark.streaming.windows import streaming_hot_tokens
+
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    doc_rows1 = [
+        {"ts": "2026-01-01T10:05:00", "text": "spark spark duck goose"},
+        {"ts": "2026-01-01T10:20:00", "text": "spark goose goose"},
+    ]
+    doc_rows2 = [
+        {"ts": "2026-01-01T11:10:00", "text": "duck duck duck spark"},
+    ]
+    _write_batch(d, "b1.json", doc_rows1)
+    _write_batch(d, "b2.json", doc_rows2)
+    schema = "ts timestamp, text string"
+
+    stream = stream_from_files(spark, str(d), schema, max_files_per_trigger=1)
+    out = streaming_hot_tokens(
+        stream, window="1 hour", min_count=3, watermark="10 minutes"
+    )
+    _run_stream(out, "hot_toks", "complete")
+    got = {
+        (str(r.win_start), r.token, r.n)
+        for r in spark.sql("SELECT * FROM hot_toks").collect()
+    }
+    assert got == {
+        ("2026-01-01 10:00:00", "spark", 3),
+        ("2026-01-01 10:00:00", "goose", 3),
+        ("2026-01-01 11:00:00", "duck", 3),
+    }
+
+    # batch/stream equivalence: same callable on the batch read
+    batch = spark.read.schema(schema).json(str(d))
+    expected = {
+        (str(r.win_start), r.token, r.n)
+        for r in streaming_hot_tokens(
+            batch, window="1 hour", min_count=3
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_top_tokens_chained_aggs_append(spark, tmp_path):
+    """Two chained stateful aggregations in append mode: per-window
+    ranked top-k arrays emit once the watermark closes each window."""
+    from reflexiv_spark.streaming.windows import streaming_top_tokens
+
+    d = tmp_path / "docs_topk"
+    d.mkdir()
+    _write_batch(d, "b1.json", [
+        {"ts": "2026-01-01T10:05:00", "text": "a a a b b c"},
+        {"ts": "2026-01-01T10:45:00", "text": "b d"},
+    ])
+    # second file advances the watermark far enough to close window 10:00
+    _write_batch(d, "b2.json", [
+        {"ts": "2026-01-01T13:00:00", "text": "zzz"},
+    ])
+    schema = "ts timestamp, text string"
+    stream = stream_from_files(spark, str(d), schema, max_files_per_trigger=1)
+    out = streaming_top_tokens(
+        stream, window="1 hour", k=2, watermark="10 minutes"
+    )
+    _run_stream(out, "top_toks", "append")
+    rows = {
+        str(r.win_start): [(t["n"], t["token"]) for t in r.top]
+        for r in spark.sql("SELECT * FROM top_toks").collect()
+    }
+    # 10:00 window closed by the 13:00 row: a=3, b=3 ranked by struct
+    # order (count desc, token desc on ties)
+    assert rows.get("2026-01-01 10:00:00") == [(3, "b"), (3, "a")]
+    # 13:00 window not closed (no later watermark) -> not emitted in append
+    assert "2026-01-01 13:00:00" not in rows
