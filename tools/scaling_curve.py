@@ -33,6 +33,7 @@ DEFAULT_DIRS = [
 SELECTED = [
     "kmer_count",
     "assemble_paths",
+    "meta_assemble",
     "minhash_near_dup_xxh64",
     "decontaminate_xxh64",
     "dup_clusters_xxh64",
