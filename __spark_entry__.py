@@ -1399,6 +1399,66 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_meta(blobs).select("id", F.col("byte_len").cast("bigint").alias("byte_len"), "digest")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: substring-level duplicate detection (word-8-gram
+    approximation of Lee et al. ExactSubstr, ACL 2022) — corpus-wide
+    n-gram frequency pass, hot-gram mark join on 8-byte hashes, per-doc
+    interval merge with two windows. md5 family for the oracle replay;
+    xxhash64 is the production default."""
+    from reflexiv_spark.datapipe.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=8, hash_family="md5"
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph: 3-iteration PageRank over the supplier→part link graph
+    (bipartite ids disambiguated by parity). Per iteration one 8-byte
+    rank-attachment join + one contribution shuffle; rank state is
+    nodes-sized. Oracle = the same three rounds unrolled as CTEs."""
+    from reflexiv_spark.datapipe.graph import pagerank
+
+    edges = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    return pagerank(edges, iters=3).select(
+        F.col("node").cast("bigint").alias("node"), "rank"
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: tokenizer-vocab coverage — top-16 corpus vocabulary via
+    distributed TakeOrdered, broadcast probe join, per-doc OOV rate."""
+    from reflexiv_spark.datapipe.text import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"), vocab_size=16)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine surface: Markov transition matrix over per-user event
+    sequences — lead window keyed on (user, ts, event_id), one pair-count
+    aggregation, per-source normalization."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .where(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    per_src = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(per_src), 6).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1439,6 +1499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_assemble": q_meta_assemble,
         "pair_merge": q_pair_merge,
         "error_correct": q_error_correct,
+        # --- NEW in round 6 (must enter inside the 50-entry window) ---
+        "dup_spans": q_dup_spans,
+        "graph_pagerank": q_pagerank,
+        "vocab_coverage": q_vocab_coverage,
+        "event_transitions": q_event_transitions,
         # --- r5-green, re-checked because round 6 touches their code ---
         "events_asof": q_events_asof,
         "cluster_keep_best": q_cluster_keep_best,
@@ -1456,12 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercy": q_mercy,
         "contig_dedup": q_contig_dedup,
         "contig_merge": q_contig_merge,
-        "junction_support": q_junction_support,
         "fork_argmax": q_fork_argmax,
         "fork_argmax_gated": q_fork_argmax_gated,
-        "union_counts": q_union_counts,
-        "best_connection": q_best_connection,
-        "distinct_pairs": q_distinct_pairs,
         "exact_dedup": q_exact_dedup,
         "contained_dedup": q_contained_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1471,6 +1532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "fasta_wrap": q_fasta_wrap,
         # --- r5-green, rotated out of the 50-entry window ---
+        "junction_support": q_junction_support,
+        "union_counts": q_union_counts,
+        "best_connection": q_best_connection,
+        "distinct_pairs": q_distinct_pairs,
         "top_orders": q_top_orders,
         "multi_join_agg": q_multi_join_agg,
         "events_sessionize": q_events_sessionize,
@@ -2736,5 +2801,102 @@ def oracle_sql() -> dict[str, str]:
             "rep AS (SELECT coalesce(w2.fixed, s.seq) AS seq FROM sus2 s"
             " LEFT JOIN w2 ON s.doc_id = w2.doc_id AND s.i = w2.i) "
             "SELECT seq FROM clean UNION ALL SELECT seq FROM rep"
+        ),
+        "dup_spans": (
+            # word-8-gram duplicate-span replay: hot grams (count>=2
+            # corpus-wide), interval merge via the running-max segmenter
+            r"WITH wd AS (SELECT doc_id,"
+            r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+            " FROM documents), "
+            "g AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, "
+            + _sql_md5l(
+                "array_to_string(list_slice(ws, CAST(i AS INT),"
+                " CAST(i AS INT) + 7), ' ')"
+            )
+            + " AS h FROM wd,"
+            " unnest(generate_series(1, len(ws) - 7)) AS u(i)"
+            " WHERE len(ws) >= 8), "
+            "hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2), "
+            "dp AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e"
+            " FROM g JOIN hot USING (h)), "
+            "m AS (SELECT doc_id, s, e, CASE WHEN"
+            " max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL"
+            " OR s > 1 + max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            " THEN 1 ELSE 0 END AS ns FROM dp), "
+            "sg AS (SELECT doc_id, s, e, sum(ns) OVER ("
+            "PARTITION BY doc_id ORDER BY s"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg"
+            " FROM m), "
+            "cov AS (SELECT doc_id, seg, max(e) - min(s) + 1 AS covered"
+            " FROM sg GROUP BY 1, 2), "
+            "pd AS (SELECT doc_id, count(*) AS dup_spans,"
+            " sum(covered) AS dup_tokens FROM cov GROUP BY 1), "
+            "gc AS (SELECT doc_id, count(*) AS dup_ngrams FROM dp"
+            " GROUP BY 1) "
+            "SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(gc.dup_ngrams, 0) AS BIGINT) AS dup_ngrams,"
+            " CAST(coalesce(pd.dup_spans, 0) AS BIGINT) AS dup_spans,"
+            " CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,"
+            " round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE)"
+            " / greatest(len(w.ws), 1), 6) AS dup_frac"
+            " FROM wd w LEFT JOIN pd ON w.doc_id = pd.doc_id"
+            " LEFT JOIN gc ON w.doc_id = gc.doc_id"
+        ),
+        "graph_pagerank": (
+            # 3 unrolled PageRank rounds, d=0.85, rank0=1.0, simple
+            # variant (no dangling redistribution) — same recurrence as
+            # datapipe/graph.py:pagerank
+            "WITH e AS (SELECT DISTINCT l_suppkey * 2 AS src,"
+            " l_partkey * 2 + 1 AS dst FROM lineitem), "
+            "nodes AS (SELECT DISTINCT node FROM ("
+            "SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+            "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), "
+            "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes), "
+            "r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum("
+            "r.rank / od.outdeg), 0.0) AS rank FROM nodes n"
+            " LEFT JOIN e ON e.dst = n.node"
+            " LEFT JOIN od ON od.src = e.src"
+            " LEFT JOIN r0 r ON r.node = e.src GROUP BY n.node), "
+            "r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum("
+            "r.rank / od.outdeg), 0.0) AS rank FROM nodes n"
+            " LEFT JOIN e ON e.dst = n.node"
+            " LEFT JOIN od ON od.src = e.src"
+            " LEFT JOIN r1 r ON r.node = e.src GROUP BY n.node), "
+            "r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(sum("
+            "r.rank / od.outdeg), 0.0) AS rank FROM nodes n"
+            " LEFT JOIN e ON e.dst = n.node"
+            " LEFT JOIN od ON od.src = e.src"
+            " LEFT JOIN r2 r ON r.node = e.src GROUP BY n.node) "
+            "SELECT node, round(rank, 6) AS rank FROM r3"
+        ),
+        "vocab_coverage": (
+            r"WITH toks AS (SELECT doc_id, unnest("
+            r"regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok"
+            " FROM documents), "
+            "v AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks"
+            " GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 16)), "
+            "sc AS (SELECT t.doc_id, count(*) AS n_tokens,"
+            " sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov"
+            " FROM toks t LEFT JOIN v ON t.tok = v.tok"
+            " GROUP BY t.doc_id) "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,"
+            " CAST(coalesce(sc.oov, 0) AS BIGINT) AS oov_tokens,"
+            " round(CAST(coalesce(sc.oov, 0) AS DOUBLE)"
+            " / greatest(coalesce(sc.n_tokens, 0), 1), 6) AS oov_frac"
+            " FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "event_transitions": (
+            "WITH s AS (SELECT user_id, event_type, lead(event_type)"
+            " OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " AS to_type FROM events), "
+            "c AS (SELECT event_type AS from_type, to_type,"
+            " count(*) AS n FROM s WHERE to_type IS NOT NULL"
+            " GROUP BY 1, 2) "
+            "SELECT from_type, to_type, CAST(n AS BIGINT) AS n,"
+            " round(CAST(n AS DOUBLE) / sum(n) OVER ("
+            "PARTITION BY from_type), 6) AS p FROM c"
         ),
     }

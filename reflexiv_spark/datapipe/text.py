@@ -504,3 +504,59 @@ def drop_frequent_lines(
         F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage report: build the top-``vocab_size``
+    corpus vocabulary (frequency desc, token asc — a deterministic
+    boundary), then score every doc's out-of-vocabulary rate
+    (``doc_id, n_tokens, oov_tokens, oov_frac``).
+
+    The training-data use: before committing a tokenizer vocab, measure
+    what fraction of each source's tokens it covers; high-OOV docs are
+    transliteration/garbage candidates.
+
+    Scale: the frequency pass is one hash aggregation over (token)
+    8-byte-hashable keys; the top-k is Spark's distributed
+    TakeOrderedAndProject (never a single-partition window); the vocab
+    (≤ ``vocab_size`` rows) broadcasts into the per-doc probe join, so
+    the second pass over the corpus is shuffle-free until the final
+    doc-keyed aggregation.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.expr(
+                rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+            )
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "tok", "left").groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+            "oov_tokens"
+        ),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("oov_tokens", F.lit(0)).cast("bigint").alias("oov_tokens"),
+        F.round(
+            F.coalesce("oov_tokens", F.lit(0))
+            / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("oov_frac"),
+    )
