@@ -87,6 +87,14 @@ HEADLINE = [
     "bm25_rank",
     # KMV on the production hash family (the md5 twin stays oracle-only)
     "kmv_distinct_xxh64",
+    # round-6 additions: substring-level dup spans (production xxhash64
+    # family), PageRank (3 fixed iterations on the supplier-part graph),
+    # vocab coverage, event transitions — production IS the oracled path
+    # for the last three
+    "dup_spans_xxh64",
+    "graph_pagerank",
+    "vocab_coverage",
+    "event_transitions",
 ]
 
 
@@ -172,7 +180,14 @@ def _bench_only_queries():
         )
         return kmv_distinct(toks, "tok", k=256)
 
+    def dup_spans_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.dedup import duplicate_ngram_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return duplicate_ngram_spans(docs, n=8, hash_family="xxhash64")
+
     return {
+        "dup_spans_xxh64": dup_spans_xxh64,
         "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
         "dup_clusters_xxh64": dup_clusters_xxh64,
         "decontaminate_xxh64": decontaminate_xxh64,
