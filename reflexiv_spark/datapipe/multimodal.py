@@ -1316,6 +1316,61 @@ def _avi_video_frames(blob: bytes) -> list[tuple[int, bytes, bool]]:
     return frames
 
 
+def _avi_video_format(blob: bytes):
+    """LIST/hdrl → first ``vids`` stream's ``strf`` BITMAPINFOHEADER →
+    ``(width, height_raw, bit_count, compression)``; ``None`` when the
+    container carries no parseable video format header (e.g. a minimal
+    movi-only AVI — MJPEG frames are self-describing so sampling works
+    without one)."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            ckid = blob[pos : pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            yield ckid, pos + 8, ln
+            pos += 8 + ln + (ln & 1)
+
+    for ckid, at, ln in walk(12, len(blob)):
+        if ckid == b"LIST" and blob[at : at + 4] == b"hdrl":
+            for ck2, at2, ln2 in walk(at + 4, at + ln):
+                if ck2 == b"LIST" and blob[at2 : at2 + 4] == b"strl":
+                    is_vids = False
+                    for ck3, at3, ln3 in walk(at2 + 4, at2 + ln2):
+                        if ck3 == b"strh":
+                            is_vids = blob[at3 : at3 + 4] == b"vids"
+                        elif ck3 == b"strf" and is_vids and ln3 >= 40:
+                            w, h_raw = struct.unpack(
+                                "<ii", blob[at3 + 4 : at3 + 12]
+                            )
+                            (bpp,) = struct.unpack(
+                                "<H", blob[at3 + 14 : at3 + 16]
+                            )
+                            (comp,) = struct.unpack(
+                                "<I", blob[at3 + 16 : at3 + 20]
+                            )
+                            return w, h_raw, bpp, comp
+    return None
+
+
+def _wrap_dib_as_bmp(data: bytes, w: int, h_raw: int, bpp: int) -> bytes:
+    """Raw BI_RGB DIB frame bytes (bottom-up BGR rows, 4-byte stride
+    padding — exactly a BMP's pixel array) → a standalone BMP blob, so
+    uncompressed-AVI frames feed :func:`decode_bmp` / ``decode_images``
+    with no further per-format plumbing."""
+    import struct
+
+    hdr = b"BM" + struct.pack("<IHHI", 14 + 40 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h_raw, 1, bpp, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + info + bytes(data)
+
+
 def sample_video_frames(
     df: DataFrame,
     blob_col: str = "blob",
@@ -1332,11 +1387,13 @@ def sample_video_frames(
     present (sequential ``movi`` walk otherwise), keyframes are sampled
     on the ``every_nth`` stride, and each sampled frame's bytes + MD5
     come out as a row — for MJPEG those bytes are baseline JPEG and feed
-    :func:`decode_jpeg` / :func:`decode_images` directly. Undecodable
-    rows yield one row with null frame and a ``status`` reason instead
-    of killing the batch. ``fake=True`` keeps the old deterministic
-    fixed-stride chunker (JVM-side), for payloads that are not real
-    containers.
+    :func:`decode_jpeg` / :func:`decode_images` directly, and for
+    uncompressed video (``strf`` BITMAPINFOHEADER with BI_RGB 24/32-bit)
+    each raw DIB frame is wrapped as a standalone BMP so the same
+    downstream decoders handle it. Undecodable rows yield one row with
+    null frame and a ``status`` reason instead of killing the batch.
+    ``fake=True`` keeps the old deterministic fixed-stride chunker
+    (JVM-side), for payloads that are not real containers.
     """
     if fake:
         return (
@@ -1381,8 +1438,14 @@ def sample_video_frames(
                         (i, 0, None, None, str(exc).replace(" ", "_"))
                     )
                     continue
+                fmt = _avi_video_format(b)
+                wrap_dib = (
+                    fmt is not None and fmt[3] == 0 and fmt[2] in (24, 32)
+                )
                 keyframes = [f for f in frames if f[2]]
                 for fi, data, _key in keyframes[::nth]:
+                    if wrap_dib:
+                        data = _wrap_dib_as_bmp(data, fmt[0], fmt[1], fmt[2])
                     rows.append(
                         (i, fi, data, hashlib.md5(data).hexdigest(), "ok")
                     )

@@ -655,3 +655,85 @@ def test_bmp_decode_real(spark):
 
     df = spark.createDataFrame([(1, bytearray(blob))], "id long, blob binary")
     assert blob_meta(df).collect()[0].format == "bmp"
+
+
+def _encode_rgb_avi(
+    frames_px: list[np.ndarray], with_index: bool = True
+) -> bytes:
+    """Uncompressed BI_RGB AVI writer: LIST hdrl (strh 'vids' + strf
+    BITMAPINFOHEADER) + LIST movi of raw 00db DIB frames (bottom-up BGR,
+    4-byte row stride)."""
+    h, w, _ = frames_px[0].shape
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for px in frames_px:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            row = px[y][:, ::-1].astype(np.uint8).tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        dibs.append(b"".join(rows))
+    strh = b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB " + b"\x00" * 48
+    strf_data = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    strf = b"strf" + struct.pack("<I", len(strf_data)) + strf_data
+    strl = (
+        b"LIST"
+        + struct.pack("<I", 4 + len(strh) + len(strf))
+        + b"strl"
+        + strh
+        + strf
+    )
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(strl)) + b"hdrl" + strl
+    movi = b"movi"
+    offsets = []
+    for d in dibs:
+        offsets.append(len(movi))
+        movi += b"00db" + struct.pack("<I", len(d)) + d
+        if len(d) % 2:
+            movi += b"\x00"
+    body = hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi
+    if with_index:
+        idx = b""
+        for off, d in zip(offsets, dibs):
+            idx += struct.pack("<4sIII", b"00db", 0x10, off, len(d))
+        body += b"idx1" + struct.pack("<I", len(idx)) + idx
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+@pytest.mark.parametrize("with_index", [True, False])
+def test_sample_video_frames_uncompressed_rgb_avi(spark, with_index):
+    """Raw BI_RGB DIB frames come out wrapped as standalone BMPs whose
+    decoded pixels equal the planted frames exactly."""
+    from reflexiv_spark.datapipe.multimodal import _bmp_pixels, decode_bmp
+
+    rng = np.random.RandomState(7)
+    px0 = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    px1 = np.full((5, 3, 3), 200, dtype=np.uint8)
+    avi = _encode_rgb_avi([px0, px1], with_index=with_index)
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, blob binary")
+    out = sorted(
+        sample_video_frames(df, every_nth=1, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 1]
+    assert all(r.status == "ok" for r in out)
+    for r, px in zip(out, [px0, px1]):
+        w, h, ch, mean = decode_bmp(bytes(r.frame))
+        assert (w, h, ch) == (3, 5, 3)
+        assert mean == round(float(px.mean()), 4)
+        _, _, _, arr = _bmp_pixels(bytes(r.frame))
+        assert np.array_equal(arr, px)
+
+
+def test_mjpeg_avi_unaffected_by_format_header_absence(spark):
+    """The minimal movi-only MJPEG AVI (no hdrl) still passes frames
+    through untouched — JPEG bytes, not BMP-wrapped."""
+    frames = [encode_jpeg(np.full((8, 8), g, dtype=np.uint8)) for g in (10, 240)]
+    avi = _encode_avi(frames, with_index=True)
+    df = spark.createDataFrame([(1, bytearray(avi))], "id long, blob binary")
+    out = sorted(
+        sample_video_frames(df, every_nth=1, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [bytes(r.frame)[:2] for r in out] == [b"\xff\xd8", b"\xff\xd8"]
