@@ -40,6 +40,10 @@ SELECTED = [
     "events_asof",
     "bm25_rank",
     "token_quantiles",
+    # round-6 additions: substring dedup, iterative graph, vocab probe
+    "dup_spans_xxh64",
+    "graph_pagerank",
+    "vocab_coverage",
 ]
 
 
