@@ -36,6 +36,8 @@ EXTRA = [
     "kmv_distinct",
     "kmeans_assign",
     "pack_sequences",
+    # round-6: md5-family dup_spans twin (bench times the xxh64 family)
+    "dup_spans",
 ]
 
 
