@@ -1459,6 +1459,26 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: exact-proportion per-stratum train/val/test split —
+    histogram-ranked (prefix-bin cumulative + within-bin windows, never a
+    stratum-wide sort partition), deterministic by (md5 hash, id)."""
+    from reflexiv_spark.datapipe.sampling import stratified_split
+
+    return stratified_split(
+        _t(spark, sf_dir, "documents"), hash_family="md5"
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: add-1-smoothed bigram fluency scoring — two model
+    aggregations + one AQE-planned model join, log10/round(6)
+    determinism device shared with unigram_logprob."""
+    from reflexiv_spark.datapipe.text import bigram_logprob_score
+
+    return bigram_logprob_score(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1504,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_pagerank,
         "vocab_coverage": q_vocab_coverage,
         "event_transitions": q_event_transitions,
+        "stratified_split": q_stratified_split,
+        "bigram_logprob": q_bigram_logprob,
         # --- r5-green, re-checked because round 6 touches their code ---
         "events_asof": q_events_asof,
         "cluster_keep_best": q_cluster_keep_best,
@@ -1521,8 +1543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercy": q_mercy,
         "contig_dedup": q_contig_dedup,
         "contig_merge": q_contig_merge,
-        "fork_argmax": q_fork_argmax,
-        "fork_argmax_gated": q_fork_argmax_gated,
         "exact_dedup": q_exact_dedup,
         "contained_dedup": q_contained_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1532,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "fasta_wrap": q_fasta_wrap,
         # --- r5-green, rotated out of the 50-entry window ---
+        "fork_argmax": q_fork_argmax,
+        "fork_argmax_gated": q_fork_argmax_gated,
         "junction_support": q_junction_support,
         "union_counts": q_union_counts,
         "best_connection": q_best_connection,
@@ -2886,6 +2908,45 @@ def oracle_sql() -> dict[str, str]:
             " CAST(coalesce(sc.oov, 0) AS BIGINT) AS oov_tokens,"
             " round(CAST(coalesce(sc.oov, 0) AS DOUBLE)"
             " / greatest(coalesce(sc.n_tokens, 0), 1), 6) AS oov_frac"
+            " FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "stratified_split": (
+            # rank by (md5-60bit hash, id) per stratum; exact floor cuts.
+            # CAST 0.8/0.9 to DOUBLE so both engines do IEEE-double
+            # threshold arithmetic (DuckDB literals default to DECIMAL)
+            "WITH b AS (SELECT doc_id, lang, "
+            + _sql_md5l("doc_id::VARCHAR || '|split'")
+            + " AS h FROM documents), "
+            "r AS (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY h, doc_id) AS rn,"
+            " count(*) OVER (PARTITION BY lang) AS n FROM b) "
+            "SELECT doc_id, lang, CASE"
+            " WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'"
+            " WHEN rn <= floor(CAST(0.9 AS DOUBLE) * n) THEN 'val'"
+            " ELSE 'test' END AS split FROM r"
+        ),
+        "bigram_logprob": (
+            r"WITH wd AS (SELECT doc_id,"
+            r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+            " FROM documents), "
+            "bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,"
+            " ws[CAST(i AS INT) + 1] AS w2 FROM wd,"
+            " unnest(generate_series(1, len(ws) - 1)) AS u(i)"
+            " WHERE len(ws) >= 2), "
+            "uni AS (SELECT tok, count(*) AS c1 FROM ("
+            "SELECT unnest(ws) AS tok FROM wd) GROUP BY tok), "
+            "v AS (SELECT count(DISTINCT tok) AS vs FROM ("
+            "SELECT unnest(ws) AS tok FROM wd)), "
+            "bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2), "
+            "sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,"
+            " round(avg(log10(CAST(bi.c2 + 1 AS DOUBLE)"
+            " / (uni.c1 + v.vs))), 6) AS avg_logprob"
+            " FROM bg JOIN bi USING (w1, w2)"
+            " JOIN uni ON bg.w1 = uni.tok CROSS JOIN v"
+            " GROUP BY bg.doc_id) "
+            "SELECT d.doc_id,"
+            " CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
+            " coalesce(sc.avg_logprob, 0.0) AS avg_logprob"
             " FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
         ),
         "event_transitions": (

@@ -108,3 +108,87 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_split(
+    df: DataFrame,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    hash_family: str = "xxhash64",
+    n_bins: int = 65536,
+) -> DataFrame:
+    """EXACT-proportion train/val/test assignment per stratum
+    (``floor(cum_fraction · n)`` rows each), deterministic and
+    re-layout-stable: rows are ranked inside their stratum by
+    ``(hash(id, salt), id)`` and cut at the exact thresholds.
+
+    Unlike :func:`hash_sample` (approximate proportions, zero
+    coordination) this guarantees the split SIZES — what a training run
+    wants for a fixed-budget eval set.
+
+    Scale design: the global per-stratum rank is NEVER computed with one
+    stratum-wide window (a 100 TB stratum would serialize into one sort
+    partition). Instead the hash space is histogrammed into ``n_bins``
+    prefix bins: per-(stratum, bin) counts cumulate in a tiny
+    O(strata × bins) window, and each row's rank is
+    ``cum_before_bin + rank_within_bin`` — the within-bin window
+    partitions on (stratum, bin), bounding any sort partition to
+    ~n/n_bins rows (tune ``n_bins`` up for bigger corpora). Ordering by
+    (bin, h, id) equals ordering by (h, id) because the bin is the
+    hash's top bits — the SQL-oracle twin can use the plain
+    window-rank formulation and match bit for bit.
+
+    Returns ``(id, stratum, split)``.
+    """
+    c = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        raw = md5_long(F.concat(c, F.lit(f"|{salt}")))
+    else:
+        raw = F.xxhash64(c, F.lit(salt))
+    h = F.pmod(raw, F.lit(1 << 60))
+    shift = (1 << 60) // n_bins
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        h.alias("h"),
+    ).withColumn("bin", (F.col("h") / F.lit(shift)).cast("long"))
+
+    from pyspark.sql import Window
+
+    bins = base.groupBy("stratum", "bin").agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("stratum").orderBy("bin")
+    bins = bins.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "n", F.sum("c").over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    wr = Window.partitionBy("stratum", "bin").orderBy("h", "id")
+    ranked = (
+        base.join(bins.select("stratum", "bin", "cum_before", "n"), ["stratum", "bin"])
+        .withColumn("rn", F.col("cum_before") + F.row_number().over(wr))
+    )
+    cum = 0.0
+    expr = None
+    for name, frac in fractions[:-1]:
+        # round the running sum so the cumulative literal is the same
+        # double an oracle writes directly (0.8 + 0.1 in floats is
+        # 0.9000000000000001, not the double nearest 0.9)
+        cum = round(cum + frac, 9)
+        cond = F.col("rn") <= F.floor(F.lit(cum) * F.col("n"))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(fractions[-1][0])
+    return ranked.select(
+        F.col("id").alias(id_col),
+        F.col("stratum").alias(stratum_col),
+        expr.alias("split"),
+    )

@@ -560,3 +560,69 @@ def vocab_coverage(
             6,
         ).alias("oov_frac"),
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-supervised bigram fluency score: train an add-1-smoothed
+    bigram model on the corpus itself, then score each doc by its mean
+    ``log10 P(w2 | w1)`` — the bigram upgrade of
+    :func:`unigram_logprob_score` (word-order-aware: shuffled or
+    boilerplate-spliced text scores visibly lower than fluent text with
+    the same unigram profile).
+
+    ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)``, V = corpus vocabulary
+    size. Returns ``(doc_id, n_bigrams, avg_logprob)``; docs with < 2
+    tokens get ``(0, 0.0)``.
+
+    Scale: two corpus-wide hash aggregations build the model (bigram and
+    unigram counts — model size is the distinct-bigram count, not the
+    corpus); the scoring pass joins each doc's bigrams to the model on
+    the (w1, w2) pair, an AQE-planned equi-join (broadcast when the
+    model is small), then one doc-keyed aggregation. log10/round(6) is
+    the same cross-engine determinism device the unigram scorer uses.
+    """
+    toks = F.expr(
+        rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).withColumn(
+        "n", F.size("__ws")
+    )
+    bigrams = base.where(F.col("n") >= 2).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.struct(
+                    F.element_at("__ws", i).alias("w1"),
+                    F.element_at("__ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    unigrams = base.select(F.explode("__ws").alias("tok"))
+    uni = unigrams.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab_n = unigrams.select(
+        F.count_distinct("tok").alias("__v")
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("tok"))
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn(
+            "__lp",
+            F.log10((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        )
+    )
+    return base.select("id").join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
+    )

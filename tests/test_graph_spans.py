@@ -144,3 +144,94 @@ class TestEventTransitions:
             by_src.setdefault(r["from_type"], []).append(r["p"])
         for ps in by_src.values():
             assert sum(ps) == pytest.approx(1.0, abs=1e-4)
+
+
+class TestStratifiedSplit:
+    def test_exact_proportions_and_determinism(self, spark):
+        from reflexiv_spark.datapipe.sampling import stratified_split
+
+        rows = [(i, "en" if i < 60 else "de") for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        out = stratified_split(df, hash_family="md5").collect()
+        by = {}
+        for r in out:
+            by.setdefault((r["lang"], r["split"]), set()).add(r["doc_id"])
+        assert len({(k[0], d) for k, v in by.items() for d in v}) == 100
+        # en: n=60 -> 48/6/6; de: n=40 -> 32/4/4
+        assert len(by[("en", "train")]) == 48
+        assert len(by[("en", "val")]) == 6
+        assert len(by[("en", "test")]) == 6
+        assert len(by[("de", "train")]) == 32
+        assert len(by[("de", "val")]) == 4
+        assert len(by[("de", "test")]) == 4
+        # re-layout stability: same assignment from a repartitioned input
+        out2 = stratified_split(df.repartition(7), hash_family="md5").collect()
+        assert {(r["doc_id"], r["split"]) for r in out2} == {
+            (r["doc_id"], r["split"]) for r in out
+        }
+
+    def test_histogram_rank_equals_plain_window_rank(self, spark):
+        """The prefix-bin + within-bin-rank formulation must equal the
+        naive stratum-wide window rank (the oracle's form)."""
+        from pyspark.sql import Window
+
+        from reflexiv_spark.datapipe.dedup import md5_long
+        from reflexiv_spark.datapipe.sampling import stratified_split
+
+        rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang"])
+        ours = {
+            r["doc_id"]: r["split"]
+            for r in stratified_split(df, hash_family="md5", n_bins=8).collect()
+        }
+        h = F.pmod(
+            md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|split"))),
+            F.lit(1 << 60),
+        )
+        w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        naive = (
+            df.withColumn("h", h)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(Window.partitionBy("lang")))
+            .withColumn(
+                "split",
+                F.when(F.col("rn") <= F.floor(F.lit(0.8) * F.col("n")), "train")
+                .when(F.col("rn") <= F.floor(F.lit(0.9) * F.col("n")), "val")
+                .otherwise("test"),
+            )
+            .collect()
+        )
+        assert ours == {r["doc_id"]: r["split"] for r in naive}
+
+
+class TestBigramLogprob:
+    def test_model_math(self, spark):
+        import math
+
+        from reflexiv_spark.datapipe.text import bigram_logprob_score
+
+        # corpus: "a b" x2 and "a c"; V=3; C(a)=3, C(a b)=2, C(a c)=1
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+        # V = 4 tokens: a, b, c, solo
+        exp_ab = round(math.log10((2 + 1) / (3 + 4)), 6)
+        exp_ac = round(math.log10((1 + 1) / (3 + 4)), 6)
+        assert out[1]["avg_logprob"] == exp_ab
+        assert out[2]["avg_logprob"] == exp_ab
+        assert out[3]["avg_logprob"] == exp_ac
+        assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+        assert out[4]["n_bigrams"] == 0 and out[4]["avg_logprob"] == 0.0
+
+    def test_word_order_sensitivity(self, spark):
+        """A scrambled twin of a repeated fluent sentence scores lower —
+        the property the unigram scorer cannot see."""
+        from reflexiv_spark.datapipe.text import bigram_logprob_score
+
+        fluent = "the cat sat on the mat"
+        rows = [(i, fluent) for i in range(5)] + [(99, "mat the on sat cat the")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_score(df).collect()}
+        assert out[99] < out[0]
