@@ -30,6 +30,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    barrier_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank on a directed edge list.
 
@@ -47,20 +48,22 @@ def pagerank(
     appearing as a source or destination, ``rank`` rounded to 6 places.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    # Edges are scanned every round: materialize once, stats reset.
-    e = iteration_barrier(e)
+    # Edges are scanned every round: materialize once (lazily — the
+    # first action computes and pins them; no standalone warmup jobs),
+    # stats reset.
+    e = iteration_barrier(e, eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = iteration_barrier(nodes)
+    nodes = iteration_barrier(nodes, eager=False)
     edeg = e.join(
         e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
     )
-    edeg = iteration_barrier(edeg)
+    edeg = iteration_barrier(edeg, eager=False)
     ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
+    for it in range(iters):
         contrib = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
             .select(
@@ -70,13 +73,18 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = iteration_barrier(
-            nodes.join(contrib, "node", "left").select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-            )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # Barrier every few rounds, not every round: an eager
+        # materialization per iteration costs a full job of scheduling
+        # floor, while the stats-squaring pathology needs dozens of
+        # unbarriered self-join rounds to bite. Cadence 4 keeps plan
+        # depth and estimates bounded at a quarter of the job cost.
+        if (it + 1) % max(1, barrier_every) == 0 and it + 1 < iters:
+            ranks = iteration_barrier(ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
