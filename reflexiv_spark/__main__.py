@@ -190,6 +190,29 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--window", type=int, default=2048,
                     help="context window size in tokens")
 
+    sp_ = add("text-split", help="datapipe: exact-proportion stratified "
+              "train/val/test assignment (deterministic, re-layout-stable)")
+    sp_.add_argument("--id-col", default="doc_id")
+    sp_.add_argument("--stratum-col", default="lang")
+    sp_.add_argument("--fractions", default="train:0.8,val:0.1,test:0.1",
+                     help="name:frac pairs; fracs must sum to 1")
+
+    ds = add("text-spans", help="datapipe: substring-level duplicate-span "
+             "report (--drop rewrites docs with duplicated runs removed)")
+    ds.add_argument("--text-col", default="text")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("-n", "--ngram", type=int, default=8)
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.add_argument("--drop", action="store_true",
+                    help="emit cleaned text instead of the span report")
+
+    pr = add("pagerank", help="graph: fixed-iteration PageRank over a "
+             "(src, dst) edge parquet")
+    pr.add_argument("--src-col", default="src")
+    pr.add_argument("--dst-col", default="dst")
+    pr.add_argument("--iters", type=int, default=10)
+    pr.add_argument("--damping", type=float, default=0.85)
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -421,6 +444,46 @@ def main(argv: list[str] | None = None) -> int:
             window_tokens=args.window,
             id_col=args.id_col,
             text_col=args.text_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-split":
+        from reflexiv_spark.datapipe.sampling import stratified_split
+
+        fractions = tuple(
+            (part.split(":")[0], float(part.split(":")[1]))
+            for part in args.fractions.split(",")
+        )
+        out = stratified_split(
+            spark.read.parquet(args.input),
+            fractions=fractions,
+            stratum_col=args.stratum_col,
+            id_col=args.id_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-spans":
+        from reflexiv_spark.datapipe.dedup import (
+            drop_duplicate_spans,
+            duplicate_ngram_spans,
+        )
+
+        fn = drop_duplicate_spans if args.drop else duplicate_ngram_spans
+        out = fn(
+            spark.read.parquet(args.input),
+            n=args.ngram,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_count=args.min_count,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "pagerank":
+        from reflexiv_spark.datapipe.graph import pagerank
+
+        out = pagerank(
+            spark.read.parquet(args.input),
+            iters=args.iters,
+            damping=args.damping,
+            src=args.src_col,
+            dst=args.dst_col,
         )
         _write(out, args.output, args.outformat)
     return 0

@@ -182,3 +182,47 @@ def test_cli_text_pack(spark, tmp_path):
            for r in spark.read.parquet(str(out)).collect()}
     # 30 tokens/doc in id order: doc 4 starts at 90 -> straddles into bin 0
     assert got[1] == (0, 0) and got[4] == (0, 90) and got[5] == (1, 20)
+
+
+def test_cli_text_split_spans_pagerank(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota " * 2,
+          "en" if i % 2 else "de") for i in range(20)],
+        ["doc_id", "text", "lang"],
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+
+    split_out = tmp_path / "split"
+    assert main([
+        "text-split", "-i", str(inp), "-o", str(split_out),
+        "--fractions", "train:0.9,test:0.1",
+    ]) == 0
+    rows = spark.read.parquet(str(split_out)).collect()
+    assert len(rows) == 20
+    per = {}
+    for r in rows:
+        per.setdefault((r["lang"], r["split"]), 0)
+        per[(r["lang"], r["split"])] += 1
+    assert per[("en", "train")] == 9 and per[("en", "test")] == 1
+    assert per[("de", "train")] == 9 and per[("de", "test")] == 1
+
+    spans_out = tmp_path / "spans"
+    assert main([
+        "text-spans", "-i", str(inp), "-o", str(spans_out), "-n", "8",
+    ]) == 0
+    sp = spark.read.parquet(str(spans_out)).collect()
+    assert all(r["dup_tokens"] == r["n_tokens"] for r in sp)  # all clones
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], ["src", "dst"]
+    )
+    einp = tmp_path / "edges.parquet"
+    edges.write.parquet(str(einp))
+    pr_out = tmp_path / "pr"
+    assert main([
+        "pagerank", "-i", str(einp), "-o", str(pr_out), "--iters", "20",
+    ]) == 0
+    pr = {r["node"]: r["rank"] for r in spark.read.parquet(str(pr_out)).collect()}
+    assert set(pr) == {1, 2, 3, 4}
+    assert pr[1] == max(pr.values())  # 1 has two in-edges (near fixed point)
