@@ -1459,6 +1459,24 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph: per-doc triangle counts on the exact n-gram-Jaccard
+    similarity graph — triangle density separates tight clone families
+    from chains of pairwise-similar docs. Degree-oriented wedge join
+    (each triangle counted once at its lowest-degree vertex, fan-out
+    bounded O(sqrt m)), then one closing-edge probe."""
+    from reflexiv_spark.datapipe.dedup import ngram_jaccard_pairs
+    from reflexiv_spark.datapipe.graph import triangle_count
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), w=8, threshold=0.5
+    ).select("id1", "id2")
+    return triangle_count(pairs, src="id1", dst="id2").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("triangles").alias("triangles"),
+    )
+
+
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: exact-proportion per-stratum train/val/test split —
     histogram-ranked (prefix-bin cumulative + within-bin windows, never a
@@ -1526,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "stratified_split": q_stratified_split,
         "bigram_logprob": q_bigram_logprob,
+        "triangle_count": q_triangle_count,
         # --- r5-green, re-checked because round 6 touches their code ---
         "events_asof": q_events_asof,
         "cluster_keep_best": q_cluster_keep_best,
@@ -1540,7 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_forks": q_prune_forks,
         "assemble_paths": q_assemble_paths,
         "reduction": q_reduction,
-        "mercy": q_mercy,
         "contig_dedup": q_contig_dedup,
         "contig_merge": q_contig_merge,
         "exact_dedup": q_exact_dedup,
@@ -1552,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "fasta_wrap": q_fasta_wrap,
         # --- r5-green, rotated out of the 50-entry window ---
+        "mercy": q_mercy,
         "fork_argmax": q_fork_argmax,
         "fork_argmax_gated": q_fork_argmax_gated,
         "junction_support": q_junction_support,
@@ -2909,6 +2928,39 @@ def oracle_sql() -> dict[str, str]:
             " round(CAST(coalesce(sc.oov, 0) AS DOUBLE)"
             " / greatest(coalesce(sc.n_tokens, 0), 1), 6) AS oov_frac"
             " FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id"
+        ),
+        "triangle_count": (
+            # jaccard-similarity graph -> degree-oriented wedge join;
+            # same pair CTEs as the ngram_jaccard oracle
+            "WITH sh AS (SELECT DISTINCT doc_id AS id,"
+            " substr(text, CAST(i AS INT), 8) AS sh FROM documents,"
+            " unnest(generate_series(1, length(text) - 7)) AS t(i)"
+            " WHERE length(text) >= 8), "
+            "sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+            "it AS (SELECT a.id AS id1, b.id AS id2, count(*) AS inter"
+            " FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2), "
+            "e AS (SELECT id1 AS u, id2 AS v FROM it"
+            " JOIN sz s1 ON it.id1 = s1.id JOIN sz s2 ON it.id2 = s2.id"
+            " WHERE inter / (s1.n + s2.n - inter) >= 0.5), "
+            "deg AS (SELECT node, count(*) AS d FROM ("
+            "SELECT u AS node FROM e UNION ALL SELECT v FROM e)"
+            " GROUP BY node), "
+            "o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+            " THEN e.u ELSE e.v END AS a,"
+            " CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+            " THEN e.v ELSE e.u END AS b"
+            " FROM e JOIN deg du ON du.node = e.u"
+            " JOIN deg dv ON dv.node = e.v), "
+            "w AS (SELECT o1.a, o1.b AS x, o2.b AS y FROM o o1"
+            " JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b), "
+            "cl AS (SELECT a AS x, b AS y FROM o"
+            " UNION SELECT b, a FROM o), "
+            "tr AS (SELECT a, x, y FROM w JOIN cl USING (x, y)), "
+            "pn AS (SELECT node, count(*) AS triangles FROM ("
+            "SELECT a AS node FROM tr UNION ALL SELECT x FROM tr"
+            " UNION ALL SELECT y FROM tr) GROUP BY node) "
+            "SELECT deg.node, CAST(coalesce(pn.triangles, 0) AS BIGINT)"
+            " AS triangles FROM deg LEFT JOIN pn USING (node)"
         ),
         "stratified_split": (
             # rank by (md5-60bit hash, id) per stratum; exact floor cuts.

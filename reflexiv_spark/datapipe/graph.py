@@ -88,3 +88,70 @@ def pagerank(
         if (it + 1) % max(1, barrier_every) == 0 and it + 1 < iters:
             ranks = iteration_barrier(ranks)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts on the undirected simple graph induced by
+    the edge list (direction and multiplicity are collapsed; self-loops
+    dropped). Returns ``(node, triangles)`` for every node of the graph.
+
+    The standard distributed formulation (node-iterator++ / the
+    degree-oriented join): orient every undirected edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties by id).
+    Every triangle then has exactly one wedge (a→b, a→c) centered at its
+    lowest-degree vertex, so the wedge join's fan-out per vertex is
+    bounded by its ORIENTED out-degree — O(sqrt(m)) on any graph, which
+    tames the celebrity-vertex hub that makes the naive wedge join
+    quadratic. Two hash joins total: wedges (a→b ⋈ a→c), then a
+    closing-edge probe against the oriented edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    e = iteration_barrier(e, eager=False)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    oriented = iteration_barrier(oriented, eager=False)
+    w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    ).union(
+        oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).distinct()
+    tris = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        "node",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+    )

@@ -235,3 +235,32 @@ class TestBigramLogprob:
         df = spark.createDataFrame(rows, ["doc_id", "text"])
         out = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_score(df).collect()}
         assert out[99] < out[0]
+
+
+class TestTriangleCount:
+    def test_k4_every_node_in_three(self, spark):
+        from reflexiv_spark.datapipe.graph import triangle_count
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        out = {
+            r["node"]: r["triangles"]
+            for r in triangle_count(spark.createDataFrame(k4, ["src", "dst"])).collect()
+        }
+        assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_square_has_none(self, spark):
+        from reflexiv_spark.datapipe.graph import triangle_count
+
+        c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        out = triangle_count(spark.createDataFrame(c4, ["src", "dst"])).collect()
+        assert all(r["triangles"] == 0 for r in out) and len(out) == 4
+
+    def test_direction_multiplicity_and_loops_collapse(self, spark):
+        from reflexiv_spark.datapipe.graph import triangle_count
+
+        messy = [(0, 1), (1, 0), (1, 2), (1, 2), (2, 0), (2, 2)]
+        out = {
+            r["node"]: r["triangles"]
+            for r in triangle_count(spark.createDataFrame(messy, ["src", "dst"])).collect()
+        }
+        assert out == {0: 1, 1: 1, 2: 1}
