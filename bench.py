@@ -95,6 +95,11 @@ HEADLINE = [
     "graph_pagerank",
     "vocab_coverage",
     "event_transitions",
+    # production shapes: xxh64 split family; triangles over the MinHash
+    # (not exact-Jaccard) near-dup graph — the scale path's pair source
+    "stratified_split_xxh64",
+    "bigram_logprob",
+    "triangle_count_xxh64",
 ]
 
 
@@ -180,6 +185,22 @@ def _bench_only_queries():
         )
         return kmv_distinct(toks, "tok", k=256)
 
+    def stratified_split_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.sampling import stratified_split
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return stratified_split(docs, hash_family="xxhash64")
+
+    def triangle_count_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+        from reflexiv_spark.datapipe.graph import triangle_count
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_pairs(
+            docs, w=8, num_hashes=32, bands=8, threshold=0.5
+        ).select("id1", "id2")
+        return triangle_count(pairs, src="id1", dst="id2")
+
     def dup_spans_xxh64(spark, sf_dir):
         from reflexiv_spark.datapipe.dedup import duplicate_ngram_spans
 
@@ -187,6 +208,8 @@ def _bench_only_queries():
         return duplicate_ngram_spans(docs, n=8, hash_family="xxhash64")
 
     return {
+        "stratified_split_xxh64": stratified_split_xxh64,
+        "triangle_count_xxh64": triangle_count_xxh64,
         "dup_spans_xxh64": dup_spans_xxh64,
         "minhash_near_dup_xxh64": minhash_near_dup_xxh64,
         "dup_clusters_xxh64": dup_clusters_xxh64,
