@@ -100,6 +100,12 @@ HEADLINE = [
     "stratified_split_xxh64",
     "bigram_logprob",
     "triangle_count_xxh64",
+    # hashed-linear classifier + HLL on the production family; PQ
+    # encode/ADC-search (all-integer — production IS the oracled path)
+    "classifier_score_xxh64",
+    "hll_by_lang_xxh64",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -207,7 +213,39 @@ def _bench_only_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return duplicate_ngram_spans(docs, n=8, hash_family="xxhash64")
 
+    def classifier_score_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.text import classifier_score
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return classifier_score(docs, hash_family="xxhash64")
+
+    def hll_by_lang_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.sketch import hll_distinct_by
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ws = F.expr(r"regexp_extract_all(lower(coalesce(text,'')), '\\w+', 0)")
+        base = docs.select("lang", ws.alias("ws")).withColumn("n", F.size("ws"))
+        g3 = base.where(F.col("n") >= 3).select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                )
+            ).alias("g3"),
+        )
+        return hll_distinct_by(g3, "g3", "lang", p=8, hash_family="xxhash64")
+
     return {
+        "classifier_score_xxh64": classifier_score_xxh64,
+        "hll_by_lang_xxh64": hll_by_lang_xxh64,
         "stratified_split_xxh64": stratified_split_xxh64,
         "triangle_count_xxh64": triangle_count_xxh64,
         "dup_spans_xxh64": dup_spans_xxh64,

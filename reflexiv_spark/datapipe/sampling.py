@@ -192,3 +192,48 @@ def stratified_split(
         F.col("stratum").alias(stratum_col),
         expr.alias("split"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "lang",
+    order_col: str = "n_chars",
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group corpus selection under a token budget →
+    ``(group, doc_id, n_tokens, cum_tokens)``.
+
+    The "fill each language's token quota with the best documents
+    first" step of training-mixture construction: rank docs inside each
+    group by ``order_col`` (descending; ties broken by id so the pick
+    is total-order deterministic), take docs while the running token
+    total is below ``budget`` — the first doc to cross the line is
+    KEPT (budgets are soft caps), everything after it is dropped.
+
+    Scale: one shuffle on ``group_col`` + a single running-sum window
+    per group. Group skew is the known hazard (one giant language →
+    one window partition); for that shape rank on a histogram like
+    :func:`stratified_split` does rather than a per-row window.
+    """
+    from pyspark.sql import Window
+
+    if token_col is None:
+        tokens = F.size(
+            F.expr(
+                rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+            )
+        ).cast("bigint")
+    else:
+        tokens = F.col(token_col).cast("bigint")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        df.select(group_col, id_col, F.col(order_col), tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(group_col, id_col, "n_tokens", "cum_tokens")
+    )

@@ -823,3 +823,158 @@ def quantize_embeddings(
         F.round(sc, round_digits).alias("scale"),
         mean_err.alias("mean_abs_err"),
     )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> np.ndarray:
+    """Deterministic product-quantization codebooks → int64 array of
+    shape (m, ksub, dim/m).
+
+    Vectors fix to floor(x·scale) int64 and split into ``m`` subspaces;
+    each subspace's codebook is the subvectors of the ``ksub``
+    smallest-id vectors (cell = id rank) — the same deterministic seed
+    device as :func:`kmeans_lite`/:func:`ivf_topk`, chosen over Lloyd
+    refinement here so the WHOLE PQ pipeline stays replayable by a
+    non-iterative SQL oracle. The codebook is the model: m·ksub·dsub
+    int64s on the driver (KBs), broadcast into the encode pass.
+    """
+    rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("e"))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty input")
+    dim = len(rows[0]["e"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    mat = np.floor(np.array([r["e"] for r in rows], dtype=np.float64) * scale).astype(
+        np.int64
+    )
+    return np.stack([mat[:, s * (dim // m) : (s + 1) * (dim // m)] for s in range(m)])
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Product-quantization encode → DataFrame[id, codes, total_sqdist].
+
+    Each vector compresses to ``m`` cell indices (argmin int64 L2 per
+    subspace, ties → lowest cell) — 64 float32s become m bytes, the
+    memory lever that makes billion-scale ANN fit in RAM (Jégou et al.,
+    TPAMI'11 structure; arithmetic all-integer here so the SQL oracle
+    replays it exactly). ``codes`` is the dash-joined cell string;
+    ``total_sqdist`` the exact int64 quantization error.
+
+    Scale: codebooks ride the closure (KBs); ONE Arrow pass computes
+    all m argmins batch-GEMM-style; no shuffle at all.
+    """
+    cb = pq_codebooks(df, m, ksub, id_col, vec_col, scale) if codebooks is None else codebooks
+    dsub = cb.shape[2]
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.floor(
+                np.stack(pdf["e"].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            total = np.zeros(len(pdf), dtype=np.int64)
+            codes = np.empty((len(pdf), cb.shape[0]), dtype=np.int64)
+            for s in range(cb.shape[0]):
+                sub = arr[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+                total += d2[np.arange(len(pdf)), codes[:, s]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "codes": ["-".join(map(str, c)) for c in codes],
+                    "total_sqdist": total,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).where(F.col("e").isNotNull())
+    out = src.mapInPandas(_enc, "id long, codes string, total_sqdist long")
+    return out.select(
+        F.col("id").alias(id_col), "codes", "total_sqdist"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k against the min-id query vector
+    → DataFrame[id, adc_sqdist] (k rows, ascending distance, ties by
+    id).
+
+    The search half of PQ-ANN: the query stays EXACT while every
+    database vector is represented by its m codes, so per-row distance
+    is m table lookups into the precomputed (m × ksub) query-to-cell
+    distance table — no vector arithmetic in the scan. At 100 TB the
+    scan reads m-byte codes instead of 256-byte vectors; here the
+    lookup happens in the same Arrow pass that encodes, keeping the
+    whole operator one shuffle-free scan + a global top-k.
+    """
+    cb = pq_codebooks(df, m, ksub, id_col, vec_col, scale)
+    dsub = cb.shape[2]
+    qrow = (
+        df.select(F.col(vec_col).cast("array<double>").alias("e"))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(1)
+        .collect()
+    )
+    q = np.floor(np.array(qrow[0]["e"], dtype=np.float64) * scale).astype(np.int64)
+    # dtable[s, j] = ||q_s - c_{s,j}||^2, exact int64
+    dtable = np.stack(
+        [((cb[s] - q[s * dsub : (s + 1) * dsub][None, :]) ** 2).sum(axis=1) for s in range(cb.shape[0])]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.floor(
+                np.stack(pdf["e"].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            score = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(cb.shape[0]):
+                sub = arr[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                score += dtable[s][np.argmin(d2, axis=1)]
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "adc_sqdist": score})
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ).where(F.col("e").isNotNull())
+    scored = src.mapInPandas(_score, "id long, adc_sqdist long")
+    return (
+        scored.orderBy(F.col("adc_sqdist"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "adc_sqdist")
+    )

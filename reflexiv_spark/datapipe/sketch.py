@@ -316,3 +316,87 @@ def kmv_distinct_by(
             .alias("est_ndv"),
         )
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col,
+    p: int = 8,
+    hash_family: str = "xxhash64",
+    group_col: str | None = None,
+) -> DataFrame:
+    """HyperLogLog register table over ``key_col`` →
+    DataFrame[(group,) bucket, rho] with ≤ 2**p rows per group.
+
+    The 60-bit row hash splits into ``bucket = h mod m`` and a 30-bit
+    witness ``w``; ``rho`` is the position of w's highest set bit from
+    the top (w = 0 → 31). Everything is integer arithmetic (the msb
+    comes from the length of ``bin(w)`` with leading zeros stripped),
+    so the md5 family replays bit-for-bit in an ANSI-SQL oracle — the
+    same determinism device as the KMV/CMS sketches above.
+
+    Scale: ONE map-side-combinable shuffle of ≤ m rows per group
+    (``groupBy(bucket).max(rho)`` partial-aggregates in the scan
+    stage); registers merge across corpora with another max — the
+    textbook mergeable-sketch shape for 100 TB NDV.
+    """
+    m = 1 << p
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    if hash_family == "md5":
+        h = md5_long(c.cast("string"))
+    else:
+        h = F.pmod(F.xxhash64(c), F.lit(1 << 60))
+    # h < 2^60 and m >= 2 keep h/m < 2^59 — floor on double is only
+    # exact below 2^53, so divide in the integer domain
+    w = F.pmod((F.col("__h") - F.pmod(F.col("__h"), F.lit(m))) / F.lit(m), F.lit(1 << 30))
+    keys = [group_col] if group_col else []
+    base = df.where(c.isNotNull()).select(*keys, h.alias("__h"))
+    if group_col:
+        base = base.where(F.col(group_col).isNotNull())
+    return (
+        base.withColumn("__w", w.cast("bigint"))
+        .select(
+            *keys,
+            F.pmod("__h", F.lit(m)).alias("bucket"),
+            (
+                F.lit(31)
+                - F.length(F.regexp_replace(F.bin("__w"), "^0+", ""))
+            ).alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    key_col,
+    group_col: str,
+    p: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate →
+    DataFrame[group, n_buckets, est_ndv].
+
+    Uses the raw HLL estimator ``alpha_m * m^2 / sum(2^-rho)`` (absent
+    buckets contribute 2^0): deliberately NO small-range ln()
+    correction, so every arithmetic step is either exact (the harmonic
+    sum is a sum of dyadic rationals — exact in a double) or a single
+    IEEE multiply/divide that any engine reproduces bit-for-bit; the
+    estimate is rounded to 3 decimals. Known +bias below ~2.5m distinct
+    keys — use :func:`kmv_distinct_by` when small groups need accuracy;
+    HLL's win is the fixed 2**p-register footprint and lossless merges.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, key_col, p, hash_family, group_col=group_col)
+    denom = F.sum(F.pow(F.lit(0.5), F.col("rho"))) + (
+        F.lit(m) - F.count(F.lit(1))
+    ).cast("double")
+    return (
+        regs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.round(F.lit(alpha * m * m) / denom, 3).alias("est_ndv"),
+        )
+    )

