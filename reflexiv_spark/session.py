@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # File-split sizing: the default 4 MiB open-cost floor stops
+        # megabyte-scale local test files from splitting at all, so a
+        # CPU-bound map stage (token hashing, decode) runs on 1-2 of 32
+        # cores. 256 KiB keeps small inputs splitting down to
+        # totalBytes/defaultParallelism; on a real cluster files are
+        # ≥ row-group sized and maxPartitionBytes (128 MiB default)
+        # governs instead — override via SPARK_GRAFT_OPEN_COST if a
+        # deployment's file-open latency warrants the bigger floor.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -24,6 +24,20 @@ from pathlib import Path
 SRC = "/root/testdata/sf0.1"
 OFFSET = 100_000_000
 
+# Row groups per output file: a 100 TB corpus arrives as thousands of
+# splittable files; a single-row-group parquet file (DuckDB's default
+# for small outputs) caps Spark's scan at ONE task no matter how many
+# cores exist, which under-parallelizes every CPU-bound map stage and
+# makes the local Spark-vs-DuckDB comparison measure file layout, not
+# engines. Small groups for fat-row tables, larger for narrow ones.
+ROW_GROUP_ROWS = {
+    "documents": 2048,
+    "embeddings": 2048,
+    "events": 32768,
+    "orders": 65536,
+    "lineitem": 65536,
+}
+
 # key columns to shift per copy; everything else is carried verbatim
 KEYED = {
     "region": [],
@@ -83,11 +97,13 @@ def main() -> int:
                 )
             else:
                 exprs.append(c)
+        rg = ROW_GROUP_ROWS.get(table)
+        opt = f" (ROW_GROUP_SIZE {rg})" if rg else ""
         q = (
             f"COPY (SELECT {', '.join(exprs)}"
             f" FROM read_parquet('{SRC}/{table}.parquet'),"
             f" unnest(generate_series(0, {factor - 1})) AS t(i))"
-            f" TO '{out}/{table}.parquet'"
+            f" TO '{out}/{table}.parquet'{opt}"
         )
         con.execute(q)
         n = con.execute(
