@@ -213,6 +213,48 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    ts_ = add("text-strip", help="datapipe: strip HTML/markup to plain text")
+    ts_.add_argument("--text-col", default="text")
+    ts_.add_argument("--id-col", default="doc_id")
+
+    sc_ = add("text-score", help="datapipe: hashed-linear (fastText-style) "
+              "quality-classifier logits")
+    sc_.add_argument("--text-col", default="text")
+    sc_.add_argument("--id-col", default="doc_id")
+    sc_.add_argument("--dim", type=int, default=4096)
+    sc_.add_argument("--no-bigrams", action="store_true")
+
+    se_ = add("text-select", help="datapipe: greedy per-group selection "
+              "under a token budget (best docs first)")
+    se_.add_argument("--budget", type=int, required=True,
+                     help="token budget per group (soft cap)")
+    se_.add_argument("--group-col", default="lang")
+    se_.add_argument("--order-col", default="n_chars")
+    se_.add_argument("--text-col", default="text")
+    se_.add_argument("--id-col", default="doc_id")
+
+    hl = add("ndv", help="sketch: per-group HyperLogLog distinct-count "
+             "estimate over a key column")
+    hl.add_argument("--key-col", required=True)
+    hl.add_argument("--group-col", required=True)
+    hl.add_argument("-p", type=int, default=8,
+                    help="2^p registers per group")
+
+    pe = add("pq-encode", help="similarity: product-quantization codes "
+             "(m subspace cells per vector)")
+    pe.add_argument("--vec-col", default="embedding")
+    pe.add_argument("--id-col", default="vec_id")
+    pe.add_argument("-m", type=int, default=8)
+    pe.add_argument("--ksub", type=int, default=16)
+
+    ps_ = add("pq-search", help="similarity: PQ asymmetric-distance top-k "
+              "vs the min-id query vector")
+    ps_.add_argument("--vec-col", default="embedding")
+    ps_.add_argument("--id-col", default="vec_id")
+    ps_.add_argument("-k", type=int, default=20)
+    ps_.add_argument("-m", type=int, default=8)
+    ps_.add_argument("--ksub", type=int, default=16)
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -484,6 +526,58 @@ def main(argv: list[str] | None = None) -> int:
             damping=args.damping,
             src=args.src_col,
             dst=args.dst_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-strip":
+        from reflexiv_spark.datapipe.text import strip_markup
+
+        out = strip_markup(
+            spark.read.parquet(args.input),
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-score":
+        from reflexiv_spark.datapipe.text import classifier_score
+
+        out = classifier_score(
+            spark.read.parquet(args.input),
+            text_col=args.text_col, id_col=args.id_col,
+            dim=args.dim, use_bigrams=not args.no_bigrams,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-select":
+        from reflexiv_spark.datapipe.sampling import token_budget_select
+
+        out = token_budget_select(
+            spark.read.parquet(args.input), budget=args.budget,
+            group_col=args.group_col, order_col=args.order_col,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "ndv":
+        from reflexiv_spark.datapipe.sketch import hll_distinct_by
+
+        out = hll_distinct_by(
+            spark.read.parquet(args.input),
+            args.key_col, args.group_col, p=args.p,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "pq-encode":
+        from reflexiv_spark.datapipe.similarity import pq_encode
+
+        out = pq_encode(
+            spark.read.parquet(args.input),
+            m=args.m, ksub=args.ksub,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "pq-search":
+        from reflexiv_spark.datapipe.similarity import pq_topk
+
+        out = pq_topk(
+            spark.read.parquet(args.input),
+            k=args.k, m=args.m, ksub=args.ksub,
+            id_col=args.id_col, vec_col=args.vec_col,
         )
         _write(out, args.output, args.outformat)
     return 0

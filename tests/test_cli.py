@@ -226,3 +226,68 @@ def test_cli_text_split_spans_pagerank(spark, tmp_path):
     pr = {r["node"]: r["rank"] for r in spark.read.parquet(str(pr_out)).collect()}
     assert set(pr) == {1, 2, 3, 4}
     assert pr[1] == max(pr.values())  # 1 has two in-edges (near fixed point)
+
+
+def test_cli_score_strip_select_ndv(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"<p>doc {i} alpha beta gamma delta epsilon zeta token{i % 7}</p>",
+             "en" if i % 2 else "de",
+             100 - i)
+            for i in range(20)
+        ],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+
+    strip_out = tmp_path / "strip"
+    assert main(["text-strip", "-i", str(inp), "-o", str(strip_out)]) == 0
+    st = {r["doc_id"]: r for r in spark.read.parquet(str(strip_out)).collect()}
+    assert st[0]["text"].startswith("doc 0 alpha") and "<p>" not in st[0]["text"]
+
+    score_out = tmp_path / "score"
+    assert main(["text-score", "-i", str(inp), "-o", str(score_out)]) == 0
+    sc = spark.read.parquet(str(score_out)).collect()
+    assert len(sc) == 20 and all(-1.0 <= r["logit"] <= 1.0 for r in sc)
+
+    sel_out = tmp_path / "select"
+    assert main([
+        "text-select", "-i", str(inp), "-o", str(sel_out), "--budget", "20",
+    ]) == 0
+    sel = spark.read.parquet(str(sel_out)).collect()
+    assert 0 < len(sel) < 20  # budget bites per group
+    assert {r["lang"] for r in sel} == {"en", "de"}
+
+    ndv_out = tmp_path / "ndv"
+    assert main([
+        "ndv", "-i", str(inp), "-o", str(ndv_out),
+        "--key-col", "text", "--group-col", "lang",
+    ]) == 0
+    assert len(spark.read.parquet(str(ndv_out)).collect()) == 2
+
+
+def test_cli_pq_encode_search(spark, tmp_path):
+    import random
+
+    rng = random.Random(3)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    inp = tmp_path / "emb.parquet"
+    vecs.write.parquet(str(inp))
+
+    enc_out = tmp_path / "codes"
+    assert main(["pq-encode", "-i", str(inp), "-o", str(enc_out)]) == 0
+    enc = spark.read.parquet(str(enc_out)).collect()
+    assert len(enc) == 64 and all(len(r["codes"].split("-")) == 8 for r in enc)
+
+    srch_out = tmp_path / "topk"
+    assert main([
+        "pq-search", "-i", str(inp), "-o", str(srch_out), "-k", "5",
+    ]) == 0
+    top = spark.read.parquet(str(srch_out)).collect()
+    assert len(top) == 5
+    assert min(r["adc_sqdist"] for r in top) == 0  # query is a codebook entry
