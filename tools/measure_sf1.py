@@ -23,8 +23,16 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
 )
-# quadratic-by-design verification oracles — intractable at sf1.0
-EXCLUDE_DUCK = {"read_mapping", "contig_dedup", "contained_dedup"}
+# quadratic-by-design verification oracles — intractable at sf1.0;
+# the two clustering rows' recursive min-label closure oracles spill
+# >70 GB of DuckDB temp before erroring at this scale (measured twice)
+EXCLUDE_DUCK = {
+    "read_mapping",
+    "contig_dedup",
+    "contained_dedup",
+    "dup_clusters",
+    "cluster_keep_best",
+}
 # round-5 oracled additions not in the bench HEADLINE under these names
 # (the bench times their xxhash64 twins) — measured here on the md5
 # family both sides, apples to apples
