@@ -385,3 +385,55 @@ def test_streaming_top_tokens_chained_aggs_append(spark, tmp_path):
     assert rows.get("2026-01-01 10:00:00") == [(3, "b"), (3, "a")]
     # 13:00 window not closed (no later watermark) -> not emitted in append
     assert "2026-01-01 13:00:00" not in rows
+
+
+def test_strip_and_classify_compose_on_streams(spark, tmp_path):
+    """strip_markup is a stateless Catalyst chain — it runs on a
+    readStream unchanged in append mode. classifier_score re-aggregates
+    exploded features per doc (a stateful shape on an unbounded stream),
+    so it rides foreachBatch — the canonical micro-batch pattern for
+    per-batch-complete operators; inside the batch it is the SAME
+    operator, bit-identical to the batch path."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    from reflexiv_spark.datapipe.text import classifier_score, strip_markup
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    d = tmp_path / "strip_in"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "<p>alpha beta&nbsp;gamma</p>"},
+        {"doc_id": 2, "text": "plain delta epsilon"},
+    ]
+    with open(d / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    stream = stream_from_files(spark, str(d), schema)
+    stripped = strip_markup(stream)  # stateless: valid streaming plan
+
+    got = {}
+
+    def score_batch(batch_df, _bid):
+        for r in classifier_score(batch_df.select("doc_id", "text")).collect():
+            got[r.doc_id] = r
+
+    q = (
+        stripped.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(got) == {1, 2}
+    batch_in = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "plain delta epsilon")],
+        "doc_id long, text string",
+    )
+    batch = {r.doc_id: r for r in classifier_score(batch_in).collect()}
+    for i in (1, 2):
+        assert got[i].logit == batch[i].logit
+        assert got[i].n_feats == batch[i].n_feats
