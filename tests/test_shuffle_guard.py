@@ -125,3 +125,22 @@ def test_iteration_barrier_stops_stats_squaring(spark):
     assert bits(plain) > 100  # the leak the barrier exists to prevent
     # rows are identical through the barrier (plan surgery, not a job)
     assert barr.count() == 100
+
+
+def test_hll_register_exchange_is_register_sized(spark):
+    """The HLL sketch's promise is a ≤ 2^p-row-per-group exchange with
+    map-side partial max — if the register aggregation ever loses its
+    partial_max (e.g. someone reshapes it into a distinct-then-count),
+    the shuffle becomes key-set-sized and the sketch's 100 TB story is
+    gone. Guard both the output bound and the partial aggregation."""
+    from reflexiv_spark.datapipe.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"key-{i}") for i in range(30000)], "g string, key string"
+    )
+    regs = hll_registers(df, "key", p=6, group_col="g")
+    assert regs.count() <= 3 * 64  # groups × m registers, never keys
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, (
+        "register max must partial-aggregate map-side before the exchange"
+    )
