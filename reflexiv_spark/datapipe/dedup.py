@@ -581,3 +581,88 @@ def drop_duplicate_spans(
         .cast("bigint")
         .alias("n_tokens_dropped"),
     )
+
+
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Star-shaped LSH candidate edges for duplicate CLUSTERING:
+    DataFrame[id1, id2, est_jaccard] where id1 is each band bucket's
+    minimum member (the hub).
+
+    :func:`minhash_lsh_pairs` honors the all-pairs contract — a bucket
+    of n clones emits C(n,2) candidates, which is the right answer for
+    "list every near-duplicate pair" but quadratic in clone multiplicity.
+    When the pairs only feed connected components
+    (:func:`reflexiv_spark.datapipe.cluster.dup_clusters`), a spanning
+    star per bucket carries the same connectivity with n-1 edges: the
+    100-clone families of a crawl-heavy corpus drop from ~4,950 pairs
+    per band bucket to 99. Edges are still verified by signature
+    agreement ≥ threshold, so a bucket's false-positive stragglers do
+    not glue clusters together; the documented approximation vs
+    all-pairs clustering is that two docs similar only to EACH OTHER
+    (but not to their bucket's hub) need some band where one of them is
+    the hub — for clone families (the case this exists for) hubs are
+    clones too and components come out identical, which
+    ``test_star_edges_same_components`` pins.
+
+    Scale shape: identical to the all-pairs path (one band shuffle,
+    id-only candidates, signatures rejoined by id at the end) with the
+    per-bucket quadratic term gone — the hub aggregation is a
+    map-side-combinable min per (band, key).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, w, num_hashes, hash_family
+    ).localCheckpoint(eager=False)
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return key if hash_family == "md5" else F.xxhash64(key)
+
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    hubs = banded.groupBy("band_idx", "band_key").agg(
+        F.min("id").alias("id1")
+    )
+    edges = (
+        banded.join(hubs, ["band_idx", "band_key"])
+        .where(F.col("id") != F.col("id1"))
+        .select("id1", F.col("id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        edges.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )

@@ -204,3 +204,35 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     exact = sorted(mats, key=lambda i: (int(((mats[i] - q) ** 2).sum()), i))[:10]
     overlap = len(set(ids) & set(exact)) / 10
     assert overlap >= 0.6, f"ADC@10 overlap vs exact L2: {overlap:.2f}"
+
+
+def test_star_edges_same_components(spark):
+    """On clone families (the corpus shape star edges exist for), the
+    spanning-star candidate set yields EXACTLY the same connected
+    components as the all-pairs set — with n-1 edges per bucket instead
+    of C(n,2)."""
+    from reflexiv_spark.datapipe.cluster import dup_clusters
+    from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs, minhash_star_edges
+
+    rng = random.Random(19)
+    rows = []
+    for fam in range(10):
+        toks = [rng.choice(WORDS) for _ in range(60)]
+        for c in range(8):
+            edited = list(toks)
+            edited[rng.randrange(len(edited))] = rng.choice(WORDS)
+            rows.append((fam * 100 + c, " ".join(edited)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    def comps(pairs):
+        rowset = dup_clusters(pairs.select("id1", "id2")).collect()
+        by_comp: dict[int, set] = {}
+        for r in rowset:
+            by_comp.setdefault(r["component"], set()).add(r["doc_id"])
+        return frozenset(frozenset(v) for v in by_comp.values())
+
+    kw = dict(w=8, num_hashes=32, bands=8, threshold=0.5)
+    all_pairs = minhash_lsh_pairs(docs, **kw)
+    star = minhash_star_edges(docs, **kw)
+    assert star.count() < all_pairs.count()  # the point: fewer edges
+    assert comps(all_pairs) == comps(star)
