@@ -165,6 +165,10 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--threshold", type=float, default=0.5)
     cl.add_argument("--keep-best", action="store_true",
                     help="one survivor per cluster, by quality score")
+    cl.add_argument("--star", action="store_true",
+                    help="spanning-star candidates per LSH bucket (n-1 "
+                    "edges instead of all pairs — the clone-heavy-corpus "
+                    "scale path; same components on clone families)")
 
     dc = add("decontam", help="datapipe: flag training docs sharing "
              "word n-grams with an eval set")
@@ -439,10 +443,14 @@ def main(argv: list[str] | None = None) -> int:
             dup_clusters,
             keep_best_per_cluster,
         )
-        from reflexiv_spark.datapipe.dedup import minhash_lsh_pairs
+        from reflexiv_spark.datapipe.dedup import (
+            minhash_lsh_pairs,
+            minhash_star_edges,
+        )
 
         df = spark.read.parquet(args.input)
-        pairs = minhash_lsh_pairs(
+        pair_fn = minhash_star_edges if args.star else minhash_lsh_pairs
+        pairs = pair_fn(
             df, text_col=args.text_col, id_col=args.id_col,
             threshold=args.threshold,
         )

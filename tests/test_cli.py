@@ -140,6 +140,13 @@ def test_cli_text_cluster_and_decontam(spark, tmp_path):
     got = {r.doc_id: r.component for r in spark.read.parquet(str(out)).collect()}
     assert got == {1: 1, 2: 1}  # the near-dup pair, clustered; 3 absent
 
+    star = tmp_path / "clusters_star"
+    assert main([
+        "text-cluster", "-i", str(inp), "-o", str(star), "--star",
+    ]) == 0
+    got_star = {r.doc_id: r.component for r in spark.read.parquet(str(star)).collect()}
+    assert got_star == got  # same components via spanning-star candidates
+
     kept = tmp_path / "kept"
     assert main([
         "text-cluster", "-i", str(inp), "-o", str(kept), "--keep-best",
