@@ -1392,6 +1392,12 @@ def q_meta_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         # collect-equal at sf0.01) with ~2.5× less wall — the ladder is
         # job-floor-bound and rank runs deterministic log-rounds
         # instead of the randomized contraction's longer schedule.
+        # Semantics vs the oracle: the recursive-CTE replay walks
+        # unitigs from in-degree-0 anchors (cycles unreachable), which
+        # is exactly rank's anchored-path definition — the contract
+        # kernel's extra cycle-rotation outputs are the variant that
+        # could diverge, not this one (assemble_paths has proven the
+        # rank-vs-CTE pairing green since round 4).
         algorithm="rank",
         packed=True,
     )
@@ -1530,16 +1536,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score(_t(spark, sf_dir, "documents"))
 
 
-def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """datapipe: per-language HyperLogLog NDV over word trigrams — one
-    map-side-combinable shuffle of ≤ 256 registers per group, all-integer
-    register math (md5 family for the bit-exact oracle)."""
-    from reflexiv_spark.datapipe.sketch import hll_distinct_by
-
-    docs = _t(spark, sf_dir, "documents")
+def lang_trigrams(docs: DataFrame) -> DataFrame:
+    """(lang, g3) word trigrams of the documents table — shared by the
+    oracled md5 HLL query below and bench.py's production xxhash64 twin
+    so the two paths can never desynchronize their tokenization."""
     ws = F.expr(r"regexp_extract_all(lower(coalesce(text,'')), '\\w+', 0)")
     base = docs.select("lang", ws.alias("ws")).withColumn("n", F.size("ws"))
-    g3 = base.where(F.col("n") >= 3).select(
+    return base.where(F.col("n") >= 3).select(
         "lang",
         F.explode(
             F.transform(
@@ -1553,6 +1556,15 @@ def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g3"),
     )
+
+
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: per-language HyperLogLog NDV over word trigrams — one
+    map-side-combinable shuffle of ≤ 256 registers per group, all-integer
+    register math (md5 family for the bit-exact oracle)."""
+    from reflexiv_spark.datapipe.sketch import hll_distinct_by
+
+    g3 = lang_trigrams(_t(spark, sf_dir, "documents"))
     return hll_distinct_by(g3, "g3", "lang", p=8, hash_family="md5")
 
 
@@ -3187,10 +3199,13 @@ def oracle_sql() -> dict[str, str]:
             "replace(replace(u, '&nbsp;', ' '), '&lt;', '<'),"
             " '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''),"
             " '&amp;', '&') AS u FROM s1) "
-            r"SELECT doc_id, trim(regexp_replace(u, '\s+', ' ', 'g'))"
-            " AS text, CAST(length(t) AS BIGINT) AS orig_chars,"
-            r" CAST(length(trim(regexp_replace(u, '\s+', ' ', 'g')))"
-            " AS BIGINT) AS clean_chars FROM e"
+            # explicit whitespace class: Java's \s includes \x0B, RE2's
+            # does not — both engines must collapse the same set
+            r"SELECT doc_id, trim(regexp_replace(u, '[ \t\n\x0B\f\r]+',"
+            " ' ', 'g')) AS text,"
+            " CAST(length(t) AS BIGINT) AS orig_chars,"
+            r" CAST(length(trim(regexp_replace(u, '[ \t\n\x0B\f\r]+',"
+            " ' ', 'g'))) AS BIGINT) AS clean_chars FROM e"
         ),
         "token_budget_select": (
             r"WITH t AS (SELECT lang, doc_id, n_chars, CAST(len("

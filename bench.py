@@ -220,27 +220,11 @@ def _bench_only_queries():
         return classifier_score(docs, hash_family="xxhash64")
 
     def hll_by_lang_xxh64(spark, sf_dir):
-        from pyspark.sql import functions as F
-
+        import __spark_entry__ as ent
         from reflexiv_spark.datapipe.sketch import hll_distinct_by
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        ws = F.expr(r"regexp_extract_all(lower(coalesce(text,'')), '\\w+', 0)")
-        base = docs.select("lang", ws.alias("ws")).withColumn("n", F.size("ws"))
-        g3 = base.where(F.col("n") >= 3).select(
-            "lang",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("ws", i),
-                        F.element_at("ws", i + 1),
-                        F.element_at("ws", i + 2),
-                    ),
-                )
-            ).alias("g3"),
-        )
+        g3 = ent.lang_trigrams(docs)  # same tokenization as the oracled twin
         return hll_distinct_by(g3, "g3", "lang", p=8, hash_family="xxhash64")
 
     return {

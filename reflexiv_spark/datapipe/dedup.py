@@ -201,6 +201,77 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the LSH operators → (sigs, banded).
+
+    ``sigs`` is the signature table, lazily checkpointed ONCE (it feeds
+    the band explode AND the signature rejoins — 3 plan references would
+    otherwise recompute the shingle aggregation 3×; lazy so the job runs
+    with the caller's first action, which kept the md5 family's 800M-hash
+    build out of DataFrame-construction time). ``banded`` is
+    DataFrame[id, band_idx, band_key]; with ``hash_family="md5"`` the
+    band key stays the raw comma-joined minima string (SQL ``string_agg``
+    equivalent) so the oracle replays it, production re-hashes to 8 bytes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, w, num_hashes, hash_family
+    ).localCheckpoint(eager=False)
+
+    def band_key(b):
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return key if hash_family == "md5" else F.xxhash64(key)
+
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    return sigs, banded
+
+
+def _verify_candidates(
+    cands: DataFrame, sigs: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Shared back half: rejoin both signatures by id for the surviving
+    DISTINCT (id1, id2) candidates only — the id-only-exchange design
+    rule (PLANS.md) — and keep pairs whose agreeing-position fraction
+    meets ``threshold``."""
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return (
+        cands.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -230,32 +301,8 @@ def minhash_lsh_pairs(
     of every duplicate candidate — the same fix that took the vector
     LSH path from 87 s to 6.3 s at sf1.0.
     """
-    rows_per_band = num_hashes // bands
-    # materialized once: consumed by the band explode AND the two
-    # signature rejoins below (3 plan references otherwise recompute the
-    # shingle aggregation 3×). Lazy: the signature job runs with the
-    # caller's FIRST action, not at DataFrame-construction time (the
-    # md5 family's 800M-hash build made construction itself take ~20 s
-    # at sf1.0 before this)
-    sigs = minhash_signatures(
-        df, text_col, id_col, w, num_hashes, hash_family
-    ).localCheckpoint(eager=False)
-
-    def band_key(b):
-        key = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return key if hash_family == "md5" else F.xxhash64(key)
-
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band_idx", "band_key"),
+    sigs, banded = _banded_signatures(
+        df, text_col, id_col, w, num_hashes, bands, hash_family
     )
     a = banded.select(F.col("id").alias("id1"), "band_idx", "band_key")
     b = banded.select(F.col("id").alias("id2"), "band_idx", "band_key")
@@ -265,22 +312,7 @@ def minhash_lsh_pairs(
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
-    return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            "id1", "id2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
-        )
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    return _verify_candidates(cands, sigs, num_hashes, threshold)
 
 
 def minhash_dedup(
@@ -618,26 +650,8 @@ def minhash_star_edges(
     per-bucket quadratic term gone — the hub aggregation is a
     map-side-combinable min per (band, key).
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, text_col, id_col, w, num_hashes, hash_family
-    ).localCheckpoint(eager=False)
-
-    def band_key(b):
-        key = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
-        )
-        return key if hash_family == "md5" else F.xxhash64(key)
-
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
-        ).alias("band_idx", "band_key"),
+    sigs, banded = _banded_signatures(
+        df, text_col, id_col, w, num_hashes, bands, hash_family
     )
     hubs = banded.groupBy("band_idx", "band_key").agg(
         F.min("id").alias("id1")
@@ -648,21 +662,4 @@ def minhash_star_edges(
         .select("id1", F.col("id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("id").alias("id2"), F.col("sig").alias("sig2"))
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
-            lambda v: v,
-        )
-    )
-    return (
-        edges.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            "id1",
-            "id2",
-            F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-    )
+    return _verify_candidates(edges, sigs, num_hashes, threshold)

@@ -912,7 +912,10 @@ def pq_encode(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     ).where(F.col("e").isNotNull())
-    out = src.mapInPandas(_enc, "id long, codes string, total_sqdist long")
+    # the id keeps its real type (string doc keys etc.) — hardcoding
+    # long here would fail the Arrow conversion for non-bigint ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    out = src.mapInPandas(_enc, f"id {id_type}, codes string, total_sqdist long")
     return out.select(
         F.col("id").alias(id_col), "codes", "total_sqdist"
     )
@@ -972,7 +975,8 @@ def pq_topk(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("e"),
     ).where(F.col("e").isNotNull())
-    scored = src.mapInPandas(_score, "id long, adc_sqdist long")
+    id_type = df.schema[id_col].dataType.simpleString()
+    scored = src.mapInPandas(_score, f"id {id_type}, adc_sqdist long")
     return (
         scored.orderBy(F.col("adc_sqdist"), F.col("id"))
         .limit(k)

@@ -346,9 +346,12 @@ def hll_registers(
         h = md5_long(c.cast("string"))
     else:
         h = F.pmod(F.xxhash64(c), F.lit(1 << 60))
-    # h < 2^60 and m >= 2 keep h/m < 2^59 — floor on double is only
-    # exact below 2^53, so divide in the integer domain
-    w = F.pmod((F.col("__h") - F.pmod(F.col("__h"), F.lit(m))) / F.lit(m), F.lit(1 << 30))
+    # witness = h >> p, a bit shift, NOT `(h - h%m)/m`: Spark's `/` on
+    # bigints divides in doubles, and for p <= 6 the 60-bit numerator
+    # exceeds 2^53 and rounds BEFORE the divide — ~25% wrong witnesses
+    # at p=6 (caught by test_hll_witness_matches_integer_replay). The
+    # shift is exact at every p and equals the oracle's integer `//`.
+    w = F.pmod(F.shiftright(F.col("__h"), p), F.lit(1 << 30))
     keys = [group_col] if group_col else []
     base = df.where(c.isNotNull()).select(*keys, h.alias("__h"))
     if group_col:

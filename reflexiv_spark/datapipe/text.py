@@ -642,7 +642,9 @@ def strip_markup(
     oracle); lazy quantifiers keep block removal linear-ish and
     non-nested blocks exact (a <script> inside a quoted string is the
     documented false positive, same trade every regex-based stripper
-    makes).
+    makes). The whitespace collapse spells out its character class —
+    Java's ``\\s`` includes vertical tab (\\x0B), RE2's does not, so a
+    bare ``\\s+`` silently diverges cross-engine on scraped text.
     """
     c = F.coalesce(F.col(text_col), F.lit(""))
     s = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
@@ -658,7 +660,7 @@ def strip_markup(
         ("&amp;", "&"),  # last, so &amp;lt; decodes in one pass like browsers don't — documented single-pass order
     ):
         s = F.replace(s, F.lit(ent), F.lit(rep))
-    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    s = F.trim(F.regexp_replace(s, r"[ \t\n\x0B\f\r]+", " "))
     return df.select(
         id_col,
         s.alias(text_col),

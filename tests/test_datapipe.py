@@ -1053,6 +1053,16 @@ def test_strip_markup_hand_crafted(spark):
     assert got[2]["text"] == "plain text"
     assert got[3]["text"] == "" and got[3]["orig_chars"] == 0
 
+    # exotic whitespace: vertical tab / form feed collapse (Java \s
+    # includes \x0B, RE2's does not — the explicit class keeps both
+    # engines identical); NBSP is NOT whitespace in either
+    ws = spark.createDataFrame(
+        [(9, "a" + chr(11) + "b" + chr(12) + " c" + chr(160) + "d")],
+        "doc_id long, text string",
+    )
+    row = strip_markup(ws).collect()[0]
+    assert row["text"] == "a b c" + chr(160) + "d"
+
 
 def test_token_budget_select_soft_cap(spark):
     from reflexiv_spark.datapipe.sampling import token_budget_select
@@ -1089,7 +1099,9 @@ def test_pq_encode_codebook_vectors_are_lossless(spark):
     # the 16 smallest-id vectors ARE the codebooks → zero quantization error
     for i in range(16):
         assert enc[i]["total_sqdist"] == 0
-        assert enc[i]["codes"].split("-")[0] == str(i) or True  # codes valid
+        # vector i IS codebook cell i; a distance-0 tie can only break
+        # toward a LOWER duplicate cell, never a higher one
+        assert all(int(c) <= i for c in enc[i]["codes"].split("-"))
     for r in enc.values():
         cells = [int(c) for c in r["codes"].split("-")]
         assert len(cells) == 8 and all(0 <= c < 16 for c in cells)
@@ -1098,3 +1110,48 @@ def test_pq_encode_codebook_vectors_are_lossless(spark):
     top = pq_topk(df, k=5).collect()
     assert top[0]["vec_id"] == 0 and top[0]["adc_sqdist"] == 0
     assert [r["adc_sqdist"] for r in top] == sorted(r["adc_sqdist"] for r in top)
+
+
+def test_hll_witness_matches_integer_replay(spark):
+    """Regression for the double-division witness bug: at p=6 the old
+    `(h - h%m)/m` Spark expression divided in doubles and rounded ~25%
+    of 60-bit witnesses before the divide. Registers must equal a pure
+    integer-arithmetic replica at EVERY p, not just p=8."""
+    import hashlib
+
+    from reflexiv_spark.datapipe.sketch import hll_registers
+
+    keys = [f"key-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    for p in (4, 6, 8):
+        m = 1 << p
+        expect: dict[int, int] = {}
+        for k in keys:
+            h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+            bucket, w = h % m, (h >> p) % (1 << 30)
+            rho = 31 - w.bit_length()
+            expect[bucket] = max(expect.get(bucket, 0), rho)
+        got = {
+            r["bucket"]: r["rho"]
+            for r in hll_registers(df, "key", p=p, hash_family="md5").collect()
+        }
+        assert got == expect, f"p={p}: registers diverge from integer replay"
+
+
+def test_pq_preserves_id_type(spark):
+    """pq_encode/pq_topk must carry non-bigint id columns (string doc
+    keys) through the Arrow pass instead of assuming long."""
+    import random
+
+    from reflexiv_spark.datapipe.similarity import pq_encode, pq_topk
+
+    rng = random.Random(5)
+    rows = [
+        (f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    enc = pq_encode(df).collect()
+    assert len(enc) == 40 and all(isinstance(r["vec_id"], str) for r in enc)
+    top = pq_topk(df, k=3).collect()
+    assert top[0]["vec_id"] == "doc-000" and top[0]["adc_sqdist"] == 0
