@@ -982,3 +982,53 @@ def pq_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "adc_sqdist")
     )
+
+
+def pq_codebooks_trained(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> np.ndarray:
+    """K-means-refined PQ codebooks → int64 array (m, ksub, dim/m).
+
+    The trained sibling of :func:`pq_codebooks`: per subspace, Lloyd
+    iterations via :func:`kmeans_lite` (same fixed-point arithmetic and
+    min-id seeding, so the refinement is deterministic) instead of raw
+    min-id seeds — lower quantization error at the cost of m × n_iter
+    extra assignment passes. Production trains on a
+    :func:`reflexiv_spark.datapipe.sampling.hash_sample` of the corpus
+    and encodes everything with the resulting codebooks (pass them to
+    ``pq_encode(..., codebooks=...)``).
+    """
+    head = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .where(F.col(vec_col).isNotNull())
+        .limit(1)
+        .collect()
+    )
+    if not head:
+        raise ValueError("pq_codebooks_trained: empty input")
+    dim = head[0]["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    mats = []
+    for s in range(m):
+        sub = df.where(F.col(vec_col).isNotNull()).select(
+            id_col,
+            F.slice(
+                F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub
+            ).alias("embedding"),
+        )
+        _, cmat = kmeans_lite(
+            sub, dim=dsub, n_centroids=ksub, n_iter=n_iter, id_col=id_col
+        )
+        if cmat.shape[0] < ksub:  # zero-norm seeds excluded — pad stable
+            pad = np.repeat(cmat[:1], ksub - cmat.shape[0], axis=0)
+            cmat = np.concatenate([cmat, pad])
+        mats.append(cmat.astype(np.int64))
+    return np.stack(mats)

@@ -377,6 +377,7 @@ def hll_distinct_by(
     group_col: str,
     p: int = 8,
     hash_family: str = "xxhash64",
+    correction: bool = False,
 ) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate →
     DataFrame[group, n_buckets, est_ndv].
@@ -396,10 +397,22 @@ def hll_distinct_by(
     denom = F.sum(F.pow(F.lit(0.5), F.col("rho"))) + (
         F.lit(m) - F.count(F.lit(1))
     ).cast("double")
+    raw = F.lit(alpha * m * m) / denom
+    if correction:
+        # Flajolet et al.'s linear-counting branch: below 2.5m the raw
+        # estimator over-counts; when empty buckets V exist, m·ln(m/V)
+        # is the better estimate. Off by default because ln() is
+        # libm-dependent — the bit-exact oracle replays the raw form.
+        v = (F.lit(m) - F.count(F.lit(1))).cast("double")
+        est = F.when(
+            (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        ).otherwise(raw)
+    else:
+        est = raw
     return (
         regs.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-            F.round(F.lit(alpha * m * m) / denom, 3).alias("est_ndv"),
+            F.round(est, 3).alias("est_ndv"),
         )
     )

@@ -669,31 +669,17 @@ def strip_markup(
     )
 
 
-def classifier_score(
+def _hashed_features(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    dim: int = 4096,
-    use_bigrams: bool = True,
-    hash_family: str = "xxhash64",
-) -> DataFrame:
-    """Hashed linear (fastText-style) document scorer →
-    ``(doc_id, n_feats, logit)``.
-
-    The inference half of the standard quality-classifier pipeline
-    stage: each unigram/bigram hashes into one of ``dim`` feature
-    buckets and the document logit is the mean bucket weight. Here the
-    weight table is a FROZEN pseudo-random model — ``weight(i) =
-    hash('w|' + i) mod 2001 - 1000`` milli-units — so the operator is
-    self-contained and bit-replayable; swapping in a trained model is a
-    broadcast join against a real (index, weight) table with the same
-    feature plumbing.
-
-    Determinism: weights are integers and the per-doc sum is a bigint,
-    so the ONLY float op is the final division — exact cross-engine
-    replay without tolerance games. Scale: weight lookup is a pure
-    expression (no model join/shuffle); one doc-keyed aggregation.
-    """
+    text_col: str,
+    id_col: str,
+    dim: int,
+    use_bigrams: bool,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared feature plumbing for the hashed linear scorers →
+    (base[id], feats[id, idx]). One explode per n-gram order; the
+    feature index is hash(feature) mod dim."""
     from reflexiv_spark.datapipe.dedup import md5_long
 
     def _h(c: Column) -> Column:
@@ -728,7 +714,41 @@ def classifier_score(
         )
         feats = uni.unionAll(bi)
     idx = F.pmod(_h(F.col("f")), F.lit(dim))
-    wt = F.pmod(_h(F.concat(F.lit("w|"), idx.cast("string"))), F.lit(2001)) - F.lit(1000)
+    return base, feats.select("id", idx.alias("idx")), _h
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Hashed linear (fastText-style) document scorer →
+    ``(doc_id, n_feats, logit)``.
+
+    The inference half of the standard quality-classifier pipeline
+    stage: each unigram/bigram hashes into one of ``dim`` feature
+    buckets and the document logit is the mean bucket weight. Here the
+    weight table is a FROZEN pseudo-random model — ``weight(i) =
+    hash('w|' + i) mod 2001 - 1000`` milli-units — so the operator is
+    self-contained and bit-replayable; swapping in a trained model is a
+    broadcast join against a real (index, weight) table with the same
+    feature plumbing.
+
+    Determinism: weights are integers and the per-doc sum is a bigint,
+    so the ONLY float op is the final division — exact cross-engine
+    replay without tolerance games. Scale: weight lookup is a pure
+    expression (no model join/shuffle); one doc-keyed aggregation.
+    """
+    base, fidx, _h = _hashed_features(
+        df, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    wt = F.pmod(
+        _h(F.concat(F.lit("w|"), F.col("idx").cast("string"))), F.lit(2001)
+    ) - F.lit(1000)
+    feats = fidx
     scored = (
         feats.select("id", wt.alias("__w"))
         .groupBy("id")
@@ -750,4 +770,56 @@ def classifier_score(
         F.col("id").alias(id_col),
         F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
         F.coalesce("logit", F.lit(0.0)).alias("logit"),
+    )
+
+
+def classifier_score_model(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    bias: float = 0.0,
+) -> DataFrame:
+    """:func:`classifier_score` with a TRAINED weight table —
+    ``weights`` is DataFrame[idx int, weight double] (a model trained
+    offline, e.g. logistic regression over the same hashed features) →
+    ``(doc_id, n_feats, logit)``.
+
+    The production integration point the frozen-weight twin documents:
+    identical feature plumbing (same hash family / dim / n-gram orders,
+    so train-time and inference-time buckets line up), with the weight
+    lookup a broadcast equi-join against the ≤ ``dim``-row model instead
+    of a derived expression. Missing indices weigh 0 (an L2-regularized
+    model's absent features). Logit = bias + mean feature weight.
+    """
+    base, fidx, _h = _hashed_features(
+        df, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    wtab = weights.select(
+        F.col("idx").cast("long").alias("idx"),
+        F.col("weight").cast("double").alias("__w"),
+    )
+    scored = (
+        fidx.join(F.broadcast(wtab), "idx", "left")
+        .select("id", F.coalesce("__w", F.lit(0.0)).alias("__w"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__w").alias("__s"),
+        )
+        .select(
+            "id",
+            "n_feats",
+            F.round(
+                F.lit(bias) + F.col("__s") / F.col("n_feats"), 6
+            ).alias("logit"),
+        )
+    )
+    return base.select("id").join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+        F.coalesce("logit", F.lit(float(bias))).alias("logit"),
     )

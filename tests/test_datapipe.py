@@ -1155,3 +1155,75 @@ def test_pq_preserves_id_type(spark):
     assert len(enc) == 40 and all(isinstance(r["vec_id"], str) for r in enc)
     top = pq_topk(df, k=3).collect()
     assert top[0]["vec_id"] == "doc-000" and top[0]["adc_sqdist"] == 0
+
+
+def test_classifier_score_model_with_trained_weights(spark):
+    """The trained-weights inference path: a hand-built weight table via
+    broadcast join scores exactly sum(w[idx])/n + bias, and unknown
+    indices weigh zero."""
+    from reflexiv_spark.datapipe.text import classifier_score_model
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    # derive the real indices the plumbing produces, then weight them
+    from reflexiv_spark.datapipe.text import _hashed_features
+
+    _, fidx, _ = _hashed_features(df, "text", "doc_id", 4096, True, "xxhash64")
+    idxs = sorted(r["idx"] for r in fidx.where(F.col("id") == 1).collect())
+    assert len(idxs) == 3  # u|alpha, u|beta, b|alpha beta
+    weights = spark.createDataFrame(
+        [(int(idxs[0]), 0.3), (int(idxs[1]), -0.6)], "idx long, weight double"
+    )  # third feature absent → 0
+    got = {r["doc_id"]: r for r in
+           classifier_score_model(df, weights, bias=0.1).collect()}
+    assert got[1]["n_feats"] == 3
+    assert abs(got[1]["logit"] - round(0.1 + (0.3 - 0.6 + 0.0) / 3, 6)) < 1e-9
+    assert got[2]["n_feats"] == 0 and got[2]["logit"] == 0.1
+
+
+def test_pq_trained_codebooks_reduce_error(spark):
+    """K-means-refined codebooks must not quantize worse than the min-id
+    seeds they start from (Lloyd iterations only decrease within-cell
+    distance on the training set)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    from reflexiv_spark.datapipe.similarity import (
+        pq_codebooks,
+        pq_codebooks_trained,
+        pq_encode,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def total_err(cb):
+        return (
+            pq_encode(df, codebooks=cb)
+            .agg(SF.sum("total_sqdist").alias("e"))
+            .collect()[0]["e"]
+        )
+
+    seed_err = total_err(pq_codebooks(df))
+    trained_err = total_err(pq_codebooks_trained(df, n_iter=2))
+    assert trained_err <= seed_err
+    assert trained_err < seed_err * 0.9  # and materially better on noise
+
+
+def test_hll_small_range_correction(spark):
+    """correction=True engages linear counting below 2.5m and recovers
+    small cardinalities the raw estimator over-counts."""
+    from reflexiv_spark.datapipe.sketch import hll_distinct_by
+
+    df = spark.createDataFrame(
+        [("g", f"key-{i}") for i in range(40)], "g string, key string"
+    )
+    raw = hll_distinct_by(df, "key", "g", p=8).collect()[0]["est_ndv"]
+    corr = hll_distinct_by(df, "key", "g", p=8, correction=True).collect()[0][
+        "est_ndv"
+    ]
+    assert abs(corr - 40) < abs(raw - 40)  # correction strictly closer
+    assert abs(corr - 40) / 40 < 0.15
