@@ -676,10 +676,11 @@ def _hashed_features(
     dim: int,
     use_bigrams: bool,
     hash_family: str,
-) -> tuple[DataFrame, DataFrame]:
+):
     """Shared feature plumbing for the hashed linear scorers →
-    (base[id], feats[id, idx]). One explode per n-gram order; the
-    feature index is hash(feature) mod dim."""
+    (base[id], feats[id, idx], hash_fn). One explode per n-gram order;
+    the feature index is hash(feature) mod dim; ``hash_fn`` is the
+    family's Column hasher (the frozen twin derives weights with it)."""
     from reflexiv_spark.datapipe.dedup import md5_long
 
     def _h(c: Column) -> Column:
