@@ -546,10 +546,15 @@ def q_fasta_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
     # one regex pass == chunk-every-100-and-join (equality property-tested
     # incl. newlines + exact multiples); 1.7x faster than building the
-    # chunk array via sequence+transform+substr at sf1.0
+    # chunk array via sequence+transform+substr at sf1.0. The lookahead
+    # is (?=.) not (?!$): Java's $ also matches BEFORE a final line
+    # terminator, so (?!$) would drop the separator when a wrap boundary
+    # is followed only by a trailing newline — with (?s), (?=.) inserts
+    # the separator iff ANY character follows, which is exactly the
+    # chunk-join semantics the oracle replays.
     return docs.select(
         "doc_id",
-        F.regexp_replace("text", r"(?s)(.{100})(?!$)", "$1\n").alias("wrapped"),
+        F.regexp_replace("text", r"(?s)(.{100})(?=.)", "$1\n").alias("wrapped"),
     )
 
 

@@ -172,6 +172,19 @@ def bpe_train(
     return merges, vocab
 
 
+def _train_shaped(merges) -> bool:
+    """True iff every rule's multi-char components are outputs of EARLIER
+    rules — the invariant bpe_train guarantees, under which the in-order
+    catalyst fold equals the rank-based apply loop."""
+    known: set = set()
+    for left, right in merges:
+        for part in (left, right):
+            if len(part) > 1 and part not in known:
+                return False
+        known.add(left + right)
+    return True
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -201,10 +214,18 @@ def bpe_encode(
       earlier rule ever becomes applicable again.
 
     Default: catalyst up to 64 merges, pandas beyond — the crossover
-    where plan depth starts to dominate.
+    where plan depth starts to dominate. The two engines are only
+    provably equivalent for TRAIN-SHAPED merge lists (every multi-char
+    component is the output of an earlier rule); for a hand-built list
+    violating that, auto mode always picks the rank-based pandas loop
+    (the standard BPE apply semantics) instead of letting the list's
+    LENGTH silently decide which tokenization you get.
     """
     if engine is None:
-        engine = "catalyst" if len(merges) <= 64 else "pandas"
+        if _train_shaped(merges):
+            engine = "catalyst" if len(merges) <= 64 else "pandas"
+        else:
+            engine = "pandas"
     if engine == "pandas":
         return _bpe_encode_pandas(df, merges, text_col, id_col)
     words = F.regexp_extract_all(

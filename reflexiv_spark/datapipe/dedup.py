@@ -451,6 +451,55 @@ def _token_ngrams(
     )
 
 
+def _merged_dup_segments(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    min_count: int,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared span kernel for the two dup-span operators →
+    (marked[id, s, e], merged[id, seg, s, e]).
+
+    grams → hot-set count shuffle → 8-byte mark join → running-max
+    interval merge (overlapping AND adjacent spans coalesce). Kept in
+    ONE place so the report (:func:`duplicate_ngram_spans`) and the
+    cleaner (:func:`drop_duplicate_spans`) can never disagree about
+    what counts as a duplicated span. The gram table is checkpointed —
+    it feeds the hot-set aggregation AND the mark join (measured
+    20.2 s → 2.3 s at sf1.0 without/with).
+    """
+    grams = _token_ngrams(df, n, text_col, id_col, hash_family).localCheckpoint(
+        eager=False
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("h")
+    )
+    marked = grams.join(hot, "h").select(
+        "id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).alias("e"),
+    )
+    w = Window.partitionBy("id").orderBy("s")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        marked.withColumn(
+            "__ns",
+            F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
+        )
+        .withColumn(
+            "seg", F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("id", "seg")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    return marked, merged
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     n: int = 8,
@@ -478,37 +527,11 @@ def duplicate_ngram_spans(
     proven in tests/test_skew.py); the interval merge shuffles each doc's
     *duplicated* positions only, once. Nothing is quadratic anywhere.
     """
-    # The gram table feeds two consumers (the hot-set aggregation and the
-    # probe side of the mark join); without a checkpoint Spark recomputes
-    # the scan+gram+hash lineage for each — measured 20.2 s vs 2.3 s at
-    # sf1.0. Same shared-subplan idiom as the clustering signature build.
-    grams = _token_ngrams(df, n, text_col, id_col, hash_family).localCheckpoint(
-        eager=False
+    marked, merged = _merged_dup_segments(
+        df, n, text_col, id_col, min_count, hash_family
     )
-    hot = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("h")
-    )
-    marked = grams.join(hot, "h").select(
-        "id",
-        F.col("pos").alias("s"),
-        (F.col("pos") + F.lit(n - 1)).alias("e"),
-    )
-    w = Window.partitionBy("id").orderBy("s")
-    prev_max = F.max("e").over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    segged = marked.withColumn(
-        "__ns",
-        F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
-    ).withColumn(
-        "seg",
-        F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = segged.groupBy("id", "seg").agg(
-        (F.max("e") - F.min("s") + F.lit(1)).alias("covered")
+    spans = merged.select(
+        "id", "seg", (F.col("e") - F.col("s") + F.lit(1)).alias("covered")
     )
     per_doc = spans.groupBy("id").agg(
         F.count("*").alias("dup_spans"),
@@ -558,32 +581,11 @@ def drop_duplicate_spans(
     per doc are few (merged), so the per-doc expansion is bounded by
     span count, not span length.
     """
-    grams = _token_ngrams(df, n, text_col, id_col, hash_family).localCheckpoint(
-        eager=False
-    )  # shared by the hot-set agg and the mark join (see duplicate_ngram_spans)
-    hot = (
-        grams.groupBy("h")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("h")
+    _, merged = _merged_dup_segments(
+        df, n, text_col, id_col, min_count, hash_family
     )
-    marked = grams.join(hot, "h").select(
-        "id", F.col("pos").alias("s"), (F.col("pos") + F.lit(n - 1)).alias("e")
-    )
-    w = Window.partitionBy("id").orderBy("s")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    spans = (
-        marked.withColumn(
-            "__ns",
-            F.when(prev_max.isNull() | (F.col("s") > prev_max + 1), 1).otherwise(0),
-        )
-        .withColumn(
-            "seg", F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy("id", "seg")
-        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
-        .groupBy("id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    spans = merged.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("__spans")
     )
     toks = df.select(
         F.col(id_col).alias("id"),

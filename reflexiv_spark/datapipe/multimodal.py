@@ -452,6 +452,9 @@ def _jpeg_pixels(blob: bytes):
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # T.81 allows 0xFF fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -621,6 +624,9 @@ def _jpeg_pixels_progressive(blob: bytes):
             pos += 1
             continue
         marker = blob[pos + 1]
+        if marker == 0xFF:  # T.81 allows 0xFF fill bytes before a marker
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -1433,12 +1439,16 @@ def sample_video_frames(
                 b = bytes(b or b"")
                 try:
                     frames = _avi_video_frames(b)
-                except ValueError as exc:
+                    # inside the try: a movi list can parse while the
+                    # hdrl/strf header is truncated mid-struct — that
+                    # must yield a status row, not a struct.error that
+                    # kills the whole Arrow batch
+                    fmt = _avi_video_format(b)
+                except (ValueError, _struct.error) as exc:
                     rows.append(
-                        (i, 0, None, None, str(exc).replace(" ", "_"))
+                        (i, 0, None, None, str(exc).replace(" ", "_") or "truncated_header")
                     )
                     continue
-                fmt = _avi_video_format(b)
                 wrap_dib = (
                     fmt is not None and fmt[3] == 0 and fmt[2] in (24, 32)
                 )

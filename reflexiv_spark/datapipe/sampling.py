@@ -152,12 +152,20 @@ def stratified_split(
     else:
         raw = F.xxhash64(c, F.lit(salt))
     h = F.pmod(raw, F.lit(1 << 60))
-    shift = (1 << 60) // n_bins
+    if n_bins & (n_bins - 1):
+        raise ValueError("n_bins must be a power of two")
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(stratum_col).alias("stratum"),
         h.alias("h"),
-    ).withColumn("bin", (F.col("h") / F.lit(shift)).cast("long"))
+    ).withColumn(
+        # bit shift, not `/`: Column `/` divides in doubles and a 60-bit
+        # hash exceeds the 53-bit mantissa, so hashes within ~128 of a
+        # bin boundary would round into the WRONG bin and break the
+        # "(bin, h, id) orders like (h, id)" invariant the ranking needs
+        "bin",
+        F.shiftright(F.col("h"), 60 - (n_bins.bit_length() - 1)),
+    )
 
     from pyspark.sql import Window
 

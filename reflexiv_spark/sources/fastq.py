@@ -179,7 +179,7 @@ def write_fasta(df: DataFrame, path: str, id_col: str = "id", seq_col: str = "se
             F.col(id_col),
             F.lit("\n"),
             F.regexp_replace(
-                seq_col, f"(?s)(.{{{wrap}}})(?!$)", "$1\n"
+                seq_col, f"(?s)(.{{{wrap}}})(?=.)", "$1\n"
             ),
         ).alias("value")
     )

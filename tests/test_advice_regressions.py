@@ -294,3 +294,51 @@ def test_bpe_train_sampled_mode_matches_exact_on_sample(spark):
     pairs = [(r.left, r.right) for r in sorted(merges_s.collect(), key=lambda r: r.step)]
     enc = bpe_encode(df, pairs)
     assert enc.count() == 40
+
+
+def test_stratified_split_bin_is_exact_integer_division(spark):
+    """Regression: the histogram bin used `(h / shift).cast('long')`,
+    which divides in DOUBLES — a 60-bit hash exceeds the 53-bit
+    mantissa, so hashes within ~128 below a bin boundary rounded UP
+    into the wrong bin, breaking the '(bin, h, id) orders like (h, id)'
+    invariant stratified_split's ranking rests on. The bin must equal
+    exact integer division for every 60-bit value."""
+    from pyspark.sql import functions as F
+
+    shift = (1 << 60) // 65536
+    crafted = [
+        65535 * shift - 1,   # the reproduction: double-rounds to bin 65535
+        65535 * shift,       # exact boundary
+        (1 << 60) - 1,
+        12345 * shift - 77,
+        0,
+        1,
+    ]
+    df = spark.createDataFrame([(h,) for h in crafted], "h long")
+    old = {  # what the buggy expression computes
+        r["h"]: r["b"]
+        for r in df.select("h", (F.col("h") / F.lit(shift)).cast("long").alias("b")).collect()
+    }
+    new = {
+        r["h"]: r["b"]
+        for r in df.select("h", F.shiftright(F.col("h"), 44).alias("b")).collect()
+    }
+    for h in crafted:
+        assert new[h] == h // shift, f"shiftright wrong for {h}"
+    assert old[65535 * shift - 1] == 65535  # documents the old bug
+    assert new[65535 * shift - 1] == 65534  # exact
+
+
+def test_fasta_wrap_separator_before_trailing_newline(spark):
+    """Regression: the wrap regex used (?!$), but Java's $ also matches
+    BEFORE a final line terminator, so a doc whose 100-char boundary is
+    followed only by a trailing newline lost its separator and diverged
+    from the chunk-and-join oracle. (?=.) with DOTALL inserts the
+    separator iff any character follows — chunk-join semantics."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a" * 100 + "\n")], "doc_id long, text string")
+    got = df.select(
+        F.regexp_replace("text", r"(?s)(.{100})(?=.)", "$1\n").alias("w")
+    ).collect()[0]["w"]
+    assert got == "a" * 100 + "\n" + "\n"  # separator + the content newline

@@ -1227,3 +1227,18 @@ def test_hll_small_range_correction(spark):
     ]
     assert abs(corr - 40) < abs(raw - 40)  # correction strictly closer
     assert abs(corr - 40) / 40 < 0.15
+
+
+def test_bpe_encode_hand_built_list_uses_rank_semantics(spark):
+    """A merge list where an early rule consumes a LATER rule's output is
+    not train-shaped; auto mode must pick the rank-based engine for it
+    (('ab','c') before ('a','b') on 'abc' → ['abc']), never the in-order
+    catalyst fold (which would yield ['ab','c']) just because the list
+    is short."""
+    from reflexiv_spark.datapipe.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    merges = [("ab", "c"), ("a", "b")]
+    auto = bpe_encode(df, merges).collect()[0]["tokens"]
+    explicit = bpe_encode(df, merges, engine="pandas").collect()[0]["tokens"]
+    assert auto == explicit == ["abc"]

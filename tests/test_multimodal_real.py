@@ -737,3 +737,17 @@ def test_mjpeg_avi_unaffected_by_format_header_absence(spark):
         key=lambda r: r.frame_idx,
     )
     assert [bytes(r.frame)[:2] for r in out] == [b"\xff\xd8", b"\xff\xd8"]
+
+
+def test_decode_jpeg_tolerates_fill_bytes():
+    """T.81 permits any number of 0xFF fill bytes before a marker; the
+    walk previously fell through to the segment-length branch on the
+    fill byte and skipped a bogus distance (regression)."""
+    rng = np.random.RandomState(33)
+    px = rng.randint(0, 256, size=(8, 8)).astype(float)
+    blob = encode_jpeg(px)
+    sof = blob.index(b"\xff\xc0")
+    padded = blob[:sof] + b"\xff\xff" + blob[sof:]  # two fills before SOF0
+    w, h, ch, mean = decode_jpeg(padded)
+    assert (w, h, ch) == (8, 8, 1)
+    assert mean == pytest.approx(float(px.mean()), abs=0.25)
