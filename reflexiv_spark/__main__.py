@@ -208,7 +208,10 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("-n", "--ngram", type=int, default=8)
     ds.add_argument("--min-count", type=int, default=2)
     ds.add_argument("--drop", action="store_true",
-                    help="emit cleaned text instead of the span report")
+                    help="emit cleaned text instead of the span report; "
+                    "'cleaned' is the normalized token stream (lowercased, "
+                    "punctuation-stripped, single-space joined), not a "
+                    "substring rewrite of the original text")
 
     pr = add("pagerank", help="graph: fixed-iteration PageRank over a "
              "(src, dst) edge parquet")
@@ -499,10 +502,27 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "text-split":
         from reflexiv_spark.datapipe.sampling import stratified_split
 
-        fractions = tuple(
-            (part.split(":")[0], float(part.split(":")[1]))
-            for part in args.fractions.split(",")
-        )
+        fractions = []
+        for part in args.fractions.split(","):
+            name, sep, frac = part.partition(":")
+            if not sep or not name:
+                p.error(
+                    f"--fractions: malformed pair {part!r} "
+                    "(expected name:frac, e.g. train:0.8)"
+                )
+            try:
+                fractions.append((name, float(frac)))
+            except ValueError:
+                p.error(
+                    f"--fractions: {frac!r} is not a number in pair {part!r}"
+                )
+        total = sum(f for _, f in fractions)
+        if abs(total - 1.0) > 1e-9:
+            p.error(
+                f"--fractions must sum to 1, got {total!r} "
+                f"from {args.fractions!r}"
+            )
+        fractions = tuple(fractions)
         out = stratified_split(
             spark.read.parquet(args.input),
             fractions=fractions,

@@ -576,6 +576,14 @@ def drop_duplicate_spans(
     :func:`duplicate_ngram_spans`, keeping each doc's surviving tokens in
     order (``doc_id, cleaned, n_tokens_kept, n_tokens_dropped``).
 
+    ``cleaned`` is the NORMALIZED token stream, not a substring rewrite
+    of the original text: tokenization lowercases, strips punctuation
+    (``\\w+`` extraction), and rejoins survivors with single spaces, so
+    original casing, punctuation, and whitespace are lost even in
+    non-duplicated regions. (The reference's ExactSubstr-style removal
+    rewrites raw bytes instead; this operator trades that fidelity for
+    the shuffle-free tokenized span join.)
+
     The kept/dropped decision reuses the merged spans; token positions
     join their doc's spans on ``id`` and filter by containment — spans
     per doc are few (merged), so the per-doc expansion is bounded by

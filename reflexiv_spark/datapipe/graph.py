@@ -46,6 +46,15 @@ def pagerank(
     Multi-edges collapse first (``distinct``) so a repeated link does not
     multiply its endorsement. Returns ``(node, rank)`` for every node
     appearing as a source or destination, ``rank`` rounded to 6 places.
+
+    Determinism caveat: the per-iteration contribution sum is a
+    double-precision ``F.sum`` whose addition order depends on
+    partitioning, so ``round(rank, 6)`` is TOLERANCE-BASED, not
+    bit-exact — a rank landing within an ulp of a rounding boundary can
+    flip its 6th digit across runs or vs an unrolled SQL oracle (unlike
+    the integer/dyadic-rational exactness devices the other operators
+    use; same caveat applies to ``text.bigram_logprob``). Compare with
+    an epsilon when hash equality matters and a boundary case appears.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     # Edges are scanned every round: materialize once (lazily — the

@@ -146,6 +146,17 @@ def stratified_split(
 
     Returns ``(id, stratum, split)``.
     """
+    if not fractions:
+        raise ValueError("fractions must be a non-empty sequence")
+    for name, frac in fractions:
+        if frac < 0:
+            raise ValueError(f"fraction for {name!r} must be >= 0, got {frac}")
+    total = sum(frac for _, frac in fractions)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"fractions must sum to 1 (got {total!r}); otherwise the last "
+            "split silently absorbs the unassigned remainder"
+        )
     c = F.col(id_col).cast("string")
     if hash_family == "md5":
         raw = md5_long(F.concat(c, F.lit(f"|{salt}")))
@@ -210,6 +221,7 @@ def token_budget_select(
     token_col: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_bins: int = 4096,
 ) -> DataFrame:
     """Greedy per-group corpus selection under a token budget →
     ``(group, doc_id, n_tokens, cum_tokens)``.
@@ -221,10 +233,20 @@ def token_budget_select(
     total is below ``budget`` — the first doc to cross the line is
     KEPT (budgets are soft caps), everything after it is dropped.
 
-    Scale: one shuffle on ``group_col`` + a single running-sum window
-    per group. Group skew is the known hazard (one giant language →
-    one window partition); for that shape rank on a histogram like
-    :func:`stratified_split` does rather than a per-row window.
+    Scale design: the running token sum is NEVER one window over a whole
+    group (a 100 TB English stratum would serialize into one sort
+    partition). As in :func:`stratified_split`, the ``order_col`` value
+    range is histogrammed into ``n_bins`` bins: per-(group, bin) token
+    sums cumulate in a tiny O(groups × bins) window, and each row's
+    running total is ``cum_before_bin + within_bin_running_sum`` — the
+    within-bin window partitions on (group, bin), bounding any sort
+    partition to ~group/n_bins rows for a spread-out ``order_col``.
+    Binning is a monotone map of ``order_col`` alone, so bin order
+    refines (order desc, id) order and the integer token sums associate
+    to exactly the single-window value — an oracle can use the plain
+    one-window formulation and match bit for bit. (Heavily tied
+    ``order_col`` values concentrate in one bin; pass a
+    higher-resolution ordering column for that shape.)
     """
     from pyspark.sql import Window
 
@@ -236,12 +258,62 @@ def token_budget_select(
         ).cast("bigint")
     else:
         tokens = F.col(token_col).cast("bigint")
-    w = Window.partitionBy(group_col).orderBy(
+    base = df.select(
+        group_col, id_col, F.col(order_col), tokens.alias("n_tokens")
+    )
+    # Global order_col range as a single-row broadcast (scalar
+    # attachment, not a data-sized cross join). floor((x-lo)·k/(hi-lo))
+    # in doubles is monotone non-decreasing (IEEE division/multiply are
+    # monotone), which is all correctness needs — bin boundaries may
+    # land "off" by an ulp, but equal values share a bin and larger
+    # values never get a smaller bin.
+    stats = base.agg(
+        F.min(F.col(order_col)).cast("double").alias("__lo"),
+        F.max(F.col(order_col)).cast("double").alias("__hi"),
+    )
+    binned = base.crossJoin(F.broadcast(stats)).withColumn(
+        # descending bin index: bin 0 holds the LARGEST order values so
+        # cum_before accumulates over bins already taken
+        "__bin",
+        F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+            F.lit(n_bins - 1)
+            - F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(order_col).cast("double") - F.col("__lo"))
+                        * F.lit(float(n_bins))
+                        / (F.col("__hi") - F.col("__lo"))
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    bins = binned.groupBy(group_col, "__bin").agg(
+        F.sum("n_tokens").alias("__bin_tok")
+    )
+    wb = Window.partitionBy(group_col).orderBy("__bin")
+    bins = bins.withColumn(
+        "__cum_before",
+        F.coalesce(
+            F.sum("__bin_tok").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    wr = Window.partitionBy(group_col, "__bin").orderBy(
         F.col(order_col).desc(), F.col(id_col)
     )
     return (
-        df.select(group_col, id_col, F.col(order_col), tokens.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        binned.join(
+            bins.select(group_col, "__bin", "__cum_before"),
+            [group_col, "__bin"],
+        )
+        .withColumn(
+            "cum_tokens", F.col("__cum_before") + F.sum("n_tokens").over(wr)
+        )
         .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
         .select(group_col, id_col, "n_tokens", "cum_tokens")
     )

@@ -342,3 +342,23 @@ def test_fasta_wrap_separator_before_trailing_newline(spark):
         F.regexp_replace("text", r"(?s)(.{100})(?=.)", "$1\n").alias("w")
     ).collect()[0]["w"]
     assert got == "a" * 100 + "\n" + "\n"  # separator + the content newline
+
+
+def test_stratified_split_rejects_bad_fractions(spark):
+    """ADVICE r6: fractions not summing to 1 must raise, not silently
+    dump the remainder into the last split."""
+    import pytest as _pytest
+
+    from reflexiv_spark.datapipe.sampling import stratified_split
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en")], "doc_id long, lang string"
+    )
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(df, fractions=(("train", 0.5), ("val", 0.1)))
+    with _pytest.raises(ValueError, match=">= 0"):
+        stratified_split(df, fractions=(("train", 1.5), ("val", -0.5)))
+    with _pytest.raises(ValueError, match="non-empty"):
+        stratified_split(df, fractions=())
+    # the canonical 0.8/0.1/0.1 (float sum 0.9999999999999999) still OK
+    stratified_split(df)

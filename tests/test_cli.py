@@ -298,3 +298,19 @@ def test_cli_pq_encode_search(spark, tmp_path):
     top = spark.read.parquet(str(srch_out)).collect()
     assert len(top) == 5
     assert min(r["adc_sqdist"] for r in top) == 0  # query is a codebook entry
+
+
+def test_cli_text_split_rejects_bad_fractions(spark, tmp_path):
+    """ADVICE r6: a malformed or non-summing --fractions must exit with a
+    clear argparse error, not an IndexError or a silent remainder dump."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a", "en")], ["doc_id", "text", "lang"])
+    inp = tmp_path / "d.parquet"
+    docs.write.parquet(str(inp))
+    out = tmp_path / "o"
+    for bad in ["train:0.5,val:0.1", "train=0.8,val:0.2", "train:x,val:0.2"]:
+        with _pytest.raises(SystemExit) as ei:
+            main(["text-split", "-i", str(inp), "-o", str(out),
+                  "--fractions", bad])
+        assert ei.value.code == 2
