@@ -318,6 +318,31 @@ def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assemble_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/J1/I1 at k > 31: the long-block assembly path first-class —
+    counting, RC expansion, fork pruning, and the pointer-doubling
+    contraction all on ``array<long>`` 2-bit block ids (the reference's
+    31-bases-per-long encoding, ``ReflexivDSDynamicKmerRuduction.java:
+    3220-3241``), bases decoded exactly once at final path assembly.
+    k=41 spans two blocks, so every shift/concat/revcomp block kernel
+    (`operators/counter_blocks.py`) is exercised end-to-end; the oracle
+    replays the same pipeline in string space (the block↔string
+    equivalence the pytest suite pins per-stage, here verified whole).
+    min_coverage=1 keeps every 41-mer so the walk reconstructs and
+    merges the full corpus streams (~340 contigs at sf0.01)."""
+    from reflexiv_spark.operators.counter_blocks import count_kmers_blocks
+    from reflexiv_spark.pipelines.assemble import assemble_from_blocks_counts
+
+    k = 41
+    counts = count_kmers_blocks(_dna(spark, sf_dir), k, min_coverage=1, decode=False)
+    out = assemble_from_blocks_counts(counts, k, min_contig=42)
+    return out.select(
+        "seq",
+        F.col("left_cover").cast("bigint").alias("left_cover"),
+        F.col("right_cover").cast("bigint").alias("right_cover"),
+    )
+
+
 def q_fork_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 generic: best row per group by cover desc with tiebreak."""
     from reflexiv_spark.operators.fork import filter_forks
@@ -1627,73 +1652,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Slots 1-20 are the
-    # queries with no round-5 green row (6 never checked + 14 stale since
-    # round 4); slots 21-50 are the round-5-green queries whose kernels
-    # this round touches (asof payload fix, kmv schema fix, cluster
-    # left-join fix, packed/long-block k-mer work).  Slots 51-70 rotate
-    # out — their CORRECTNESS_r05.json rows stand as evidence.
+    # The driver oracles the FIRST 50 dict entries.  Round-7 window
+    # (mechanically checkable via tools/check_window.py): the 33
+    # r5-green queries that sat out the round-6 window rotate back in
+    # (slots 1-33), then every query whose module round 7 touches
+    # (sampling.py histogram rewrite, stitch/mapping perf work,
+    # graph.py, the core assembly kernels) plus the NEW assemble_blocks
+    # query (slots 34-50).  Slots 51+ are r6-green queries whose modules
+    # round 7 does not semantically change — their CORRECTNESS_r06.json
+    # rows stand as evidence.
     return {
-        # --- never driver-checked (r5 slots 51-60) ---
-        "hash_sample": q_hash_sample,
-        "corpus_mix": q_corpus_mix,
-        "unigram_logprob": q_unigram_logprob,
-        "redact_pii": q_redact_pii,
-        "embedding_quantize": q_embedding_quantize,
-        "kmeans_assign": q_kmeans_assign,
-        # --- green in r4, fell out of the r5 window ---
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "binary_meta": q_binary_meta,
-        "read_mapping": q_read_mapping,
-        "end_extend": q_end_extend,
-        "patch_contigs": q_patch_contigs,
-        "stitch_bridges": q_stitch_bridges,
-        "reassemble": q_reassemble,
-        "meta_assemble": q_meta_assemble,
-        "pair_merge": q_pair_merge,
-        "error_correct": q_error_correct,
-        # --- NEW in round 6 (must enter inside the 50-entry window) ---
-        "dup_spans": q_dup_spans,
-        "graph_pagerank": q_pagerank,
-        "vocab_coverage": q_vocab_coverage,
-        "event_transitions": q_event_transitions,
-        "stratified_split": q_stratified_split,
-        "bigram_logprob": q_bigram_logprob,
-        "triangle_count": q_triangle_count,
-        "hll_by_lang": q_hll_by_lang,
-        "classifier_score": q_classifier_score,
-        "strip_markup": q_strip_markup,
-        "token_budget_select": q_token_budget_select,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        # --- r5-green, re-checked because round 6 touches their code ---
-        "events_asof": q_events_asof,
-        "cluster_keep_best": q_cluster_keep_best,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_by_lang": q_kmv_by_lang,
-        "dup_clusters": q_dup_clusters,
-        "minhash_near_dup": q_minhash_near_dup,
-        "kmer_count": q_kmer_count,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        "assemble_paths": q_assemble_paths,
-        "reduction": q_reduction,
-        "contig_dedup": q_contig_dedup,
-        "contig_merge": q_contig_merge,
-        "contained_dedup": q_contained_dedup,
-        "clean_corpus": q_clean_corpus,
-        "events_range_join": q_events_range_join,
-        "fasta_wrap": q_fasta_wrap,
-        # --- r5-green, rotated out of the 50-entry window (the six new
-        # round-6 queries above displaced the entries whose modules this
-        # round did NOT touch: kmer_band/kmer_clip (counter.py unchanged
-        # since r5; kmer_count still in-window covers the kernel),
-        # exact_dedup/ngram_jaccard/simhash_dup (dedup.py changes were
-        # additive), events_window (windows.py changes were additive) ---
+        # --- r5-green, sat out the r6 window: rotate back in ---
         "kmer_band": q_kmer_band,
         "kmer_clip": q_kmer_clip,
         "exact_dedup": q_exact_dedup,
@@ -1727,6 +1696,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "token_quantiles": q_token_quantiles,
+        # --- modules touched in round 7: must re-enter the window ---
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
+        "stratified_split": q_stratified_split,
+        "token_budget_select": q_token_budget_select,
+        "stitch_bridges": q_stitch_bridges,
+        "end_extend": q_end_extend,
+        "read_mapping": q_read_mapping,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        # --- NEW in round 7 ---
+        "assemble_blocks": q_assemble_blocks,
+        # --- core assembly kernels: kept in-window so any round-7
+        # kernel work is automatically covered ---
+        "meta_assemble": q_meta_assemble,
+        "kmer_count": q_kmer_count,
+        "assemble_paths": q_assemble_paths,
+        "reduction": q_reduction,
+        "contig_dedup": q_contig_dedup,
+        "contig_merge": q_contig_merge,
+        "contained_dedup": q_contained_dedup,
+        # --- r6-green, rotated out (modules not semantically changed
+        # in round 7; CORRECTNESS_r06.json rows stand) ---
+        "unigram_logprob": q_unigram_logprob,
+        "redact_pii": q_redact_pii,
+        "embedding_quantize": q_embedding_quantize,
+        "kmeans_assign": q_kmeans_assign,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "binary_meta": q_binary_meta,
+        "patch_contigs": q_patch_contigs,
+        "reassemble": q_reassemble,
+        "pair_merge": q_pair_merge,
+        "error_correct": q_error_correct,
+        "dup_spans": q_dup_spans,
+        "vocab_coverage": q_vocab_coverage,
+        "event_transitions": q_event_transitions,
+        "bigram_logprob": q_bigram_logprob,
+        "hll_by_lang": q_hll_by_lang,
+        "classifier_score": q_classifier_score,
+        "strip_markup": q_strip_markup,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "events_asof": q_events_asof,
+        "cluster_keep_best": q_cluster_keep_best,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_lang": q_kmv_by_lang,
+        "dup_clusters": q_dup_clusters,
+        "minhash_near_dup": q_minhash_near_dup,
+        "rc_expand": q_rc_expand,
+        "prune_forks": q_prune_forks,
+        "clean_corpus": q_clean_corpus,
+        "events_range_join": q_events_range_join,
+        "fasta_wrap": q_fasta_wrap,
     }
 
 
@@ -1785,6 +1811,21 @@ def oracle_sql() -> dict[str, str]:
             " e.count FROM walk w JOIN edges e ON e.src = w.cur) "
             "SELECT seq, left_cover, right_cover FROM walk w"
             " WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)"
+        ),
+        "assemble_blocks": (
+            # k=41 long-block pipeline replayed in string space: counts
+            # (min_cov=1) → expand/prune → recursive unitig walk →
+            # _finalize_contigs (length floor, canonical strand, max
+            # covers per surviving sequence)
+            f"WITH RECURSIVE {_SQL_DNA}, {_sql_counts(41, min_cov=1)}, "
+            + _sql_pruned_edges(41, "counts")
+            + ", "
+            + _sql_walk(41)
+            + f" SELECT least(w.seq, {_rc('w.seq')}) AS seq,"
+            " max(w.left_cover) AS left_cover,"
+            " max(w.right_cover) AS right_cover FROM walk w"
+            " WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)"
+            " AND length(w.seq) >= 42 GROUP BY 1"
         ),
         "fork_argmax": (
             "SELECT l_orderkey, l_partkey, l_extendedprice, l_linenumber FROM ("

@@ -36,6 +36,9 @@ HEADLINE = [
     # the RDK contraction loop itself (W3/J1/I1/I2) and the composed
     # patch/stitch stages — the engine's core, timed end-to-end
     "assemble_paths",
+    # round 7: the k>31 long-block assembly path first-class (k=41,
+    # two blocks per id — counting through contraction on array<long>)
+    "assemble_blocks",
     "patch_contigs",
     "stitch_bridges",
     # datapipe headliners (present when implemented; skipped otherwise)
@@ -106,6 +109,9 @@ HEADLINE = [
     "hll_by_lang_xxh64",
     "pq_encode",
     "pq_topk",
+    # round 7: greedy per-group token-budget selection, now histogram-
+    # binned (no whole-group window) — timed on the production shape
+    "token_budget_select",
 ]
 
 

@@ -1,0 +1,73 @@
+"""The oracle-window rotation gate (VERDICT r6 'Next round #1').
+
+``tools/check_window.py`` mechanically maps files changed since the last
+CORRECTNESS artifact → affected queries → asserts each sits inside the
+driver's 50-slot oracle window. This test runs it so the suite FAILS
+whenever a touched query would grade stale — the protocol stops being
+discretionary.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_all_touched_queries_are_inside_the_oracle_window():
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "check_window.py"), "-v"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_semantic_change_filter():
+    """Docstring/comment edits must NOT count as changes (they cannot
+    alter query rows); real code edits must."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_window import semantically_changed
+
+    a = 'def f(x):\n    """old doc."""\n    # a comment\n    return x + 1\n'
+    b = 'def f(x):\n    """NEW doc, rewritten."""\n    return x + 1\n'
+    c = 'def f(x):\n    """old doc."""\n    return x + 2\n'
+    assert not semantically_changed(a, b)
+    assert semantically_changed(a, c)
+    assert semantically_changed(None, a)  # new file
+    assert semantically_changed(a, None)  # deleted file
+    assert semantically_changed("def broken(:", a)  # unparseable → changed
+
+
+def test_checker_detects_out_of_window_query(monkeypatch):
+    """Violation path: an affected query outside slots 1-50 exits 1."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import check_window
+
+    # simulate: query 'zz_tail' (slot 51+) is affected
+    def fake_affected(base, verbose=False):
+        order = [f"q{i}" for i in range(50)] + ["zz_tail"]
+        return {"zz_tail"}, order, {
+            "mods_changed": ["reflexiv_spark/fake.py"],
+            "why": {"zz_tail": "module changed: fake"},
+            "changed_fns": [],
+        }
+
+    monkeypatch.setattr(check_window, "affected_queries", fake_affected)
+    monkeypatch.setattr(check_window, "find_base", lambda: "deadbeef" * 5)
+    monkeypatch.setattr(sys, "argv", ["check_window.py"])
+    assert check_window.main() == 1
+
+    # and in-window passes
+    def fake_ok(base, verbose=False):
+        order = [f"q{i}" for i in range(50)] + ["zz_tail"]
+        return {"q3"}, order, {
+            "mods_changed": [], "why": {"q3": "x"}, "changed_fns": [],
+        }
+
+    monkeypatch.setattr(check_window, "affected_queries", fake_ok)
+    assert check_window.main() == 0
