@@ -61,29 +61,41 @@ def stitch_bridges(
     """
     # Content-deterministic read ids (xxhash64 of the sequence): stable
     # under partition recompute, unlike monotonically_increasing_id, and
-    # the distinct() dedupes identical reads before the k-mer explode.
+    # the dropDuplicates dedupes identical reads before the k-mer explode.
     # Support below is count_distinct(rid) — distinct bridging sequences —
     # so collapsing exact duplicates does not change it. Accepted risk: a
     # 64-bit collision merges two reads' hits (≈n²/2⁶⁵, see patch_contigs).
-    fwd = spread(reads.select(F.upper(F.col(read_seq)).alias("rseq")))
-    stranded = (
-        fwd.unionByName(fwd.select(reverse_complement("rseq").alias("rseq")))
-        .distinct()
+    #
+    # Scale shape: only the FORWARD strand is exploded into (pos, kmer)
+    # rows — half the dominant shuffle. RC-strand hits are derived
+    # algebraically: the k-mer at position q of read R equals RC(s) iff
+    # rc(R) carries seed s at position len-k+2-q, so the tiny seed side
+    # doubles (each seed also enters as its RC with a '-' tag) instead of
+    # the reads×read_len side. rid values are unchanged (xxhash64 of the
+    # stranded sequence), so support/rep semantics are bit-identical to
+    # exploding both strands.
+    fwd = (
+        spread(reads.select(F.upper(F.col(read_seq)).alias("rseq")))
+        .dropDuplicates(["rseq"])
         .withColumn("rid", F.xxhash64("rseq"))
+        .withColumn("rc_rseq", reverse_complement("rseq"))
+        .withColumn("rc_rid", F.xxhash64("rc_rseq"))
         # consumed by the k-mer explode AND the final representative-read
         # join: materialize once instead of re-deriving per consumer
         .localCheckpoint(eager=False)
     )
 
-    poskmers = stranded.where(F.length("rseq") >= k).select(
+    poskmers = fwd.where(F.length("rseq") >= k).select(
         "rid",
+        "rc_rid",
+        F.length("rseq").alias("__L"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.length("rseq") - F.lit(k - 1)),
                 lambda i: F.col("rseq").substr(i, F.lit(k)),
             )
         ).alias("__i", "kmer"),
-    ).select("rid", (F.col("__i") + 1).alias("pos"), "kmer")
+    ).select("rid", "rc_rid", "__L", (F.col("__i") + 1).alias("pos"), "kmer")
 
     ori = _oriented(contigs, id_col, seq_col).where(
         F.length("cseq") >= k
@@ -91,8 +103,9 @@ def stitch_bridges(
     # ONE tagged seed set → ONE pass over the exploded read k-mers (the
     # dominant cost: reads × read_len rows). Two separate joins would
     # recompute the explode and exchange it twice; the seed side is tiny
-    # (2 rows per contig strand) so the planner broadcasts it, and the
-    # matched-hits result is checkpointed for its two consumers.
+    # (2 rows per contig strand per orientation) so the planner
+    # broadcasts it, and the matched-hits result is checkpointed for its
+    # two consumers.
     seeds = ori.select(
         F.lit("L").alias("__side"),
         F.col("cid"),
@@ -104,23 +117,68 @@ def stitch_bridges(
             F.substring("cseq", 1, k).alias("kmer"),
         )
     )
-    hits = poskmers.join(seeds, "kmer").select(
-        "rid", "pos", "__side", "cid"
-    ).localCheckpoint(eager=False)
-    l_hits = hits.where(F.col("__side") == "L").select(
-        "rid", F.col("pos").alias("pl"), F.col("cid").alias("left")
+    seeds2 = seeds.withColumn("__strand", F.lit("+")).unionByName(
+        seeds.select(
+            "__side", "cid", reverse_complement("kmer").alias("kmer")
+        ).withColumn("__strand", F.lit("-"))
     )
-    r_hits = hits.where(F.col("__side") == "R").select(
-        "rid", F.col("pos").alias("pr"), F.col("cid").alias("right")
+    hits = (
+        poskmers.join(seeds2, "kmer")
+        .select(
+            F.when(F.col("__strand") == "+", F.col("rid"))
+            .otherwise(F.col("rc_rid"))
+            .alias("rid"),
+            F.when(F.col("__strand") == "+", F.col("pos"))
+            .otherwise(F.col("__L") - F.lit(k) + 2 - F.col("pos"))
+            .alias("pos"),
+            "__side",
+            "cid",
+        )
+        # Pairing left-end hits with right-start hits of the SAME read is
+        # logically a self-join on rid, but a self-join consumes `hits`
+        # twice (forcing a checkpoint + two full re-reads) and fans out
+        # quadratically per rid — far more COMPUTE and OUTPUT than its
+        # input bytes (6.5 MB in → 46 MB out at sf1.0), exactly the shape
+        # AQE's byte-based coalescing serialized onto 6 of 32 cores.
+        # Instead: ONE numbered repartition on rid (user repartitions are
+        # never AQE-coalesced and satisfy the groupBy's distribution, so
+        # no extra exchange), then per-rid L/R lists and an explode of
+        # their cross product. One pass, one shuffle, full parallelism.
+        .repartition(
+            int(reads.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "rid",
+        )
+    )
+    per_rid = hits.groupBy("rid").agg(
+        F.collect_list(
+            F.when(F.col("__side") == "L", F.struct("pos", "cid"))
+        ).alias("__ls"),
+        F.collect_list(
+            F.when(F.col("__side") == "R", F.struct("pos", "cid"))
+        ).alias("__rs"),
     )
     br = (
-        l_hits.join(r_hits, "rid")
-        .where(_base_id(F.col("left")) != _base_id(F.col("right")))
-        .where(F.col("pr") > F.col("pl"))
-        .select("rid", "pl", "left", "right", (F.col("pr") - F.col("pl")).alias("d"))
+        per_rid.select("rid", F.explode("__ls").alias("__l"), "__rs")
+        .select("rid", "__l", F.explode("__rs").alias("__r"))
+        .where(_base_id(F.col("__l.cid")) != _base_id(F.col("__r.cid")))
+        .where(F.col("__r.pos") > F.col("__l.pos"))
+        .select(
+            "rid",
+            F.col("__l.pos").alias("pl"),
+            F.col("__l.cid").alias("left"),
+            F.col("__r.cid").alias("right"),
+            (F.col("__r.pos") - F.col("__l.pos")).alias("d"),
+        )
     )
+    # The representative read (smallest (rid, pl) — the old rep_w
+    # row_number) is fused into the support agg as min(struct): structs
+    # compare field-by-field, so min(struct(rid, pl)) IS orderBy(rid, pl)
+    # LIMIT 1 per group, and the quadratic self-join executes ONCE instead
+    # of twice (the old plan re-ran it to pick the representative after
+    # the winners were known).
     support = br.groupBy("left", "right", "d").agg(
-        F.count_distinct("rid").alias("support")
+        F.count_distinct("rid").alias("support"),
+        F.min(F.struct("rid", "pl")).alias("__rep"),
     )
     # winning distance per pair, then one outgoing bridge per left and one
     # incoming per right
@@ -143,17 +201,28 @@ def stitch_bridges(
         .withColumn("__ri", F.row_number().over(w_in))
         .where(F.col("__ri") == 1)
         .drop("__ri")
+        .select(
+            "left", "right", "d", "support",
+            F.col("__rep.rid").alias("bridge_rid"),
+            F.col("__rep.pl").alias("bridge_pl"),
+        )
     )
-    rep_w = Window.partitionBy("left", "right", "d").orderBy("rid", "pl")
-    rep = (
-        br.join(chosen.select("left", "right", "d"), ["left", "right", "d"])
-        .withColumn("__rn", F.row_number().over(rep_w))
-        .where(F.col("__rn") == 1)
-        .select("left", "right", "d", F.col("rid").alias("bridge_rid"), F.col("pl").alias("bridge_pl"))
+    # rid → stranded sequence map (2 rows per forward read). Duplicate
+    # rids — a read and its RC both present as forward reads — carry
+    # IDENTICAL sequences, so instead of dropDuplicates here (a full
+    # shuffle of every read's text) the tiny chosen side broadcasts, the
+    # map streams through the join, and the handful of content-identical
+    # duplicate output rows dedup after.
+    rid_map = fwd.select(
+        F.col("rid").alias("bridge_rid"), F.col("rseq").alias("bridge_seq")
+    ).unionByName(
+        fwd.select(
+            F.col("rc_rid").alias("bridge_rid"),
+            F.col("rc_rseq").alias("bridge_seq"),
+        )
     )
-    return chosen.join(rep, ["left", "right", "d"]).join(
-        stranded.select(F.col("rid").alias("bridge_rid"), F.col("rseq").alias("bridge_seq")),
-        "bridge_rid",
+    return rid_map.join(F.broadcast(chosen), "bridge_rid").dropDuplicates(
+        ["left", "right", "d"]
     )
 
 
