@@ -347,6 +347,16 @@ def extend_contigs_with_reads(
     # is recomputed after the forward side materialized, double-counting or
     # orphaning votes; hashing the sequence also dedupes BEFORE the seed
     # explode — fewer shuffled k-mer rows at scale.
+    #
+    # The mapping + voting below is the FUSED form of
+    # seed_map_reads(contained_only=False) → consensus_extensions: the
+    # standalone pair joins the read text by id twice (once for the
+    # overlap verify, once for the vote explode); fusing keeps the text
+    # attached from the single candidate⋈reads join straight through
+    # verify and voting — one text shuffle instead of two, and the
+    # compute-dense verify+explode stage runs at pinned parallelism
+    # instead of the 2-3 tasks AQE's byte-based coalescing allotted it.
+    n_part = int(reads.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     fwd = reads.select(F.upper(F.col(read_seq)).alias("seq"))
     rc = fwd.select(reverse_complement(F.col("seq")).alias("seq"))
     both = (
@@ -355,7 +365,7 @@ def extend_contigs_with_reads(
         .agg(F.count(F.lit(1)).alias("weight"))
         # accepted ~n²/2⁶⁵ collision risk (see patch_contigs): a colliding
         # pair of reads would pool their votes under one id
-        .withColumn("read_id", F.xxhash64("seq"))
+        .withColumn("rid", F.xxhash64("seq"))
         # consumed by the seed mapper AND the consensus voter: materialize
         # the dedup shuffle once instead of per consumer
         .localCheckpoint(eager=False)
@@ -363,47 +373,148 @@ def extend_contigs_with_reads(
 
     ends = extract_contig_ends(
         contigs, searchable_len=searchable_len, id_col=id_col, seq_col=seq_col
-    ).localCheckpoint(eager=False)
-    targets = ends.select(
-        F.concat_ws("/", F.col(id_col), F.col("side")).alias("target_id"),
-        F.col("end_seq").alias("seq"),
-    )
-    mapped = seed_map_reads(
-        both, targets, seed_k=seed_k, contained_only=False
     ).select(
-        F.split(F.col("target_id"), "/").getItem(0).alias(id_col),
-        F.split(F.col("target_id"), "/").getItem(1).alias("side"),
-        "read_id",
-        "offset",
-    )
-    ext = consensus_extensions(
-        mapped.withColumnRenamed(id_col, "contig_id"),
-        both,
-        ends.withColumnRenamed(id_col, "contig_id"),
-        min_depth=min_depth,
-    # the L/R splits below would otherwise re-run the whole mapping +
-    # voting pipeline once per side
+        F.col(id_col).alias("contig_id"),
+        "side",
+        "end_seq",
+        F.length("end_seq").alias("elen"),
     ).localCheckpoint(eager=False)
-    base = contigs.select(F.col(id_col), F.upper(F.col(seq_col)).alias("__seq"))
-    r_ext = ext.where(F.col("side") == "R").select(
-        F.col("contig_id").alias(id_col), F.col("extension").alias("__r")
+
+    # candidate offsets: read k-mer positions ⋈ end k-mer positions.
+    # (An RC-closure halving of the read explode — canonical half only,
+    # mirror hits derived against RC'd seeds, as stitch_bridges does —
+    # was tried and REVERTED here: the seed side is contig ends, not a
+    # handful of contigs, so doubling it doubles a non-tiny broadcast
+    # build and costs more than the halved explode saves.)
+    rk = _pos_kmers(
+        both.select("rid", F.col("seq").alias("rseq")), "rid", "rseq", seed_k
+    ).select("rid", F.col("pos").alias("rpos"), "kmer")
+    # _pos_kmers keeps a single id column — carry (contig_id, side)
+    # through a composite id
+    ek = _pos_kmers(
+        ends.select(
+            F.concat_ws("/", "contig_id", "side").alias("eid"),
+            F.col("end_seq").alias("eseq"),
+        ),
+        "eid",
+        "eseq",
+        seed_k,
+    ).select(
+        F.split("eid", "/").getItem(0).alias("contig_id"),
+        F.split("eid", "/").getItem(1).alias("side"),
+        F.col("pos").alias("tpos"),
+        "kmer",
     )
-    l_ext = ext.where(F.col("side") == "L").select(
-        F.col("contig_id").alias(id_col), F.col("extension").alias("__l")
-    )
-    out = (
-        base.join(r_ext, id_col, "left")
-        .join(l_ext, id_col, "left")
+    cand = (
+        rk.join(F.broadcast(ek), "kmer")
         .select(
-            F.col(id_col),
-            F.concat(
-                # left extension was grown on the RC strand → flip back
-                F.coalesce(
-                    reverse_complement(F.col("__l")), F.lit("")
-                ),
-                F.col("__seq"),
-                F.coalesce(F.col("__r"), F.lit("")),
-            ).alias(seq_col),
+            "rid",
+            "contig_id",
+            "side",
+            (F.col("tpos") - F.col("rpos") + 1).alias("offset"),
         )
+        .dropDuplicates(["rid", "contig_id", "side", "offset"])
+        # verify + vote-explode below fan out per-base from these id-only
+        # rows — pin the parallelism (numbered repartitions satisfy the
+        # join's distribution requirement and are never AQE-coalesced)
+        .repartition(n_part, "rid")
+    )
+    m = (
+        cand.join(
+            both.select("rid", F.col("seq").alias("rseq"),
+                        F.length("seq").alias("rlen"),
+                        F.col("weight").cast("bigint").alias("wt")),
+            "rid",
+        )
+        .join(F.broadcast(ends.select("contig_id", "side", "end_seq", "elen")),
+              ["contig_id", "side"])
+    )
+    # overlap verify (seed_map_reads contained_only=False semantics):
+    # read positions [rs, rs+n) ↔ end positions [ts, ts+n) must match
+    # exactly over n ≥ seed_k bases
+    rs = F.greatest(F.lit(1), F.lit(2) - F.col("offset"))
+    tsp = F.greatest(F.lit(1), F.col("offset"))
+    nov = F.least(F.col("rlen") - rs + 1, F.col("elen") - tsp + F.lit(1))
+    m = (
+        m.where(
+            (nov >= seed_k)
+            & (F.col("rseq").substr(rs, nov) == F.col("end_seq").substr(tsp, nov))
+        )
+        # read position of the first base PAST the end: elen - offset + 2
+        .withColumn("first_over", F.col("elen") - F.col("offset") + 2)
+        .where(
+            (F.col("first_over") >= 1) & (F.col("first_over") <= F.col("rlen"))
+        )
+    )
+    votes = m.select(
+        "contig_id",
+        "side",
+        "wt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.col("first_over"), F.col("rlen")),
+                lambda p: _char_at(F.col("rseq"), p),
+            )
+        ).alias("q0", "base"),
+    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
+    counts = votes.groupBy("contig_id", "side", "q", "base").agg(
+        F.sum("wt").alias("depth")
+    )
+    # majority base per position, ties → lexicographic: min(struct) with a
+    # negated depth IS the orderBy(depth desc, base) row_number pick, as a
+    # hash agg instead of a window sort
+    best = counts.groupBy("contig_id", "side", "q").agg(
+        F.min(F.struct((-F.col("depth")).alias("nd"), F.col("base"))).alias("__b")
+    ).select(
+        "contig_id", "side", "q",
+        F.col("__b.base").alias("base"),
+        (-F.col("__b.nd")).alias("depth"),
+    )
+    run_w = (
+        Window.partitionBy("contig_id", "side")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surviving = (
+        best.withColumn("min_depth_so_far", F.min("depth").over(run_w))
+        .withColumn(
+            "contiguous",
+            F.row_number().over(
+                Window.partitionBy("contig_id", "side").orderBy("q")
+            )
+            == F.col("q"),
+        )
+        .where((F.col("min_depth_so_far") >= min_depth) & F.col("contiguous"))
+    )
+    # Both sides in ONE pass: a conditional agg replaces the old
+    # checkpoint + L/R filtered splits + two joins (the split form read
+    # the extension set three times and joined twice; at most 2 rows per
+    # contig exist, so one max(when) agg pivots them into columns).
+    ext = surviving.groupBy("contig_id", "side").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("q"), F.col("base")))
+                ),
+                lambda s: s.getField("base"),
+            ),
+        ).alias("extension")
+    )
+    per_contig = ext.groupBy("contig_id").agg(
+        F.max(F.when(F.col("side") == "L", F.col("extension"))).alias("__l"),
+        F.max(F.when(F.col("side") == "R", F.col("extension"))).alias("__r"),
+    ).withColumnRenamed("contig_id", id_col)
+    base = contigs.select(F.col(id_col), F.upper(F.col(seq_col)).alias("__seq"))
+    out = base.join(per_contig, id_col, "left").select(
+        F.col(id_col),
+        F.concat(
+            # left extension was grown on the RC strand → flip back
+            F.coalesce(
+                reverse_complement(F.col("__l")), F.lit("")
+            ),
+            F.col("__seq"),
+            F.coalesce(F.col("__r"), F.lit("")),
+        ).alias(seq_col),
     )
     return out

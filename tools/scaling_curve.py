@@ -44,6 +44,10 @@ SELECTED = [
     "dup_spans_xxh64",
     "graph_pagerank",
     "vocab_coverage",
+    # round-7: the two rows graded weak on the sf1.0 2x contract — their
+    # scale claim must be measured, not argued (VERDICT r6 #2)
+    "stitch_bridges",
+    "end_extend",
 ]
 
 
