@@ -56,13 +56,17 @@ def main() -> None:
     from bench import _bench_only_queries
     from reflexiv_spark.session import get_spark
 
+    import os
+
     dirs = sys.argv[1:] or DEFAULT_DIRS
+    only = os.environ.get("SPARK_GRAFT_CURVE_QUERIES")
+    selected = only.split(",") if only else SELECTED
     spark = get_spark(app_name="scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**ent.queries(), **_bench_only_queries()}
     table: dict[str, dict[str, float]] = {}
     for sf_dir in dirs:
-        for name in SELECTED:
+        for name in selected:
             fn = qs.get(name)
             if fn is None:
                 continue
