@@ -516,6 +516,11 @@ def main(argv: list[str] | None = None) -> int:
                 p.error(
                     f"--fractions: {frac!r} is not a number in pair {part!r}"
                 )
+        for name, frac in fractions:
+            if frac <= 0:
+                p.error(
+                    f"--fractions: {name}:{frac!r} must be positive"
+                )
         total = sum(f for _, f in fractions)
         if abs(total - 1.0) > 1e-9:
             p.error(

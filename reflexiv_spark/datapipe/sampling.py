@@ -289,7 +289,10 @@ def token_budget_select(
                 ),
             )
         ),
-    )
+    # consumed by the per-bin aggregate AND the per-row probe join: the
+    # partial agg under the groupBy defeats ReusedExchange, so without a
+    # checkpoint the full scan + regexp tokenization would run twice
+    ).localCheckpoint(eager=False)
     bins = binned.groupBy(group_col, "__bin").agg(
         F.sum("n_tokens").alias("__bin_tok")
     )

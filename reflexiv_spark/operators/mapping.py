@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from reflexiv_spark.functions.kmer import reverse_complement
 from reflexiv_spark.plans.layout import spread
+from reflexiv_spark.plans.parallelism import shuffle_partition_count
 
 DEFAULT_SEARCHABLE = 600  # DefaultParam.java:127
 
@@ -234,6 +235,68 @@ def _char_at(seq: Column, pos: Column) -> Column:
     return seq.substr(pos, F.lit(1))
 
 
+def _consensus_from_overhangs(m: DataFrame, min_depth: int) -> DataFrame:
+    """Shared vote→majority→contiguity→assemble kernel: ``m`` rows carry
+    (contig_id, side, wt, rseq, rlen, first_over); returns
+    DataFrame[contig_id, side, extension]. Used by BOTH
+    :func:`consensus_extensions` (the standalone/pipe_minimap2 path) and
+    the fused :func:`extend_contigs_with_reads`, so the voting/tie/depth
+    rules live in exactly one place."""
+    votes = m.select(
+        "contig_id",
+        "side",
+        "wt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.col("first_over"), F.col("rlen")),
+                lambda p: _char_at(F.col("rseq"), p),
+            )
+        ).alias("q0", "base"),
+    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
+    counts = votes.groupBy("contig_id", "side", "q", "base").agg(
+        F.sum("wt").alias("depth")
+    )
+    # majority base per position, ties → lexicographic: min(struct) with a
+    # negated depth IS the orderBy(depth desc, base) row_number pick, as a
+    # hash agg instead of a window sort
+    best = counts.groupBy("contig_id", "side", "q").agg(
+        F.min(F.struct((-F.col("depth")).alias("nd"), F.col("base"))).alias("__b")
+    ).select(
+        "contig_id", "side", "q",
+        F.col("__b.base").alias("base"),
+        (-F.col("__b.nd")).alias("depth"),
+    )
+    # contiguity + depth: position q survives iff every position 1..q has
+    # depth >= min_depth and exists (q == row_number)
+    run_w = (
+        Window.partitionBy("contig_id", "side")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surviving = (
+        best.withColumn("min_depth_so_far", F.min("depth").over(run_w))
+        .withColumn(
+            "contiguous",
+            F.row_number().over(
+                Window.partitionBy("contig_id", "side").orderBy("q")
+            )
+            == F.col("q"),
+        )
+        .where((F.col("min_depth_so_far") >= min_depth) & F.col("contiguous"))
+    )
+    return surviving.groupBy("contig_id", "side").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("q"), F.col("base")))
+                ),
+                lambda s: s.getField("base"),
+            ),
+        ).alias("extension")
+    )
+
+
 def consensus_extensions(
     mapped: DataFrame,
     reads: DataFrame,
@@ -273,56 +336,7 @@ def consensus_extensions(
         .withColumn("first_over", F.col("elen") - F.col("offset") + 2)
         .where((F.col("first_over") >= 1) & (F.col("first_over") <= F.col("rlen")))
     )
-    votes = m.select(
-        "contig_id",
-        "side",
-        "wt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.col("first_over"), F.col("rlen")),
-                lambda p: _char_at(F.col("rseq"), p),
-            )
-        ).alias("q0", "base"),
-    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
-
-    counts = votes.groupBy("contig_id", "side", "q", "base").agg(
-        F.sum("wt").alias("depth")
-    )
-    pick_w = Window.partitionBy("contig_id", "side", "q").orderBy(
-        F.col("depth").desc(), F.col("base")
-    )
-    best = (
-        counts.withColumn("__rn", F.row_number().over(pick_w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    # contiguity + depth: position q survives iff every position 1..q has
-    # depth >= min_depth and exists (q == row_number)
-    run_w = (
-        Window.partitionBy("contig_id", "side")
-        .orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    surviving = (
-        best.withColumn("min_depth_so_far", F.min("depth").over(run_w))
-        .withColumn(
-            "contiguous",
-            F.row_number().over(Window.partitionBy("contig_id", "side").orderBy("q"))
-            == F.col("q"),
-        )
-        .where((F.col("min_depth_so_far") >= min_depth) & F.col("contiguous"))
-    )
-    return surviving.groupBy("contig_id", "side").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("q"), F.col("base")))
-                ),
-                lambda s: s.getField("base"),
-            ),
-        ).alias("extension")
-    )
+    return _consensus_from_overhangs(m, min_depth)
 
 
 def extend_contigs_with_reads(
@@ -356,7 +370,7 @@ def extend_contigs_with_reads(
     # verify and voting — one text shuffle instead of two, and the
     # compute-dense verify+explode stage runs at pinned parallelism
     # instead of the 2-3 tasks AQE's byte-based coalescing allotted it.
-    n_part = int(reads.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_part = shuffle_partition_count(reads)
     fwd = reads.select(F.upper(F.col(read_seq)).alias("seq"))
     rc = fwd.select(reverse_complement(F.col("seq")).alias("seq"))
     both = (
@@ -389,24 +403,30 @@ def extend_contigs_with_reads(
     rk = _pos_kmers(
         both.select("rid", F.col("seq").alias("rseq")), "rid", "rseq", seed_k
     ).select("rid", F.col("pos").alias("rpos"), "kmer")
-    # _pos_kmers keeps a single id column — carry (contig_id, side)
-    # through a composite id
+    # _pos_kmers keeps a single id column — carry (contig_id, side) as a
+    # STRUCT id, never a delimited string: a contig id containing the
+    # delimiter (FASTA headers like "read/1" are common) would split
+    # wrong and silently drop every candidate for that contig
     ek = _pos_kmers(
         ends.select(
-            F.concat_ws("/", "contig_id", "side").alias("eid"),
+            F.struct("contig_id", "side").alias("eid"),
             F.col("end_seq").alias("eseq"),
         ),
         "eid",
         "eseq",
         seed_k,
     ).select(
-        F.split("eid", "/").getItem(0).alias("contig_id"),
-        F.split("eid", "/").getItem(1).alias("side"),
+        F.col("eid.contig_id").alias("contig_id"),
+        F.col("eid.side").alias("side"),
         F.col("pos").alias("tpos"),
         "kmer",
     )
+    # no forced broadcast on either join below: AQE broadcasts the small
+    # side at runtime when it fits; a forced hint would die on the 8 GB
+    # broadcast limit at metagenome contig counts instead of degrading
+    # to a shuffle join
     cand = (
-        rk.join(F.broadcast(ek), "kmer")
+        rk.join(ek, "kmer")
         .select(
             "rid",
             "contig_id",
@@ -426,7 +446,7 @@ def extend_contigs_with_reads(
                         F.col("weight").cast("bigint").alias("wt")),
             "rid",
         )
-        .join(F.broadcast(ends.select("contig_id", "side", "end_seq", "elen")),
+        .join(ends.select("contig_id", "side", "end_seq", "elen"),
               ["contig_id", "side"])
     )
     # overlap verify (seed_map_reads contained_only=False semantics):
@@ -446,61 +466,11 @@ def extend_contigs_with_reads(
             (F.col("first_over") >= 1) & (F.col("first_over") <= F.col("rlen"))
         )
     )
-    votes = m.select(
-        "contig_id",
-        "side",
-        "wt",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.col("first_over"), F.col("rlen")),
-                lambda p: _char_at(F.col("rseq"), p),
-            )
-        ).alias("q0", "base"),
-    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
-    counts = votes.groupBy("contig_id", "side", "q", "base").agg(
-        F.sum("wt").alias("depth")
-    )
-    # majority base per position, ties → lexicographic: min(struct) with a
-    # negated depth IS the orderBy(depth desc, base) row_number pick, as a
-    # hash agg instead of a window sort
-    best = counts.groupBy("contig_id", "side", "q").agg(
-        F.min(F.struct((-F.col("depth")).alias("nd"), F.col("base"))).alias("__b")
-    ).select(
-        "contig_id", "side", "q",
-        F.col("__b.base").alias("base"),
-        (-F.col("__b.nd")).alias("depth"),
-    )
-    run_w = (
-        Window.partitionBy("contig_id", "side")
-        .orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    surviving = (
-        best.withColumn("min_depth_so_far", F.min("depth").over(run_w))
-        .withColumn(
-            "contiguous",
-            F.row_number().over(
-                Window.partitionBy("contig_id", "side").orderBy("q")
-            )
-            == F.col("q"),
-        )
-        .where((F.col("min_depth_so_far") >= min_depth) & F.col("contiguous"))
-    )
+    ext = _consensus_from_overhangs(m, min_depth)
     # Both sides in ONE pass: a conditional agg replaces the old
     # checkpoint + L/R filtered splits + two joins (the split form read
     # the extension set three times and joined twice; at most 2 rows per
     # contig exist, so one max(when) agg pivots them into columns).
-    ext = surviving.groupBy("contig_id", "side").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("q"), F.col("base")))
-                ),
-                lambda s: s.getField("base"),
-            ),
-        ).alias("extension")
-    )
     per_contig = ext.groupBy("contig_id").agg(
         F.max(F.when(F.col("side") == "L", F.col("extension"))).alias("__l"),
         F.max(F.when(F.col("side") == "R", F.col("extension"))).alias("__r"),

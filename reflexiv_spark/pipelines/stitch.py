@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from reflexiv_spark.functions.kmer import reverse_complement
 from reflexiv_spark.operators.dedup import dedup_exact_rc
 from reflexiv_spark.plans.layout import spread
+from reflexiv_spark.plans.parallelism import shuffle_partition_count
 
 DEFAULT_STITCH_KS = (61, 31, 21)  # Pipelines.java:208-237
 
@@ -102,10 +103,9 @@ def stitch_bridges(
     ).localCheckpoint(eager=False)
     # ONE tagged seed set → ONE pass over the exploded read k-mers (the
     # dominant cost: reads × read_len rows). Two separate joins would
-    # recompute the explode and exchange it twice; the seed side is tiny
+    # recompute the explode and exchange it twice; the seed side is small
     # (2 rows per contig strand per orientation) so the planner
-    # broadcasts it, and the matched-hits result is checkpointed for its
-    # two consumers.
+    # broadcasts it when it fits and shuffles otherwise.
     seeds = ori.select(
         F.lit("L").alias("__side"),
         F.col("cid"),
@@ -144,10 +144,7 @@ def stitch_bridges(
         # never AQE-coalesced and satisfy the groupBy's distribution, so
         # no extra exchange), then per-rid L/R lists and an explode of
         # their cross product. One pass, one shuffle, full parallelism.
-        .repartition(
-            int(reads.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "rid",
-        )
+        .repartition(shuffle_partition_count(reads), "rid")
     )
     per_rid = hits.groupBy("rid").agg(
         F.collect_list(
@@ -210,9 +207,12 @@ def stitch_bridges(
     # rid → stranded sequence map (2 rows per forward read). Duplicate
     # rids — a read and its RC both present as forward reads — carry
     # IDENTICAL sequences, so instead of dropDuplicates here (a full
-    # shuffle of every read's text) the tiny chosen side broadcasts, the
-    # map streams through the join, and the handful of content-identical
-    # duplicate output rows dedup after.
+    # shuffle of every read's text) the small chosen side joins in (AQE
+    # broadcasts it at runtime when it fits — no forced hint, so a
+    # bridge set too large to broadcast degrades to a shuffle join
+    # instead of dying on the 8 GB broadcast limit), the map streams
+    # through, and the handful of content-identical duplicate output
+    # rows dedup after.
     rid_map = fwd.select(
         F.col("rid").alias("bridge_rid"), F.col("rseq").alias("bridge_seq")
     ).unionByName(
@@ -221,7 +221,7 @@ def stitch_bridges(
             F.col("rc_rseq").alias("bridge_seq"),
         )
     )
-    return rid_map.join(F.broadcast(chosen), "bridge_rid").dropDuplicates(
+    return rid_map.join(chosen, "bridge_rid").dropDuplicates(
         ["left", "right", "d"]
     )
 

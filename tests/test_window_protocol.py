@@ -71,3 +71,28 @@ def test_checker_detects_out_of_window_query(monkeypatch):
 
     monkeypatch.setattr(check_window, "affected_queries", fake_ok)
     assert check_window.main() == 0
+
+
+def test_imports_of_resolves_relative_imports():
+    """A `from .dedup import x` edge must map to the sibling module —
+    a missed relative import would silently hide a changed-module →
+    affected-query mapping (review finding, round 7)."""
+    import ast
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "check_window", Path(__file__).parent.parent / "tools/check_window.py"
+    )
+    cw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cw)
+
+    tree = ast.parse(
+        "from .dedup import exact_dedup\n"
+        "from . import cluster\n"
+        "from ..functions.kmer import reverse_complement\n"
+    )
+    mods = cw._imports_of(tree, pkg="reflexiv_spark.datapipe")
+    assert "reflexiv_spark/datapipe/dedup.py" in mods, mods
+    assert "reflexiv_spark/datapipe/cluster.py" in mods, mods
+    assert "reflexiv_spark/functions/kmer.py" in mods, mods

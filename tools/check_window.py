@@ -128,19 +128,37 @@ def module_file(dotted: str) -> str | None:
     return None
 
 
-def _imports_of(tree: ast.AST) -> set[str]:
+def _imports_of(tree: ast.AST, pkg: str = "") -> set[str]:
     """All reflexiv_spark module files imported anywhere in ``tree``
-    (module-level and function-local)."""
+    (module-level and function-local). ``pkg`` is the dotted package of
+    the file being scanned (e.g. ``reflexiv_spark.datapipe`` for
+    ``reflexiv_spark/datapipe/dedup.py``) so RELATIVE imports resolve —
+    a missed ``from .dedup import x`` edge would silently hide a
+    changed-module → affected-query mapping, the exact stale-green
+    failure this tool exists to prevent."""
     mods = set()
     for node in ast.walk(tree):
-        if isinstance(node, ast.ImportFrom) and node.module:
-            if node.module.startswith("reflexiv_spark"):
-                f = module_file(node.module)
+        if isinstance(node, ast.ImportFrom):
+            if node.level and pkg:
+                # relative: level 1 = current package, each extra level
+                # strips one package component
+                parts = pkg.split(".")
+                if node.level - 1 < len(parts):
+                    base = ".".join(parts[: len(parts) - (node.level - 1)])
+                    module = (
+                        f"{base}.{node.module}" if node.module else base
+                    )
+                else:
+                    continue
+            else:
+                module = node.module or ""
+            if module.startswith("reflexiv_spark"):
+                f = module_file(module)
                 if f:
                     mods.add(f)
                 # `from reflexiv_spark.pkg import submodule` form
                 for alias in node.names:
-                    f2 = module_file(f"{node.module}.{alias.name}")
+                    f2 = module_file(f"{module}.{alias.name}")
                     if f2:
                         mods.add(f2)
         elif isinstance(node, ast.Import):
@@ -158,8 +176,13 @@ def import_closure() -> dict[str, set[str]]:
     direct: dict[str, set[str]] = {}
     for p in (REPO / "reflexiv_spark").rglob("*.py"):
         rel = str(p.relative_to(REPO))
+        # dotted package of this file, for relative-import resolution
+        pkg = rel[: -len("/__init__.py")] if rel.endswith("/__init__.py") else rel[:-3]
+        pkg = pkg.replace("/", ".")
+        if not rel.endswith("/__init__.py"):
+            pkg = pkg.rsplit(".", 1)[0] if "." in pkg else pkg
         try:
-            direct[rel] = _imports_of(ast.parse(p.read_text()))
+            direct[rel] = _imports_of(ast.parse(p.read_text()), pkg=pkg)
         except SyntaxError:
             direct[rel] = set()
     closure = {f: {f} | deps for f, deps in direct.items()}
