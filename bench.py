@@ -272,10 +272,17 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # Best-of-2 per query (round 7; was single-run). The box is
+    # tenant-shared and single-run rows repeatedly recorded contention
+    # artifacts as regressions (r5: events_window/multi_join_agg/
+    # prune_forks/text_stats; r6: contig_dedup 1.47->2.16 on unchanged
+    # code — all reversed on idle re-runs). min-of-2 measures the plan,
+    # not the neighbor; the runs/agg fields make the change explicit.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for n in names:
         try:
-            timings[n] = round(run(n, sf_dir), 3)
+            timings[n] = round(min(run(n, sf_dir) for _ in range(n_runs)), 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {n} failed: {e}", file=sys.stderr)
             timings[n] = -1.0
@@ -288,6 +295,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": n_runs,
+                "agg": "min",
             }
         )
     )
