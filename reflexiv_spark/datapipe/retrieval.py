@@ -5,12 +5,14 @@ embeddings give ANN, MinHash gives near-dup, BM25 gives ranked keyword
 retrieval (Robertson & Spärck Jones's probabilistic model, the default
 lexical ranker in every search engine).
 
-Plan shape at 100 TB: the query is a handful of terms (broadcast); term
-frequencies aggregate keyed by (doc, term) — doc-scoped keys, fan-out
-bounded by document length; corpus statistics (N, avgdl) are two scalar
-aggregates broadcast back via tiny cross joins; the final score is one
-doc-keyed sum. No global sort — callers top-k the result with a
-window/limit, which Spark executes as TakeOrdered.
+Plan shape at 100 TB: the query is a handful of term LITERALS, so one
+corpus scan computes everything doc-local — tokenize once, dl =
+size(tokens), per-term tf = an array filter — and no token row is ever
+exploded or shuffled; what leaves the scan is ≤ |terms| struct rows per
+matching doc. Corpus statistics (N, avgdl) are two scalar aggregates
+broadcast back via tiny cross joins; the final score is one doc-keyed
+sum. No global sort — callers top-k the result with a window/limit,
+which Spark executes as TakeOrdered.
 
 Determinism: scores use log10/division on identical doubles and round
 to 6 — the same cross-engine-stable device as
@@ -41,28 +43,54 @@ def bm25_score(
     ``\\w+`` word tokens, N and avgdl are corpus-wide.
     """
     terms = sorted({t for t in query.lower().split() if t})
-    qdf = df.sparkSession.createDataFrame([(t,) for t in terms], "term string")
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                F.lit(r"\w+"),
-                0,
-            )
-        ).alias("term"),
+    tok_arr = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0
     )
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    # ONE corpus scan computes everything doc-local: the regex
+    # tokenization (the dominant compute) runs once, dl is size() of the
+    # token array, and per-term tf is an array filter against the
+    # handful of query-term literals — so NO token row is ever exploded
+    # or shuffled (the old form tokenized the corpus twice and exchanged
+    # every token to count doc lengths), and the dl join disappears
+    # because dl rides the same row as tf. `dl > 0` keeps the exact old
+    # semantics: N/avgdl count docs with ≥1 token.
+    tf_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(
+                    F.filter("__toks", lambda x: x == F.lit(t))
+                ).cast("long").alias("tf"),
+            )
+            for t in terms
+        ]
+    )
+    base = (
+        df.select(F.col(id_col), tok_arr.alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("dl"),
+            F.filter(tf_structs, lambda s: s.tf > 0).alias("__tfs"),
+        )
+        .where(F.col("dl") > 0)
+        # consumed by the scalar stats agg AND the tf explode: doc-level
+        # rows only (id, dl, ≤|terms| structs) — materialize the scan once
+        .localCheckpoint(eager=False)
+    )
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
 
-    tf = (
-        toks.join(F.broadcast(qdf), "term")
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = base.where(F.size("__tfs") > 0).select(
+        F.col(id_col),
+        "dl",
+        F.explode("__tfs").alias("__t"),
+    ).select(
+        id_col, "dl",
+        F.col("__t.term").alias("term"),
+        F.col("__t.tf").alias("tf"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
@@ -74,7 +102,6 @@ def bm25_score(
 
     scored = (
         tf.join(F.broadcast(idf), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats.select("avgdl")))
         .select(
             id_col,
