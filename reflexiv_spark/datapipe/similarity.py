@@ -1032,3 +1032,4 @@ def pq_codebooks_trained(
             cmat = np.concatenate([cmat, pad])
         mats.append(cmat.astype(np.int64))
     return np.stack(mats)
+

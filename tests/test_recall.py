@@ -236,3 +236,57 @@ def test_star_edges_same_components(spark):
     star = minhash_star_edges(docs, **kw)
     assert star.count() < all_pairs.count()  # the point: fewer edges
     assert comps(all_pairs) == comps(star)
+
+
+def test_semantic_dedup_planted_groups(spark):
+    """SemDeDup on planted near-duplicate groups: exactly one survivor
+    per group, singletons untouched, deterministic across runs. Built
+    round 7; enters the oracle window in round 8."""
+    import random
+
+    from reflexiv_spark.datapipe.semdedup import semantic_dedup
+
+    rng = random.Random(13)
+    dim = 8
+    rows = []
+    vid = 0
+    # 20 well-separated singletons FIRST: kmeans_lite seeds its
+    # centroids from the smallest ids, and a duplicate group seeding
+    # several near-identical centroids would split across cells —
+    # a real granularity property of SemDeDup, not what this test pins
+    for s in range(20):
+        vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, vec, -1))
+        vid += 1
+    # 6 duplicate groups of 4 near-identical vectors each
+    for g in range(6):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for j in range(4):
+            vec = [c + rng.uniform(-1e-4, 1e-4) for c in center]
+            rows.append((vid, vec, g))
+            vid += 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    kept = semantic_dedup(
+        df, threshold=0.999, dim=dim, n_centroids=8, id_col="vec_id"
+    )
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    groups: dict[int, list[int]] = {}
+    for i, _, g in rows:
+        groups.setdefault(g, []).append(i)
+    # every planted group collapses to exactly one survivor
+    for g, ids in groups.items():
+        if g == -1:
+            continue
+        assert len(kept_ids & set(ids)) == 1, (g, kept_ids & set(ids))
+    # singletons all survive (no false positives at this threshold)
+    assert set(groups[-1]) <= kept_ids
+    # determinism: a second run keeps the identical set
+    kept2 = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.999, dim=dim, n_centroids=8, id_col="vec_id"
+        ).select("vec_id").collect()
+    }
+    assert kept2 == kept_ids
