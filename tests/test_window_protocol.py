@@ -73,6 +73,34 @@ def test_checker_detects_out_of_window_query(monkeypatch):
     assert check_window.main() == 0
 
 
+def test_find_base_skips_untracked_artifacts():
+    """Round-boundary shape: the driver drops CORRECTNESS_r{N}.json
+    UNTRACKED. find_base() must fall back to the newest TRACKED
+    artifact instead of returning '' and crashing every downstream
+    `git diff` (VERDICT r7 'What's wrong #1')."""
+    import subprocess as sp
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import importlib
+    import check_window
+    importlib.reload(check_window)
+
+    dummy = REPO / "CORRECTNESS_r99.json"
+    assert not dummy.exists()
+    dummy.write_text("{}")
+    try:
+        base = check_window.find_base()
+    finally:
+        dummy.unlink()
+    assert base, "find_base returned empty with an untracked artifact present"
+    # the base must be a real commit (git cat-file resolves it)
+    out = sp.run(
+        ["git", "cat-file", "-t", base], cwd=REPO,
+        capture_output=True, text=True,
+    )
+    assert out.stdout.strip() == "commit", (base, out.stderr)
+
+
 def test_imports_of_resolves_relative_imports():
     """A `from .dedup import x` edge must map to the sibling module —
     a missed relative import would silently hide a changed-module →

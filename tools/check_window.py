@@ -48,13 +48,25 @@ def _git(*args: str) -> str:
 
 
 def find_base() -> str:
+    """Commit that last touched the newest TRACKED ``CORRECTNESS_r*.json``.
+
+    The driver drops each round's artifact UNTRACKED at the round
+    boundary; ``git log -1 -- <untracked>`` returns the empty string and
+    every downstream ``git diff <empty-base>`` explodes with exit 128 —
+    so the tool (and the suite gate wrapping it) would fail at exactly
+    the round boundary it exists to police (VERDICT r7 'What's wrong
+    #1'). Walk artifacts newest-first and skip any with no commit
+    history."""
     arts = sorted(
         REPO.glob("CORRECTNESS_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        reverse=True,
     )
-    if not arts:
-        return _git("rev-list", "--max-parents=0", "HEAD").strip()
-    return _git("log", "-1", "--format=%H", "--", arts[-1].name).strip()
+    for art in arts:
+        sha = _git("log", "-1", "--format=%H", "--", art.name).strip()
+        if sha:
+            return sha
+    return _git("rev-list", "--max-parents=0", "HEAD").strip()
 
 
 def _strip_docstrings(tree: ast.AST) -> ast.AST:
