@@ -205,6 +205,45 @@ _SQL_VNORM = (
     " CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
 )
 
+# unrolled replay of kmeans_lite(dim=64, n_centroids=16, n_iter=2):
+# init = 16 smallest-id vectors (zero-norm excluded), assign (argmax
+# int-dot/||c||, ties → lowest cell), floored-mean update (empty/
+# zero-norm cells keep the old centroid), assign again. Ends with the
+# final assignment CTE `a2` (vec_id, cell) and the final centroids
+# `c1` (cell, cq) — shared by the kmeans_assign / semantic_dedup oracles
+_SQL_KMEANS16_A2 = (
+    "WITH v AS (SELECT vec_id,"
+    " list_transform(CAST(embedding AS DOUBLE[]),"
+    " x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM embeddings), "
+    "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
+    " qv AS cq FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)"
+    " WHERE list_dot_product(CAST(qv AS DOUBLE[]),"
+    " CAST(qv AS DOUBLE[])) > 0), "
+    "a1 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c0.cell,"
+    " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+    " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c0.cq AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(c0.cq AS DOUBLE[]),"
+    " CAST(c0.cq AS DOUBLE[]))) DESC, c0.cell ASC) AS rn"
+    " FROM v CROSS JOIN c0) WHERE rn = 1), "
+    "comp AS (SELECT a1.cell, CAST(p AS INT) AS pos,"
+    " v.qv[CAST(p AS INT) + 1] AS x FROM a1 JOIN v USING (vec_id),"
+    " unnest(generate_series(0, 63)) AS u(p)), "
+    "upd AS (SELECT cell, pos, sum(x) AS s, count(*) AS c FROM comp"
+    " GROUP BY 1, 2), "
+    "updl AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / c)"
+    " AS BIGINT) ORDER BY pos) AS uq FROM upd GROUP BY cell), "
+    "c1 AS (SELECT c0.cell, CASE WHEN updl.uq IS NOT NULL AND"
+    " list_dot_product(CAST(updl.uq AS DOUBLE[]),"
+    " CAST(updl.uq AS DOUBLE[])) > 0 THEN updl.uq ELSE c0.cq END"
+    " AS cq FROM c0 LEFT JOIN updl ON c0.cell = updl.cell), "
+    "a2 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c1.cell,"
+    " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+    " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c1.cq AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(c1.cq AS DOUBLE[]),"
+    " CAST(c1.cq AS DOUBLE[]))) DESC, c1.cell ASC) AS rn"
+    " FROM v CROSS JOIN c1) WHERE rn = 1)"
+)
+
 _SQL_EXPANDED = (
     f"{_SQL_DNA}, {_sql_counts(15)}, expanded AS ("
     "SELECT DISTINCT kmer, count FROM ("
@@ -1458,6 +1497,25 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select("vec_id", F.col("cell").cast("bigint").alias("cell"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: SemDeDup (Abbas et al., arXiv:2303.09540) — k-means
+    cells bound the pairwise term, then within each cell every vector
+    with a cosine-≥θ near-duplicate ordered before it (centroid-cosine
+    ascending, ties → lower id; the paper's triu rule) is dropped.
+    θ=0.3 on the near-random synthetic embeddings (same threshold as
+    embedding_dedup) so both the keep and drop paths carry rows. The
+    oracle replays kmeans_lite's two fixed-point Lloyd iterations
+    unrolled (the kmeans_assign oracle) plus the exact int64-dot /
+    sqrt-norm cosine algebra — bit-equal across engines."""
+    from reflexiv_spark.datapipe.semdedup import semantic_dedup
+
+    out = semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3, dim=64, n_centroids=16, n_iter=2,
+    )
+    return out.select("vec_id")
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -1652,73 +1710,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-7 window
-    # (mechanically checkable via tools/check_window.py): the 33
-    # r5-green queries that sat out the round-6 window rotate back in
-    # (slots 1-33), then every query whose module round 7 touches
-    # (sampling.py histogram rewrite, stitch/mapping perf work,
-    # graph.py, the core assembly kernels) plus the NEW assemble_blocks
-    # query (slots 34-50).  Slots 51+ are r6-green queries whose modules
-    # round 7 does not semantically change — their CORRECTNESS_r06.json
+    # The driver oracles the FIRST 50 dict entries.  Round-8 window
+    # (mechanically checkable via tools/check_window.py): the 34
+    # r6-green queries that sat out the round-7 window rotate back in
+    # (slots 1-34), the NEW semantic_dedup enters in the round it is
+    # claimed (slot 35), then every query whose module round 8 touches
+    # (retrieval.py empty-query guard, similarity.py init_centroids,
+    # mapping.py end_extend work, graph.py pagerank work; slots 36-40),
+    # plus defensive spares for kernels later round-8 work might touch
+    # (slots 41-50).  Slots 51+ are r7-green queries whose modules
+    # round 8 does not semantically change — their CORRECTNESS_r07.json
     # rows stand as evidence.
     return {
-        # --- r5-green, sat out the r6 window: rotate back in ---
-        "kmer_band": q_kmer_band,
-        "kmer_clip": q_kmer_clip,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_dup": q_simhash_dup,
-        "events_window": q_events_window,
-        "mercy": q_mercy,
-        "fork_argmax": q_fork_argmax,
-        "fork_argmax_gated": q_fork_argmax_gated,
-        "junction_support": q_junction_support,
-        "union_counts": q_union_counts,
-        "best_connection": q_best_connection,
-        "distinct_pairs": q_distinct_pairs,
-        "top_orders": q_top_orders,
-        "multi_join_agg": q_multi_join_agg,
-        "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
-        "events_running": q_events_running,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "bm25_rank": q_bm25_rank,
-        "source_rollup": q_source_rollup,
-        "lang_pivot": q_lang_pivot,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "doc_chunk": q_doc_chunk,
-        "cms_estimate": q_cms_estimate,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "token_quantiles": q_token_quantiles,
-        # --- modules touched in round 7: must re-enter the window ---
-        "hash_sample": q_hash_sample,
-        "corpus_mix": q_corpus_mix,
-        "stratified_split": q_stratified_split,
-        "token_budget_select": q_token_budget_select,
-        "stitch_bridges": q_stitch_bridges,
-        "end_extend": q_end_extend,
-        "read_mapping": q_read_mapping,
-        "graph_pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        # --- NEW in round 7 ---
-        "assemble_blocks": q_assemble_blocks,
-        # --- core assembly kernels: kept in-window so any round-7
-        # kernel work is automatically covered ---
-        "meta_assemble": q_meta_assemble,
-        "kmer_count": q_kmer_count,
-        "assemble_paths": q_assemble_paths,
-        "reduction": q_reduction,
-        "contig_dedup": q_contig_dedup,
-        "contig_merge": q_contig_merge,
-        "contained_dedup": q_contained_dedup,
-        # --- r6-green, rotated out (modules not semantically changed
-        # in round 7; CORRECTNESS_r06.json rows stand) ---
+        # --- r6-green, sat out the r7 window: rotate back in ---
         "unigram_logprob": q_unigram_logprob,
         "redact_pii": q_redact_pii,
         "embedding_quantize": q_embedding_quantize,
@@ -1753,6 +1757,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "events_range_join": q_events_range_join,
         "fasta_wrap": q_fasta_wrap,
+        # --- NEW in round 8 (built round 7, enters per protocol) ---
+        "semantic_dedup": q_semantic_dedup,
+        # --- modules touched in round 8: must re-enter the window ---
+        "bm25_rank": q_bm25_rank,
+        "end_extend": q_end_extend,
+        "read_mapping": q_read_mapping,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        # --- defensive spares: kernels later round-8 work might touch
+        # (extension/stitch/counter/sampling/streaming families) ---
+        "assemble_paths": q_assemble_paths,
+        "stitch_bridges": q_stitch_bridges,
+        "kmer_count": q_kmer_count,
+        "contig_dedup": q_contig_dedup,
+        "token_budget_select": q_token_budget_select,
+        "events_window": q_events_window,
+        "mercy": q_mercy,
+        "reduction": q_reduction,
+        "contig_merge": q_contig_merge,
+        "contained_dedup": q_contained_dedup,
+        # --- r7-green, rotated out (modules not semantically changed
+        # in round 8; CORRECTNESS_r07.json rows stand) ---
+        "kmer_band": q_kmer_band,
+        "kmer_clip": q_kmer_clip,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_dup": q_simhash_dup,
+        "fork_argmax": q_fork_argmax,
+        "fork_argmax_gated": q_fork_argmax_gated,
+        "junction_support": q_junction_support,
+        "union_counts": q_union_counts,
+        "best_connection": q_best_connection,
+        "distinct_pairs": q_distinct_pairs,
+        "top_orders": q_top_orders,
+        "multi_join_agg": q_multi_join_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
+        "events_running": q_events_running,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "source_rollup": q_source_rollup,
+        "lang_pivot": q_lang_pivot,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "doc_chunk": q_doc_chunk,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "token_quantiles": q_token_quantiles,
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
+        "stratified_split": q_stratified_split,
+        "assemble_blocks": q_assemble_blocks,
+        "meta_assemble": q_meta_assemble,
     }
 
 
@@ -2564,42 +2625,34 @@ def oracle_sql() -> dict[str, str]:
             " FROM s"
         ),
         "kmeans_assign": (
-            # unrolled replay of kmeans_lite(dim=64, n_centroids=16,
-            # n_iter=2): init = 16 smallest-id vectors (zero-norm
-            # excluded), assign (argmax int-dot/||c||, ties → lowest
-            # cell), floored-mean update (empty/zero-norm cells keep the
-            # old centroid), assign again
-            "WITH v AS (SELECT vec_id,"
-            " list_transform(CAST(embedding AS DOUBLE[]),"
-            " x -> CAST(floor(x * 1000) AS BIGINT)) AS qv FROM embeddings), "
-            "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,"
-            " qv AS cq FROM (SELECT * FROM v ORDER BY vec_id LIMIT 16)"
-            " WHERE list_dot_product(CAST(qv AS DOUBLE[]),"
-            " CAST(qv AS DOUBLE[])) > 0), "
-            "a1 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c0.cell,"
-            " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
-            " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c0.cq AS DOUBLE[]))"
-            " / sqrt(list_dot_product(CAST(c0.cq AS DOUBLE[]),"
-            " CAST(c0.cq AS DOUBLE[]))) DESC, c0.cell ASC) AS rn"
-            " FROM v CROSS JOIN c0) WHERE rn = 1), "
-            "comp AS (SELECT a1.cell, CAST(p AS INT) AS pos,"
-            " v.qv[CAST(p AS INT) + 1] AS x FROM a1 JOIN v USING (vec_id),"
-            " unnest(generate_series(0, 63)) AS u(p)), "
-            "upd AS (SELECT cell, pos, sum(x) AS s, count(*) AS c FROM comp"
-            " GROUP BY 1, 2), "
-            "updl AS (SELECT cell, list(CAST(floor(CAST(s AS DOUBLE) / c)"
-            " AS BIGINT) ORDER BY pos) AS uq FROM upd GROUP BY cell), "
-            "c1 AS (SELECT c0.cell, CASE WHEN updl.uq IS NOT NULL AND"
-            " list_dot_product(CAST(updl.uq AS DOUBLE[]),"
-            " CAST(updl.uq AS DOUBLE[])) > 0 THEN updl.uq ELSE c0.cq END"
-            " AS cq FROM c0 LEFT JOIN updl ON c0.cell = updl.cell), "
-            "a2 AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c1.cell,"
-            " row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            _SQL_KMEANS16_A2
+            + " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2"
+        ),
+        "semantic_dedup": (
+            # replay of semantic_dedup(threshold=0.3): kmeans_lite's two
+            # unrolled fixed-point Lloyd iterations, then per-cell
+            # members (zero-norm excluded) with exact int64 dots, the
+            # paper's triu ordering (centroid-cosine ASC, ties → lower
+            # id), and the cosine-≥θ drop. Survivors = NOT IN dropped.
+            _SQL_KMEANS16_A2
+            + ", mem AS (SELECT a2.vec_id AS vid, a2.cell, v.qv,"
+            " list_dot_product(CAST(v.qv AS DOUBLE[]),"
+            " CAST(v.qv AS DOUBLE[])) AS n2,"
             " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c1.cq AS DOUBLE[]))"
-            " / sqrt(list_dot_product(CAST(c1.cq AS DOUBLE[]),"
-            " CAST(c1.cq AS DOUBLE[]))) DESC, c1.cell ASC) AS rn"
-            " FROM v CROSS JOIN c1) WHERE rn = 1) "
-            "SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2"
+            " / (sqrt(list_dot_product(CAST(v.qv AS DOUBLE[]),"
+            " CAST(v.qv AS DOUBLE[])))"
+            " * sqrt(list_dot_product(CAST(c1.cq AS DOUBLE[]),"
+            " CAST(c1.cq AS DOUBLE[])))) AS ccos"
+            " FROM a2 JOIN v USING (vec_id) JOIN c1 ON a2.cell = c1.cell"
+            " WHERE list_dot_product(CAST(v.qv AS DOUBLE[]),"
+            " CAST(v.qv AS DOUBLE[])) > 0), "
+            "drp AS (SELECT DISTINCT a.vid FROM mem a JOIN mem b"
+            " ON a.cell = b.cell"
+            " AND ((b.ccos < a.ccos) OR (b.ccos = a.ccos AND b.vid < a.vid))"
+            " WHERE list_dot_product(CAST(a.qv AS DOUBLE[]),"
+            " CAST(b.qv AS DOUBLE[])) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.3) "
+            "SELECT vec_id FROM embeddings"
+            " WHERE vec_id NOT IN (SELECT vid FROM drp)"
         ),
         "binary_meta": (
             "SELECT doc_id AS id, octet_length(encode(text)) AS byte_len,"

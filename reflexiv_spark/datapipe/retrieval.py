@@ -43,6 +43,15 @@ def bm25_score(
     ``\\w+`` word tokens, N and avgdl are corpus-wide.
     """
     terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        # zero query terms → zero matches. Without this, F.array() of
+        # zero structs has VOID element type and the F.filter below
+        # fails to resolve (INVALID_EXTRACT_BASE_FIELD_TYPE); the old
+        # broadcast-join form returned empty, so keep that contract.
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} {dict(df.dtypes)[id_col]}, n_matched bigint, score double"
+        )
 
     tok_arr = F.regexp_extract_all(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0

@@ -10,6 +10,7 @@ evolution does not mark the whole similarity family window-affected in
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +24,7 @@ def semantic_dedup(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -41,10 +43,27 @@ def semantic_dedup(
     LSH-bucketed :func:`embedding_dedup` — candidate pairs are confined
     to k-means cells, so the pairwise term is Σ|cell|² and ``n_centroids``
     is the knob that bounds it (the paper runs k ≈ n/50k at web scale;
-    pass a larger ``n_centroids`` as the corpus grows). The centroid
-    model is driver-sized (kmeans_lite trains on the ≤4096 smallest-id
-    rows), assignment is one Arrow GEMM pass, the self-join key is the
-    cell id, and only (id, quantized-vector) columns enter the exchange.
+    pass a larger ``n_centroids`` as the corpus grows). Only the INIT of
+    ``kmeans_lite`` is the smallest-id vectors; every Lloyd update
+    aggregates the full ``df``. Assignment is one Arrow GEMM pass, the
+    self-join key is the cell id, and only (id, quantized-vector)
+    columns enter the exchange.
+
+    Scale CEILING — the driver-resident model: the centroid matrix is
+    C×dim int64s held on the driver and closure-shipped into the GEMM
+    assignment UDF. At the paper's web-scale k ≈ n/50k (k ~ 2M cells
+    for a 100B-row corpus at dim 768) that matrix is ~12 GB — no longer
+    "driver-sized", and argmax-over-all-C per row stops being one GEMM.
+    This implementation is therefore bounded to models that fit the
+    driver and the task broadcast (roughly C·dim ≤ 10^8); beyond that,
+    train centroids in a prior distributed job, shard the assignment
+    (coarse-quantize to a centroid GROUP first, then argmax within the
+    group), and feed the resulting model here via ``centroids``.
+
+    ``centroids``: optional pre-trained int64 fixed-point C×dim matrix
+    (e.g. a prior :func:`kmeans_lite` run on a hash-sample, or an
+    external trainer quantized with floor(x·1000)). When given, no
+    training happens — one assignment pass replaces the Lloyd loop.
 
     Determinism: vectors and centroids live in kmeans_lite's
     floor(x·1000) int64 fixed point, so every dot product is an exact
@@ -54,8 +73,9 @@ def semantic_dedup(
     undefined).
     """
     assign, cmat = kmeans_lite(
-        df, dim=dim, n_centroids=n_centroids, n_iter=n_iter,
-        id_col=id_col, vec_col=vec_col,
+        df, dim=dim, n_centroids=n_centroids,
+        n_iter=1 if centroids is not None else n_iter,
+        id_col=id_col, vec_col=vec_col, init_centroids=centroids,
     )
     spark = df.sparkSession
     cent = spark.createDataFrame(

@@ -674,6 +674,7 @@ def kmeans_lite(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_centroids: np.ndarray | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Fixed-point Lloyd refinement of an IVF-style coarse quantizer →
     (assignments DataFrame[vec_id, cell], refined int64 centroid
@@ -685,8 +686,12 @@ def kmeans_lite(
     order-free, IEEE divide of identical operands is correctly rounded;
     ties → lowest cell index); the centroid update is the per-component
     FLOOR of sum/count (exact — no float accumulation across rows).
-    Initial centroids are the ``n_centroids`` smallest-id vectors, the
-    same deterministic seed :func:`ivf_topk` uses.
+    INIT is the ``n_centroids`` smallest-id vectors (the same
+    deterministic seed :func:`ivf_topk` uses); every Lloyd update then
+    aggregates the FULL ``df``, not a sample. Pass ``init_centroids``
+    (an int64 fixed-point C×dim matrix, e.g. a prior ``kmeans_lite``
+    run's output) to skip the smallest-id init — with ``n_iter=1`` that
+    is a pure assignment pass against a pre-trained model.
 
     Scale notes: the centroid state lives on the driver (≤ C × dim
     int64s — the "model" every k-means ships); each iteration is one
@@ -704,10 +709,13 @@ def kmeans_lite(
     qv = df.select(F.col(id_col).alias("vid"), q.alias("qv"))
     qv = qv.localCheckpoint(eager=False)
 
-    cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
-    cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64).reshape(
-        len(cent_rows), dim
-    )
+    if init_centroids is not None:
+        cmat = np.asarray(init_centroids, dtype=np.int64).reshape(-1, dim)
+    else:
+        cent_rows = qv.orderBy("vid").limit(n_centroids).collect()
+        cmat = np.array([r["qv"] for r in cent_rows], dtype=np.int64).reshape(
+            len(cent_rows), dim
+        )
     # zero-norm init vectors are excluded (cosine undefined); cell ids
     # are positions in the SURVIVING list, matching the oracle's
     # row_number over the id-ordered survivors
@@ -1032,4 +1040,3 @@ def pq_codebooks_trained(
             cmat = np.concatenate([cmat, pad])
         mats.append(cmat.astype(np.int64))
     return np.stack(mats)
-

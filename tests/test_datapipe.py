@@ -658,6 +658,21 @@ def test_bm25_hand_computed(spark):
     assert got[1]["score"] > got[2]["score"]  # higher tf, same-ish dl
 
 
+def test_bm25_empty_query_returns_empty(spark):
+    """A query with no word tokens must return an empty, correctly
+    schemed result — not raise (ADVICE r7: zero tf structs gave a VOID
+    element type and F.filter failed to resolve)."""
+    from reflexiv_spark.datapipe.retrieval import bm25_score
+
+    docs = spark.createDataFrame(
+        [(1, "some text")], "doc_id long, text string"
+    )
+    for q in ("", "   "):
+        out = bm25_score(docs, q)
+        assert out.columns == ["doc_id", "n_matched", "score"]
+        assert out.count() == 0
+
+
 def test_asof_and_range_join_planted(spark):
     from datetime import datetime as dt
 

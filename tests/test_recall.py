@@ -290,3 +290,20 @@ def test_semantic_dedup_planted_groups(spark):
         ).select("vec_id").collect()
     }
     assert kept2 == kept_ids
+
+    # externally supplied centroids (the web-scale path: train the
+    # model in a prior distributed job, assign-only here). Feeding back
+    # the centroids kmeans_lite itself produced must reproduce the
+    # trained run exactly — same assignment pass, zero training jobs.
+    from reflexiv_spark.datapipe.similarity import kmeans_lite
+
+    _, cmat = kmeans_lite(
+        df, dim=dim, n_centroids=8, n_iter=2, id_col="vec_id"
+    )
+    kept3 = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.999, dim=dim, id_col="vec_id", centroids=cmat
+        ).select("vec_id").collect()
+    }
+    assert kept3 == kept_ids

@@ -94,11 +94,13 @@ def main() -> int:
 
     spark = get_spark(app_name="check-correctness", shuffle_partitions=16)
     failures = []
+    skipped = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if name in exclude:
             print(f"SKIP {name}: excluded (SPARK_GRAFT_CHECK_EXCLUDE)")
+            skipped.append(name)
             continue
         t0 = time.time()
         try:
@@ -153,7 +155,12 @@ def main() -> int:
         else:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
+    # summary is self-describing: a sweep capture must show WHAT was
+    # excluded, not just a green count (ADVICE r7 — '78/84 green' can
+    # overstate coverage when the exclusion list isn't alongside it)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if skipped:
+        print(f"{len(skipped)} skipped (SPARK_GRAFT_CHECK_EXCLUDE): {sorted(skipped)}")
     return 1 if failures else 0
 
 
