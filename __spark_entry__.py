@@ -1190,7 +1190,15 @@ def q_end_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with overhanging read windows derived from the same docs."""
     from reflexiv_spark.operators.mapping import extend_contigs_with_reads
 
-    dna = _t(spark, sf_dir, "documents").select(
+    # repartition the RAW text before the regexp projection: the scan
+    # yields only a handful of input splits, and running the dominant
+    # regexp there serializes it (profiled: 2.3 s of the 6.5 s sf1.0
+    # wall in one 4-task stage) — exchanging raw bytes first runs it at
+    # full parallelism
+    raw = _t(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    dna = raw.select(
         F.col("doc_id").cast("string").alias("contig_id"),
         F.regexp_replace(F.upper(F.col("text")), "[^ACGT]", "").alias("full_seq"),
     ).where(F.length("full_seq") >= 60).localCheckpoint(eager=False)

@@ -235,13 +235,34 @@ def _char_at(seq: Column, pos: Column) -> Column:
     return seq.substr(pos, F.lit(1))
 
 
-def _consensus_from_overhangs(m: DataFrame, min_depth: int) -> DataFrame:
+def _consensus_from_overhangs(
+    m: DataFrame, min_depth: int, n_part: int | None = None
+) -> DataFrame:
     """Shared vote→majority→contiguity→assemble kernel: ``m`` rows carry
     (contig_id, side, wt, rseq, rlen, first_over); returns
     DataFrame[contig_id, side, extension]. Used by BOTH
     :func:`consensus_extensions` (the standalone/pipe_minimap2 path) and
     the fused :func:`extend_contigs_with_reads`, so the voting/tie/depth
-    rules live in exactly one place."""
+    rules live in exactly one place.
+
+    Exchange shape: ONE pinned repartition by contig_id clusters the
+    overhang rows BEFORE the per-base explode. HashPartitioning(contig_id)
+    is a subset of every downstream clustering requirement — the vote
+    count (cid, side, q, base), the majority pick (cid, side, q), the
+    contiguity window (cid, side), the assembly agg (cid, side) AND the
+    caller's per-contig L/R pivot (cid) — so the entire chain through
+    the pivot runs exchange-free where the naive plan cascades four
+    exchanges (the r7 sf1.0 gap was sequential-stage floor, not bytes).
+    Rows exchanged are read-sized overhangs, not exploded base votes.
+    Skew bound: one partition holds one contig's overhang reads — both
+    ends are ≤ searchable_len bases, so per-contig row count is coverage-
+    bounded, the same bound the final window already imposed."""
+    m = m.select("contig_id", "side", "wt", "rseq", "rlen", "first_over")
+    m = (
+        m.repartition(n_part, "contig_id")
+        if n_part
+        else m.repartition("contig_id")
+    )
     votes = m.select(
         "contig_id",
         "side",
@@ -381,7 +402,11 @@ def extend_contigs_with_reads(
         # pair of reads would pool their votes under one id
         .withColumn("rid", F.xxhash64("seq"))
         # consumed by the seed mapper AND the consensus voter: materialize
-        # the dedup shuffle once instead of per consumer
+        # the dedup shuffle once instead of per consumer. A checkpoint-free
+        # exchange-reuse form was MEASURED (r8) and reverted: column
+        # pruning specializes the two consumers' exchanges (k-mer side
+        # prunes weight, vote side prunes nothing), so ReusedExchange
+        # never fires and the dedup groupBy runs twice (+2.1 s at sf1.0)
         .localCheckpoint(eager=False)
     )
 
@@ -433,11 +458,15 @@ def extend_contigs_with_reads(
             "side",
             (F.col("tpos") - F.col("rpos") + 1).alias("offset"),
         )
-        .dropDuplicates(["rid", "contig_id", "side", "offset"])
-        # verify + vote-explode below fan out per-base from these id-only
-        # rows — pin the parallelism (numbered repartitions satisfy the
-        # join's distribution requirement and are never AQE-coalesced)
+        # repartition FIRST: HashPartitioning(rid) satisfies the distinct's
+        # (rid, contig_id, side, offset) clustering (subset rule), so the
+        # dedup runs partition-local instead of adding its own exchange —
+        # one shuffle where the old dropDuplicates→repartition pair had two.
+        # The numbered repartition also pins parallelism for the compute-
+        # dense verify + vote-explode below (never AQE-coalesced) and
+        # satisfies the rid join's distribution requirement.
         .repartition(n_part, "rid")
+        .dropDuplicates(["rid", "contig_id", "side", "offset"])
     )
     m = (
         cand.join(
@@ -466,11 +495,13 @@ def extend_contigs_with_reads(
             (F.col("first_over") >= 1) & (F.col("first_over") <= F.col("rlen"))
         )
     )
-    ext = _consensus_from_overhangs(m, min_depth)
+    ext = _consensus_from_overhangs(m, min_depth, n_part=n_part)
     # Both sides in ONE pass: a conditional agg replaces the old
     # checkpoint + L/R filtered splits + two joins (the split form read
     # the extension set three times and joined twice; at most 2 rows per
     # contig exist, so one max(when) agg pivots them into columns).
+    # Partitioned by contig_id since the kernel's repartition → no
+    # exchange here either.
     per_contig = ext.groupBy("contig_id").agg(
         F.max(F.when(F.col("side") == "L", F.col("extension"))).alias("__l"),
         F.max(F.when(F.col("side") == "R", F.col("extension"))).alias("__r"),
