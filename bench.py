@@ -265,7 +265,13 @@ def main() -> None:
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
+    # SPARK_GRAFT_BENCH_ALL=1 times the FULL registry (oracled queries
+    # not in HEADLINE appended, registry order) — the tail queries
+    # (reassemble, error_correct, cluster_keep_best, binary_meta, ...)
+    # otherwise never appear in a bench artifact (VERDICT r7 #7)
     names = [n for n in HEADLINE if n in qs]
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names += [n for n in qs if n not in set(names)]
     for n in names:  # warmup: codegen + JIT on the tiny SF
         try:
             run(n, "/root/testdata/sf0.001")
@@ -297,6 +303,9 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,
                 "agg": "min",
+                "scope": "full_registry"
+                if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+                else "headline",
             }
         )
     )

@@ -220,6 +220,16 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    sd_ = add("semdedup", help="datapipe: SemDeDup semantic dedup — "
+              "k-means-cell-bounded pairwise cosine over an embedding "
+              "parquet; emits the surviving rows")
+    sd_.add_argument("--id-col", default="vec_id")
+    sd_.add_argument("--vec-col", default="embedding")
+    sd_.add_argument("--dim", type=int, default=64)
+    sd_.add_argument("--threshold", type=float, default=0.95)
+    sd_.add_argument("--n-centroids", type=int, default=16)
+    sd_.add_argument("--n-iter", type=int, default=2)
+
     ts_ = add("text-strip", help="datapipe: strip HTML/markup to plain text")
     ts_.add_argument("--text-col", default="text")
     ts_.add_argument("--id-col", default="doc_id")
@@ -559,6 +569,19 @@ def main(argv: list[str] | None = None) -> int:
             damping=args.damping,
             src=args.src_col,
             dst=args.dst_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "semdedup":
+        from reflexiv_spark.datapipe.semdedup import semantic_dedup
+
+        out = semantic_dedup(
+            spark.read.parquet(args.input),
+            threshold=args.threshold,
+            dim=args.dim,
+            n_centroids=args.n_centroids,
+            n_iter=args.n_iter,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "text-strip":

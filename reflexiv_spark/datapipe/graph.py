@@ -61,25 +61,37 @@ def pagerank(
     # first action computes and pins them; no standalone warmup jobs),
     # stats reset.
     e = iteration_barrier(e, eager=False)
+    # Distinct SOURCES ride the outdeg aggregate (map-side combine →
+    # src-cardinality rows exchanged); distinct DESTINATIONS are one
+    # dedicated distinct. The node set is then srcs ∪ dsts over those
+    # two SMALL relations — the old form unioned all 2|E| raw endpoints
+    # and exchanged them for a distinct (profiled at sf1.0: a 69 MB
+    # exchange and the single most expensive setup stage), even though
+    # both ingredients were already being computed anyway.
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    dstd = iteration_barrier(
+        e.select(F.col("dst").alias("node")).distinct(), eager=False
+    )
+    # outdeg is src-cardinality-sized → AQE broadcasts it; edeg carries
+    # (src, dst, outdeg) and is the per-round probe table
+    edeg = e.join(outdeg, "src")
+    edeg = iteration_barrier(edeg, eager=False)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        outdeg.select(F.col("src").alias("node"))
+        .unionByName(dstd)
         .distinct()
     )
-    nodes = iteration_barrier(nodes, eager=False)
-    edeg = e.join(
-        e.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
-    )
-    edeg = iteration_barrier(edeg, eager=False)
     # Nodes with NO in-edges hold the constant teleport rank (1-d) from
     # round 1 onward — computing that set ONCE (anti-join, barriered)
     # and unioning it in per round replaces the old per-round
     # nodes-left-join, which re-exchanged and re-sorted the full node
     # set every iteration (exchange-free union vs join: ~2 fewer
-    # shuffles per round).
+    # shuffles per round). nodes \ dsts ≡ srcs \ dsts, so the anti-join
+    # probes the small src relation, not the full node set.
     no_in = iteration_barrier(
-        nodes.join(e.select(F.col("dst").alias("node")).distinct(),
-                   "node", "left_anti"),
+        outdeg.select(F.col("src").alias("node")).join(
+            dstd, "node", "left_anti"
+        ),
         eager=False,
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))

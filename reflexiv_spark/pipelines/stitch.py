@@ -59,6 +59,18 @@ def stitch_bridges(
     ``d`` is the read-coordinate distance from the left-end seed to the
     right-start seed; ``d >= k`` means a gap of ``d - k`` bases filled
     from the read, ``d < k`` an overlap of ``k - d`` bases.
+
+    Repeat-heavy-corpus caveat: per bridging read the candidate set is
+    the CROSS PRODUCT of its left-end hits × right-start hits, so a
+    corpus where many contigs share identical end k-mers (wholesale
+    clones; a scaled benchmark built by duplication) grows candidates
+    quadratically in the clone multiplicity even though the plan itself
+    adds no quadratic term — measured on the cloned sf3→sf10 corpus as
+    a super-linear wall segment with FLAT output (3,370 bridges at sf1/
+    sf3/sf10; full analysis in BASELINE.md "Scaling curve"). Real
+    corpora repeat via genuine repeat structure, bounding the fan-out
+    by true end-sharing; if your corpus is clone-heavy, dedup contigs
+    (``contig_dedup``) before stitching.
     """
     # Content-deterministic read ids (xxhash64 of the sequence): stable
     # under partition recompute, unlike monotonically_increasing_id, and

@@ -314,3 +314,24 @@ def test_cli_text_split_rejects_bad_fractions(spark, tmp_path):
             main(["text-split", "-i", str(inp), "-o", str(out),
                   "--fractions", bad])
         assert ei.value.code == 2
+
+
+def test_cli_semdedup(spark, tmp_path):
+    """semdedup subcommand: planted duplicate pair collapses to one
+    survivor; distinct vectors all survive."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    rows.append((99, list(rows[3][1])))  # exact clone of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    inp = tmp_path / "emb.parquet"
+    emb.write.parquet(str(inp))
+    out = tmp_path / "kept"
+    assert main([
+        "semdedup", "-i", str(inp), "-o", str(out),
+        "--dim", "8", "--threshold", "0.999", "--n-centroids", "4",
+    ]) == 0
+    kept = {r["vec_id"] for r in spark.read.parquet(str(out)).collect()}
+    assert (3 in kept) != (99 in kept)  # exactly one of the clone pair
+    assert kept >= set(range(12)) - {3}  # no false positives
