@@ -205,6 +205,45 @@ _SQL_VNORM = (
     " CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings)"
 )
 
+# DSIR core replay (md5 family, dim 512, unigrams+bigrams, the
+# doc_id%10 target/raw split): hashed features → smoothed bucket
+# models of both corpora → per-bucket integer micro-log10-ratio →
+# per-raw-doc exact bigint sum. Ends with CTEs `rd` (distinct raw doc
+# ids) and `pd` (doc_id, n_feats, s) — shared by the dsir_weights /
+# dsir_select oracles.
+_SQL_DSIR_PD = (
+    r"WITH w AS (SELECT doc_id,"
+    r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+    " FROM documents), "
+    "uni AS (SELECT doc_id, 'u|' || ws[CAST(i AS INT)] AS f"
+    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)), "
+    "bi AS (SELECT doc_id, 'b|' || ws[CAST(i AS INT)] || ' ' ||"
+    " ws[CAST(i AS INT) + 1] AS f FROM w,"
+    " unnest(generate_series(1, len(ws) - 1)) AS t(i)"
+    " WHERE len(ws) >= 2), "
+    "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+    "x AS (SELECT doc_id, (CAST(('0x' || substr(md5(f), 1, 15))"
+    " AS BIGINT) % 512) AS idx FROM f), "
+    "xr AS (SELECT * FROM x WHERE doc_id % 10 != 0), "
+    "xt AS (SELECT * FROM x WHERE doc_id % 10 = 0), "
+    "cr AS (SELECT idx, count(*) AS c FROM xr GROUP BY idx), "
+    "ct AS (SELECT idx, count(*) AS c FROM xt GROUP BY idx), "
+    "tr AS (SELECT count(*) AS t FROM xr), "
+    "tt AS (SELECT count(*) AS t FROM xt), "
+    "b AS (SELECT CAST(i AS BIGINT) AS idx FROM"
+    " unnest(generate_series(0, 511)) AS u(i)), "
+    "dist AS (SELECT b.idx, CAST(floor(("
+    "log10(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)"
+    " / CAST(tt.t + 512 AS DOUBLE))"
+    " - log10(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)"
+    " / CAST(tr.t + 512 AS DOUBLE))) * 1000000) AS BIGINT) AS lr"
+    " FROM b LEFT JOIN cr ON b.idx = cr.idx"
+    " LEFT JOIN ct ON b.idx = ct.idx, tr, tt), "
+    "pd AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS s"
+    " FROM xr JOIN dist USING (idx) GROUP BY 1), "
+    "rd AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 != 0)"
+)
+
 # unrolled replay of kmeans_lite(dim=64, n_centroids=16, n_iter=2):
 # init = 16 smallest-id vectors (zero-norm excluded), assign (argmax
 # int-dot/||c||, ties → lowest cell), floored-mean update (empty/
@@ -1524,6 +1563,41 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def _dsir_split(spark: SparkSession, sf_dir: str):
+    """The decontaminate-style split: every 10th doc is the TARGET
+    distribution, the rest the RAW corpus to be scored/selected."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: DSIR importance weights (Xie et al., arXiv:2302.03169)
+    — hashed unigram+bigram bucket models (dim 512) of the target vs
+    raw corpora, add-1 smoothed, per-doc Σ log10 ratio in exact integer
+    micro-units (order-free sum; md5 family for the oracle replay)."""
+    from reflexiv_spark.datapipe.dsir import dsir_log_weights
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_log_weights(
+        raw, target, dim=512, use_bigrams=True, hash_family="md5"
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: DSIR Gumbel-top-k resampling — top 50 raw docs by
+    micro-unit importance score + hash-derived base-10 Gumbel noise
+    (a constant off ln-Gumbel, so the top-k is the paper's sampler)."""
+    from reflexiv_spark.datapipe.dsir import dsir_select
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_select(
+        raw, target, k=50, dim=512, use_bigrams=True, hash_family="md5"
+    )
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -1767,6 +1841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fasta_wrap": q_fasta_wrap,
         # --- NEW in round 8 (built round 7, enters per protocol) ---
         "semantic_dedup": q_semantic_dedup,
+        # --- NEW in round 8 (DSIR importance resampling) ---
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         # --- modules touched in round 8: must re-enter the window ---
         "bm25_rank": q_bm25_rank,
         "end_extend": q_end_extend,
@@ -1783,10 +1860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "mercy": q_mercy,
         "reduction": q_reduction,
+        # --- r7-green, rotated out (modules not semantically changed
+        # in round 8; CORRECTNESS_r07.json rows stand; contig_merge /
+        # contained_dedup ceded their spare slots to the two DSIR
+        # queries — merger/containment untouched this round) ---
         "contig_merge": q_contig_merge,
         "contained_dedup": q_contained_dedup,
-        # --- r7-green, rotated out (modules not semantically changed
-        # in round 8; CORRECTNESS_r07.json rows stand) ---
         "kmer_band": q_kmer_band,
         "kmer_clip": q_kmer_clip,
         "exact_dedup": q_exact_dedup,
@@ -2635,6 +2714,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": (
             _SQL_KMEANS16_A2
             + " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2"
+        ),
+        "dsir_weights": (
+            _SQL_DSIR_PD
+            + " SELECT rd.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT)"
+            " AS n_feats, round(CAST(coalesce(s, 0) AS DOUBLE) / 1000000,"
+            " 6) AS log_weight FROM rd LEFT JOIN pd USING (doc_id)"
+        ),
+        "dsir_select": (
+            # Gumbel-top-k: hash-derived uniform → base-10 Gumbel in the
+            # same integer micro-units; key = s + gumbel; ties → doc_id
+            _SQL_DSIR_PD
+            + ", keyed AS (SELECT rd.doc_id,"
+            " round(CAST(coalesce(s, 0) AS DOUBLE) / 1000000, 6)"
+            " AS log_weight, coalesce(s, 0) + CAST(floor("
+            "-log10(-log10((CAST(('0x' || substr(md5('g|' ||"
+            " CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+            " + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS key"
+            " FROM rd LEFT JOIN pd USING (doc_id)) "
+            "SELECT doc_id, log_weight, key FROM keyed"
+            " ORDER BY key DESC, doc_id LIMIT 50"
         ),
         "semantic_dedup": (
             # replay of semantic_dedup(threshold=0.3): kmeans_lite's two

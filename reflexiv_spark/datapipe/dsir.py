@@ -1,0 +1,187 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how target-like its
+hashed n-gram distribution is, then Gumbel-top-k resample.
+
+The selection stage every curated-pretraining pipeline runs between
+dedup and tokenization: given a small TARGET corpus (the distribution
+you want — e.g. Wikipedia+books) and a huge RAW corpus, estimate bag-of-
+hashed-n-grams unigram models of both, weight each raw document by its
+log importance ratio, and sample proportionally. Separate module so its
+evolution does not mark the whole text family window-affected in
+``tools/check_window.py`` (it shares the feature plumbing via import).
+
+Scale shape at 100 TB: the two bucket distributions are ``dim``-row
+aggregates (map-side combined; ``dim`` ≤ a few million is model-sized),
+the log-ratio table broadcasts, and the per-document score is one
+broadcast equi-join plus a doc-keyed sum whose exchange is docs-sized
+(feature rows partial-aggregate by doc within each scan partition).
+Selection is a global top-k — Spark executes orderBy+limit as
+TakeOrdered, no full sort.
+
+Determinism: each bucket's log ratio quantizes to integer MICRO-units
+(floor(log10-ratio × 1e6) — log10 of a correctly-rounded double ratio,
+the same cross-engine device as ``text.unigram_logprob_score``), so the
+per-document sum is an exact bigint — order-free under any partitioning
+— and the Gumbel noise derives from the hash family, not a RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.dedup import md5_long
+from reflexiv_spark.datapipe.text import _hashed_features
+
+MICRO = 1_000_000
+
+
+def _dsir_micro_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    use_bigrams: bool,
+    hash_family: str,
+) -> DataFrame:
+    """Shared core → DataFrame[id, n_feats, s] where ``s`` is the
+    per-document importance score in integer micro-log10 units:
+    s = Σ_features floor(1e6 · log10(p_target(b) / p_raw(b))), with
+    add-1-smoothed bucket probabilities p(b) = (count_b + 1)/(total + dim).
+    """
+    spark = raw.sparkSession
+    base_r, fr, _h = _hashed_features(
+        raw, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    _, ft, _ = _hashed_features(
+        target, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    cr = fr.groupBy("idx").agg(F.count(F.lit(1)).alias("cr"))
+    ct = ft.groupBy("idx").agg(F.count(F.lit(1)).alias("ct"))
+    tot_r = fr.agg(F.count(F.lit(1)).alias("tr"))
+    tot_t = ft.agg(F.count(F.lit(1)).alias("tt"))
+    # every bucket exists (absent buckets still carry +1 smoothing mass):
+    # range(dim) ⋈ the two dim-bounded count relations, scalar totals
+    # broadcast via single-row cross joins
+    buckets = spark.range(dim).select(F.col("id").alias("idx"))
+    dist = (
+        buckets.join(cr, "idx", "left")
+        .join(ct, "idx", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "idx",
+            F.floor(
+                (
+                    F.log10(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tt") + dim).cast("double")
+                    )
+                    - F.log10(
+                        (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                        / (F.col("tr") + dim).cast("double")
+                    )
+                )
+                * MICRO
+            ).cast("bigint").alias("lr"),
+        )
+    )
+    perdoc = (
+        fr.join(F.broadcast(dist), "idx")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("s"),
+        )
+    )
+    return base_r.select("id").distinct().join(perdoc, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+        F.coalesce("s", F.lit(0)).cast("bigint").alias("s"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance weight →
+    DataFrame[doc_id, n_feats, log_weight].
+
+    log_weight(x) = Σ_{n-grams g of x} log10( p̂_target(h(g)) / p̂_raw(h(g)) )
+    with hashed features (``dim`` buckets, unigrams + optional bigrams —
+    the paper's bag-of-hashed-n-grams model) and add-1 smoothing on both
+    unigram bucket models. Positive = more target-like than raw-like.
+    Documents with zero features weigh 0. ``hash_family='md5'`` is the
+    oracle-replayable family; xxhash64 the production default.
+    """
+    out = _dsir_micro_scores(
+        raw, target, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_feats",
+        F.round(F.col("s").cast("double") / MICRO, round_digits).alias(
+            "log_weight"
+        ),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling → the ``k`` selected raw
+    documents as DataFrame[doc_id, log_weight, key].
+
+    Sampling WITHOUT replacement proportionally to w(x) is exactly
+    top-k of log w(x) + Gumbel noise (the Gumbel-top-k trick the paper
+    uses). The noise is derived, not random: u = (hash('g|'||id) mod 1e6
+    + 0.5)/1e6 ∈ (0,1), g = −log10(−log10(u)) — base-10 Gumbel differs
+    from ln-Gumbel by a constant offset, which cannot change a top-k —
+    quantized to the same integer micro-units as the weights so the
+    selection key is an exact bigint. Ties break on id. Deterministic
+    given the corpus and the hash family; swap the family (or salt the
+    'g|' prefix) to redraw.
+    """
+    scores = _dsir_micro_scores(
+        raw, target, text_col, id_col, dim, use_bigrams, hash_family
+    )
+
+    def _h(c: Column) -> Column:
+        if hash_family == "md5":
+            return md5_long(c)
+        return F.pmod(F.xxhash64(c), F.lit(1 << 60))
+
+    u = (
+        F.pmod(_h(F.concat(F.lit("g|"), F.col("id").cast("string"))), F.lit(MICRO))
+        + F.lit(0.5)
+    ) / F.lit(float(MICRO))
+    gumbel = F.floor(-F.log10(-F.log10(u)) * MICRO).cast("bigint")
+    keyed = scores.select(
+        "id",
+        F.round(F.col("s").cast("double") / MICRO, 6).alias("log_weight"),
+        (F.col("s") + gumbel).alias("key"),
+    )
+    return (
+        keyed.orderBy(F.col("key").desc(), F.col("id"))
+        .limit(int(k))
+        .select(
+            F.col("id").alias(id_col),
+            "log_weight",
+            F.col("key").cast("bigint").alias("key"),
+        )
+    )

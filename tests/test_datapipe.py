@@ -1257,3 +1257,56 @@ def test_bpe_encode_hand_built_list_uses_rank_semantics(spark):
     auto = bpe_encode(df, merges).collect()[0]["tokens"]
     explicit = bpe_encode(df, merges, engine="pandas").collect()[0]["tokens"]
     assert auto == explicit == ["abc"]
+
+
+def test_dsir_weights_planted_distribution_shift(spark):
+    """DSIR (Xie et al. 2023): raw docs matching the target distribution
+    must outweigh off-target docs; featureless docs weigh 0; the exact
+    integer micro-unit sum is layout-invariant."""
+    from reflexiv_spark.datapipe.dsir import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta alpha beta"),   # target-like
+         (2, "alpha beta gamma"),                    # target-like, shorter
+         (3, "zulu yankee xray whiskey victor"),     # off-target
+         (4, "")],                                   # featureless
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dsir_log_weights(raw, target, dim=256).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1].log_weight > got[3].log_weight
+    assert got[2].log_weight > got[3].log_weight
+    assert got[4].n_feats == 0 and got[4].log_weight == 0.0
+    # per-token average favors target-like docs regardless of length
+    assert got[1].log_weight / got[1].n_feats > got[3].log_weight / got[3].n_feats
+    # layout invariance: exact bigint micro-sums don't care about partitioning
+    got2 = {r.doc_id: r.log_weight
+            for r in dsir_log_weights(raw.repartition(7), target, dim=256).collect()}
+    assert got2 == {i: got[i].log_weight for i in got}
+
+
+def test_dsir_select_gumbel_topk(spark):
+    """Selection returns exactly k deterministic rows and skews toward
+    the target distribution (20 target-like vs 20 off-target raw docs —
+    weights dominate the bounded Gumbel noise)."""
+    from reflexiv_spark.datapipe.dsir import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon " * 4) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = [(i, "alpha beta gamma delta epsilon " * 4) for i in range(20)]
+    rows += [(100 + i, "zulu yankee xray whiskey victor " * 4) for i in range(20)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    sel = dsir_select(raw, target, k=10, dim=256)
+    got = [r.doc_id for r in sel.collect()]
+    assert len(got) == 10 and len(set(got)) == 10
+    target_like = sum(1 for d in got if d < 100)
+    assert target_like >= 8, got
+    # deterministic redraw
+    got2 = [r.doc_id for r in dsir_select(raw, target, k=10, dim=256).collect()]
+    assert got == got2
