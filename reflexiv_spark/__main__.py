@@ -220,6 +220,20 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    di_ = add("dsir", help="datapipe: DSIR importance-resampling data "
+              "selection — score raw docs against a target-corpus "
+              "distribution; emits (doc_id, n_feats, log_weight), or the "
+              "selected docs with --select-k")
+    di_.add_argument("--target", required=True,
+                     help="parquet path of the TARGET corpus")
+    di_.add_argument("--text-col", default="text")
+    di_.add_argument("--id-col", default="doc_id")
+    di_.add_argument("--dim", type=int, default=4096)
+    di_.add_argument("--no-bigrams", action="store_true")
+    di_.add_argument("--select-k", type=int, default=None,
+                     help="Gumbel-top-k resample this many docs instead "
+                     "of emitting weights")
+
     sd_ = add("semdedup", help="datapipe: SemDeDup semantic dedup — "
               "k-means-cell-bounded pairwise cosine over an embedding "
               "parquet; emits the surviving rows")
@@ -570,6 +584,20 @@ def main(argv: list[str] | None = None) -> int:
             src=args.src_col,
             dst=args.dst_col,
         )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "dsir":
+        from reflexiv_spark.datapipe.dsir import dsir_log_weights, dsir_select
+
+        raw = spark.read.parquet(args.input)
+        target = spark.read.parquet(args.target)
+        kw = dict(
+            text_col=args.text_col, id_col=args.id_col, dim=args.dim,
+            use_bigrams=not args.no_bigrams,
+        )
+        if args.select_k is not None:
+            out = dsir_select(raw, target, k=args.select_k, **kw)
+        else:
+            out = dsir_log_weights(raw, target, **kw)
         _write(out, args.output, args.outformat)
     elif args.cmd == "semdedup":
         from reflexiv_spark.datapipe.semdedup import semantic_dedup

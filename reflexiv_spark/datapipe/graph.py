@@ -76,10 +76,15 @@ def pagerank(
     # (src, dst, outdeg) and is the per-round probe table
     edeg = e.join(outdeg, "src")
     edeg = iteration_barrier(edeg, eager=False)
-    nodes = (
+    # barriered: nodes seeds round 1's rank state, so an un-truncated
+    # lineage here (outdeg agg + union-distinct) nests inside every
+    # subsequent round's plan — the growing-lineage shape the celebrity
+    # skew test's exchange-count bound polices
+    nodes = iteration_barrier(
         outdeg.select(F.col("src").alias("node"))
         .unionByName(dstd)
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     # Nodes with NO in-edges hold the constant teleport rank (1-d) from
     # round 1 onward — computing that set ONCE (anti-join, barriered)

@@ -335,3 +335,31 @@ def test_cli_semdedup(spark, tmp_path):
     kept = {r["vec_id"] for r in spark.read.parquet(str(out)).collect()}
     assert (3 in kept) != (99 in kept)  # exactly one of the clone pair
     assert kept >= set(range(12)) - {3}  # no false positives
+
+
+def test_cli_dsir(spark, tmp_path):
+    """dsir subcommand: weights mode ranks target-like raw docs higher;
+    --select-k emits exactly k rows."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 3) for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zulu yankee xray whiskey")],
+        "doc_id long, text string",
+    )
+    rawp, tgtp = tmp_path / "raw.parquet", tmp_path / "tgt.parquet"
+    raw.write.parquet(str(rawp)); target.write.parquet(str(tgtp))
+
+    wout = tmp_path / "w"
+    assert main(["dsir", "-i", str(rawp), "--target", str(tgtp),
+                 "-o", str(wout), "--dim", "256"]) == 0
+    got = {r["doc_id"]: r["log_weight"]
+           for r in spark.read.parquet(str(wout)).collect()}
+    assert got[1] > got[2]
+
+    sout = tmp_path / "s"
+    assert main(["dsir", "-i", str(rawp), "--target", str(tgtp),
+                 "-o", str(sout), "--dim", "256", "--select-k", "1"]) == 0
+    sel = spark.read.parquet(str(sout)).collect()
+    assert len(sel) == 1
