@@ -112,6 +112,11 @@ HEADLINE = [
     # round 7: greedy per-group token-budget selection, now histogram-
     # binned (no whole-group window) — timed on the production shape
     "token_budget_select",
+    # round 8: DSIR importance resampling end-to-end (weights + Gumbel-
+    # top-k) on the production xxhash64 family; SemDeDup at the oracle
+    # shape (the md5/oracle twins stay correctness entries)
+    "dsir_select_xxh64",
+    "semantic_dedup",
 ]
 
 
@@ -225,6 +230,19 @@ def _bench_only_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return classifier_score(docs, hash_family="xxhash64")
 
+    def dsir_select_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.dsir import dsir_select
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = docs.where(F.col("doc_id") % 10 != 0)
+        target = docs.where(F.col("doc_id") % 10 == 0)
+        return dsir_select(
+            raw, target, k=50, dim=512, use_bigrams=True,
+            hash_family="xxhash64",
+        )
+
     def hll_by_lang_xxh64(spark, sf_dir):
         import __spark_entry__ as ent
         from reflexiv_spark.datapipe.sketch import hll_distinct_by
@@ -234,6 +252,7 @@ def _bench_only_queries():
         return hll_distinct_by(g3, "g3", "lang", p=8, hash_family="xxhash64")
 
     return {
+        "dsir_select_xxh64": dsir_select_xxh64,
         "classifier_score_xxh64": classifier_score_xxh64,
         "hll_by_lang_xxh64": hll_by_lang_xxh64,
         "stratified_split_xxh64": stratified_split_xxh64,
