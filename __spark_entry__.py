@@ -244,6 +244,50 @@ _SQL_DSIR_PD = (
     "rd AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 != 0)"
 )
 
+# train_logreg_hashed replay (md5 family, dim 512, unigrams+bigrams,
+# y = lang='en', iters=2, lr=0.5): hashed per-doc tf features, then two
+# unrolled full-batch GD rounds — iteration 1 from w=0 has sigma(0)=1/2
+# so r1 = floor((0.5-y)*1e6) exactly; iteration 2 computes the exact
+# int-sum margin, the base-10 sigmoid residual, and the floored update.
+# Ends with CTEs `t` (doc_id, idx, tf, y), `nn` (n) and `w2` (idx, wm)
+# — shared by the classifier_train / classifier_predict oracles.
+_SQL_LOGREG_W2 = (
+    r"WITH w AS (SELECT doc_id,"
+    r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+    " FROM documents), "
+    "uni AS (SELECT doc_id, 'u|' || ws[CAST(i AS INT)] AS f"
+    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)), "
+    "bi AS (SELECT doc_id, 'b|' || ws[CAST(i AS INT)] || ' ' ||"
+    " ws[CAST(i AS INT) + 1] AS f FROM w,"
+    " unnest(generate_series(1, len(ws) - 1)) AS t(i)"
+    " WHERE len(ws) >= 2), "
+    "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+    "x AS (SELECT doc_id, (CAST(('0x' || substr(md5(f), 1, 15))"
+    " AS BIGINT) % 512) AS idx FROM f), "
+    "tfx AS (SELECT doc_id, idx, count(*) AS tf FROM x GROUP BY 1, 2), "
+    "yy AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+    " FROM documents), "
+    "t AS (SELECT tfx.doc_id, tfx.idx, tfx.tf, yy.y FROM tfx"
+    " JOIN yy USING (doc_id)), "
+    "nn AS (SELECT count(DISTINCT doc_id) AS n FROM t), "
+    "r1 AS (SELECT DISTINCT doc_id,"
+    " CAST(floor((0.5 - y) * 1000000) AS BIGINT) AS r FROM t), "
+    "g1 AS (SELECT idx, sum(r1.r * t.tf) AS g FROM t"
+    " JOIN r1 USING (doc_id) GROUP BY idx), "
+    "w1 AS (SELECT idx, -CAST(floor(0.5 * CAST(g AS DOUBLE) / n)"
+    " AS BIGINT) AS wm FROM g1, nn), "
+    "z2 AS (SELECT t.doc_id, t.y,"
+    " CAST(sum(t.tf * coalesce(w1.wm, 0)) AS DOUBLE) / 1000000 AS z"
+    " FROM t LEFT JOIN w1 USING (idx) GROUP BY t.doc_id, t.y), "
+    "r2 AS (SELECT doc_id, CAST(floor((1.0 / (1.0 + power(10.0, -z))"
+    " - y) * 1000000) AS BIGINT) AS r FROM z2), "
+    "g2 AS (SELECT idx, sum(r2.r * t.tf) AS g FROM t"
+    " JOIN r2 USING (doc_id) GROUP BY idx), "
+    "w2 AS (SELECT coalesce(w1.idx, g2.idx) AS idx, coalesce(w1.wm, 0)"
+    " - coalesce(CAST(floor(0.5 * CAST(g2.g AS DOUBLE) / nn.n)"
+    " AS BIGINT), 0) AS wm FROM w1 FULL JOIN g2 ON w1.idx = g2.idx, nn)"
+)
+
 # unrolled replay of kmeans_lite(dim=64, n_centroids=16, n_iter=2):
 # init = 16 smallest-id vectors (zero-norm excluded), assign (argmax
 # int-dot/||c||, ties → lowest cell), floored-mean update (empty/
@@ -1598,6 +1642,45 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: train the hashed quality classifier IN the engine —
+    2 rounds of deterministic full-batch logistic regression (base-10
+    sigmoid, per-doc residuals quantized to integer micro-units so every
+    gradient sum is exact) predicting lang='en' from hashed
+    unigram+bigram features (dim 512, md5 family). Returns the nonzero
+    (idx, weight) model rows; the oracle unrolls both GD iterations."""
+    from reflexiv_spark.datapipe.classifier import train_logreg_hashed
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    return train_logreg_hashed(
+        docs, "y", dim=512, use_bigrams=True, hash_family="md5",
+        iters=2, lr=0.5,
+    )
+
+
+def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: end-to-end train→score — the model from
+    q_classifier_train broadcast-scored back over the corpus (tf-
+    weighted margin z per doc; sigma10(z) > 1/2 iff z > 0)."""
+    from reflexiv_spark.datapipe.classifier import (
+        logreg_predict,
+        train_logreg_hashed,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w = train_logreg_hashed(
+        docs, "y", dim=512, use_bigrams=True, hash_family="md5",
+        iters=2, lr=0.5,
+    )
+    return logreg_predict(
+        docs, w, dim=512, use_bigrams=True, hash_family="md5"
+    )
+
+
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe/multimodal: opaque blob metadata (bytes, digest)."""
     from reflexiv_spark.datapipe.multimodal import blob_meta
@@ -1844,6 +1927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in round 8 (DSIR importance resampling) ---
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        # --- NEW in round 8 (in-engine classifier training) ---
+        "classifier_train": q_classifier_train,
+        "classifier_predict": q_classifier_predict,
         # --- modules touched in round 8: must re-enter the window ---
         "bm25_rank": q_bm25_rank,
         "end_extend": q_end_extend,
@@ -1857,13 +1943,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmer_count": q_kmer_count,
         "contig_dedup": q_contig_dedup,
         "token_budget_select": q_token_budget_select,
-        "events_window": q_events_window,
-        "mercy": q_mercy,
         "reduction": q_reduction,
         # --- r7-green, rotated out (modules not semantically changed
         # in round 8; CORRECTNESS_r07.json rows stand; contig_merge /
-        # contained_dedup ceded their spare slots to the two DSIR
-        # queries — merger/containment untouched this round) ---
+        # contained_dedup / events_window / mercy ceded their spare
+        # slots to the four NEW queries — merger/containment/streaming/
+        # mercy modules untouched this round) ---
+        "events_window": q_events_window,
+        "mercy": q_mercy,
         "contig_merge": q_contig_merge,
         "contained_dedup": q_contained_dedup,
         "kmer_band": q_kmer_band,
@@ -2734,6 +2821,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM rd LEFT JOIN pd USING (doc_id)) "
             "SELECT doc_id, log_weight, key FROM keyed"
             " ORDER BY key DESC, doc_id LIMIT 50"
+        ),
+        "classifier_train": (
+            _SQL_LOGREG_W2
+            + " SELECT idx, CAST(wm AS DOUBLE) / 1000000 AS weight"
+            " FROM w2 WHERE wm != 0"
+        ),
+        "classifier_predict": (
+            # score ALL docs with the trained model: tf-weighted exact
+            # int margin / 1e6; featureless docs score 0
+            _SQL_LOGREG_W2
+            + ", sc AS (SELECT tfx.doc_id,"
+            " round(CAST(sum(tfx.tf * coalesce(w2.wm, 0)) AS DOUBLE)"
+            " / 1000000, 6) AS z FROM tfx LEFT JOIN w2 USING (idx)"
+            " GROUP BY tfx.doc_id) "
+            "SELECT d.doc_id, coalesce(sc.z, 0.0) AS z FROM"
+            " (SELECT DISTINCT doc_id FROM documents) d"
+            " LEFT JOIN sc USING (doc_id)"
         ),
         "semantic_dedup": (
             # replay of semantic_dedup(threshold=0.3): kmeans_lite's two
