@@ -220,6 +220,19 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--iters", type=int, default=10)
     pr.add_argument("--damping", type=float, default=0.85)
 
+    tt_ = add("text-train", help="datapipe: train the hashed quality "
+              "classifier (fixed-point full-batch logistic regression); "
+              "emits the (idx, weight) model parquet for text-score "
+              "--model / logreg_predict")
+    tt_.add_argument("--label-col", required=True,
+                     help="0/1 (or boolean) label column on the input")
+    tt_.add_argument("--text-col", default="text")
+    tt_.add_argument("--id-col", default="doc_id")
+    tt_.add_argument("--dim", type=int, default=4096)
+    tt_.add_argument("--no-bigrams", action="store_true")
+    tt_.add_argument("--iters", type=int, default=2)
+    tt_.add_argument("--lr", type=float, default=0.5)
+
     di_ = add("dsir", help="datapipe: DSIR importance-resampling data "
               "selection — score raw docs against a target-corpus "
               "distribution; emits (doc_id, n_feats, log_weight), or the "
@@ -583,6 +596,16 @@ def main(argv: list[str] | None = None) -> int:
             damping=args.damping,
             src=args.src_col,
             dst=args.dst_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-train":
+        from reflexiv_spark.datapipe.classifier import train_logreg_hashed
+
+        out = train_logreg_hashed(
+            spark.read.parquet(args.input),
+            args.label_col,
+            text_col=args.text_col, id_col=args.id_col, dim=args.dim,
+            use_bigrams=not args.no_bigrams, iters=args.iters, lr=args.lr,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "dsir":

@@ -363,3 +363,22 @@ def test_cli_dsir(spark, tmp_path):
                  "-o", str(sout), "--dim", "256", "--select-k", "1"]) == 0
     sel = spark.read.parquet(str(sout)).collect()
     assert len(sel) == 1
+
+
+def test_cli_text_train(spark, tmp_path):
+    """text-train emits a model parquet that separates planted classes."""
+    rows = [(i, "alpha beta gamma" if i % 2 == 0 else "zulu yankee xray",
+             i % 2 == 0) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    out = tmp_path / "model"
+    assert main(["text-train", "-i", str(inp), "-o", str(out),
+                 "--label-col", "y", "--dim", "128", "--iters", "3"]) == 0
+    w = spark.read.parquet(str(out))
+    assert w.columns == ["idx", "weight"] and w.count() > 0
+
+    from reflexiv_spark.datapipe.classifier import logreg_predict
+    z = {r.doc_id: r.z for r in logreg_predict(docs, w, dim=128).collect()}
+    assert all(z[i] > 0 for i in range(0, 20, 2))
+    assert all(z[i] < 0 for i in range(1, 20, 2))
