@@ -46,6 +46,11 @@ EXTRA = [
     "pack_sequences",
     # round-6: md5-family dup_spans twin (bench times the xxh64 family)
     "dup_spans",
+    # round-8: SemDeDup (oracle shape, C=16 — feasible at sf1.0 embedding
+    # counts), DSIR weights, classifier train->predict composition
+    "semantic_dedup",
+    "dsir_weights",
+    "classifier_predict",
 ]
 
 
