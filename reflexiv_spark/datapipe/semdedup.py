@@ -111,28 +111,41 @@ def semantic_dedup(
             ).alias("__ccos"),
         )
         .where(F.col("__n2") > 0)
-        # consumed by both sides of the within-cell pair join
-        .localCheckpoint(eager=False)
     )
-    a, b = members.alias("a"), members.alias("b")
-    cos_ab = dot(F.col("a.__qv"), F.col("b.__qv")) / (
-        F.sqrt(F.col("a.__n2").cast("double"))
-        * F.sqrt(F.col("b.__n2").cast("double"))
-    )
-    dropped = (
-        a.join(b, "cell")
-        # y (=b) ordered strictly before x (=a): lower centroid-cosine,
-        # ties to lower id — the paper's triu ordering
-        .where(
-            (F.col("b.__ccos") < F.col("a.__ccos"))
-            | (
-                (F.col("b.__ccos") == F.col("a.__ccos"))
-                & (F.col("b.__vid") < F.col("a.__vid"))
-            )
-        )
-        .where(cos_ab >= threshold)
-        .select(F.col("a.__vid").alias("__dropped"))
-        .distinct()
+    # Within-cell pairwise as ONE Arrow GEMM per cell (the paper's own
+    # per-cluster formulation), not a self-join: the join form exchanged
+    # the member set twice and evaluated Σ|cell|² array-fold dots as
+    # Catalyst expressions — measured 21-23 s Spark vs 6-7 s DuckDB at
+    # sf1.0 (20 k vectors); the numpy int64 GEMM form computes the same
+    # exact dots in one pass per cell. Bit-parity with the expression
+    # form: dots are exact int64 (np.matmul over int64), converted to
+    # float64 exactly; norms are sqrt of exact doubles; the denominator
+    # is the same correctly-rounded sqrt·sqrt product; ordering is
+    # (centroid-cosine ASC, id ASC) on identical doubles. Memory per
+    # task is O(|cell|²) doubles — the same Σ|cell|² term the operator
+    # already carries; ``n_centroids`` remains the knob that bounds it.
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    thr = float(threshold)
+
+    def drop_in_cell(pdf: pd.DataFrame):
+        if len(pdf) <= 1:
+            return pd.DataFrame({"__dropped": pd.Series([], dtype="int64")})
+        pdf = pdf.sort_values(["__ccos", "__vid"], kind="mergesort")
+        q = np.array(list(pdf["__qv"]), dtype=np.int64)
+        dots = (q @ q.T).astype(np.float64)
+        norms = np.sqrt(pdf["__n2"].to_numpy(dtype=np.float64))
+        cos = dots / np.outer(norms, norms)
+        lower = np.tril(cos >= thr, k=-1)
+        dropped = pdf["__vid"].to_numpy()[lower.any(axis=1)]
+        return pd.DataFrame({"__dropped": dropped.astype("int64")})
+
+    dropped = members.select("cell", "__vid", "__qv", "__n2", "__ccos").groupBy(
+        "cell"
+    ).applyInPandas(
+        drop_in_cell,
+        StructType([StructField("__dropped", LongType(), False)]),
     )
     return df.join(
         dropped, F.col(id_col) == F.col("__dropped"), "left_anti"
