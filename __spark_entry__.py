@@ -244,6 +244,16 @@ _SQL_DSIR_PD = (
     "rd AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 != 0)"
 )
 
+
+def _sql_gumbel_list() -> str:
+    """The dsir_select Gumbel table as a DuckDB list literal — the SAME
+    in-process values the engine broadcast-joins (gumbel_micro_table), so
+    engine and oracle share the noise term bit-for-bit by construction
+    (no transcendental is evaluated inside either engine)."""
+    from reflexiv_spark.datapipe.dsir import gumbel_micro_table
+
+    return "[" + ",".join(map(str, gumbel_micro_table())) + "]"
+
 # train_logreg_hashed replay (md5 family, dim 512, unigrams+bigrams,
 # y = lang='en', iters=2, lr=0.5): hashed per-doc tf features, then two
 # unrolled full-batch GD rounds — iteration 1 from w=0 has sigma(0)=1/2
@@ -1632,8 +1642,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: DSIR Gumbel-top-k resampling — top 50 raw docs by
-    micro-unit importance score + hash-derived base-10 Gumbel noise
-    (a constant off ln-Gumbel, so the top-k is the paper's sampler)."""
+    micro-unit importance score + hash-indexed base-10 Gumbel noise
+    from a shared precomputed integer inverse-CDF table (a constant off
+    ln-Gumbel, so the top-k is the paper's sampler; the key is a pure
+    bigint function of the hash — no float in either engine)."""
     from reflexiv_spark.datapipe.dsir import dsir_select
 
     raw, target = _dsir_split(spark, sf_dir)
@@ -2809,16 +2821,22 @@ def oracle_sql() -> dict[str, str]:
             " 6) AS log_weight FROM rd LEFT JOIN pd USING (doc_id)"
         ),
         "dsir_select": (
-            # Gumbel-top-k: hash-derived uniform → base-10 Gumbel in the
-            # same integer micro-units; key = s + gumbel; ties → doc_id
+            # Gumbel-top-k: hash mod 2^16 indexes the SAME Python-
+            # precomputed integer Gumbel inverse-CDF table the engine
+            # broadcast-joins (gumbel_micro_table — inlined here as a
+            # DuckDB list constant), so key = s + g[m] is a pure bigint
+            # function of the hash on both sides; ties → doc_id
             _SQL_DSIR_PD
-            + ", keyed AS (SELECT rd.doc_id,"
+            + ", gt AS (SELECT CAST(i AS BIGINT) AS m, "
+            + _sql_gumbel_list()
+            + "[CAST(i AS INT) + 1] AS g FROM"
+            " unnest(generate_series(0, 65535)) AS u(i)), "
+            "keyed AS (SELECT rd.doc_id,"
             " round(CAST(coalesce(s, 0) AS DOUBLE) / 1000000, 6)"
-            " AS log_weight, coalesce(s, 0) + CAST(floor("
-            "-log10(-log10((CAST(('0x' || substr(md5('g|' ||"
-            " CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
-            " + 0.5) / 1000000.0)) * 1000000) AS BIGINT) AS key"
-            " FROM rd LEFT JOIN pd USING (doc_id)) "
+            " AS log_weight, coalesce(s, 0) + gt.g AS key"
+            " FROM rd LEFT JOIN pd USING (doc_id)"
+            " JOIN gt ON gt.m = CAST(('0x' || substr(md5('g|' ||"
+            " CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 65536) "
             "SELECT doc_id, log_weight, key FROM keyed"
             " ORDER BY key DESC, doc_id LIMIT 50"
         ),

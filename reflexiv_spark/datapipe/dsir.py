@@ -22,10 +22,18 @@ Determinism: each bucket's log ratio quantizes to integer MICRO-units
 (floor(log10-ratio × 1e6) — log10 of a correctly-rounded double ratio,
 the same cross-engine device as ``text.unigram_logprob_score``), so the
 per-document sum is an exact bigint — order-free under any partitioning
-— and the Gumbel noise derives from the hash family, not a RNG.
+— and the Gumbel noise derives from the hash family, not a RNG, via a
+PRECOMPUTED integer inverse-CDF table (``gumbel_micro_table``): the
+selection key is a pure bigint function of the hash with no float
+evaluated inside either engine, so engine and oracle agree bit-for-bit
+regardless of libm/JIT ulp behavior (round-8 post-mortem: the float
+``-log10(-log10(u))`` device was the one unreproduced hash divergence).
 """
 
 from __future__ import annotations
+
+import math
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,6 +42,33 @@ from reflexiv_spark.datapipe.dedup import md5_long
 from reflexiv_spark.datapipe.text import _hashed_features
 
 MICRO = 1_000_000
+
+# Gumbel quantile-table granularity: u is quantized to (m+0.5)/GUMBEL_MOD
+# for m = hash mod GUMBEL_MOD. 2^16 levels keeps the inline-oracle table
+# ~0.5 MB of SQL while bounding the inverse-CDF truncation to
+# g ∈ [-0.71, 5.48] (a finer table only extends the extreme upper tail:
+# 1e6 levels reach 6.66). Any quantization truncates the tail; the
+# granularity is explicit so a caller who needs a longer tail can raise it.
+GUMBEL_MOD = 65_536
+
+
+@lru_cache(maxsize=4)
+def gumbel_micro_table(mod: int = GUMBEL_MOD) -> tuple[int, ...]:
+    """m → floor(−log10(−log10((m+0.5)/mod)) · 1e6) for m ∈ [0, mod).
+
+    The base-10 Gumbel inverse CDF at the mid-bucket quantiles, in integer
+    micro-units. Computed ONCE in Python and consumed by BOTH the engine
+    (broadcast join in :func:`dsir_select`) and the DuckDB oracle (inline
+    list literal), so the two sides share identical values by construction
+    — the floor never re-evaluates a transcendental inside an engine.
+    Strictly increasing in m (dg/du ≥ 1.18 everywhere, so adjacent
+    micro-floors never collide).
+    """
+    out = []
+    for m in range(mod):
+        u = (m + 0.5) / mod
+        out.append(math.floor(-math.log10(-math.log10(u)) * MICRO))
+    return tuple(out)
 
 
 def _dsir_micro_scores(
@@ -143,20 +178,24 @@ def dsir_select(
     dim: int = 4096,
     use_bigrams: bool = True,
     hash_family: str = "xxhash64",
+    gumbel_mod: int = GUMBEL_MOD,
 ) -> DataFrame:
     """Gumbel-top-k importance resampling → the ``k`` selected raw
     documents as DataFrame[doc_id, log_weight, key].
 
     Sampling WITHOUT replacement proportionally to w(x) is exactly
     top-k of log w(x) + Gumbel noise (the Gumbel-top-k trick the paper
-    uses). The noise is derived, not random: u = (hash('g|'||id) mod 1e6
-    + 0.5)/1e6 ∈ (0,1), g = −log10(−log10(u)) — base-10 Gumbel differs
-    from ln-Gumbel by a constant offset, which cannot change a top-k —
-    quantized to the same integer micro-units as the weights so the
-    selection key is an exact bigint. Ties break on id. Deterministic
-    given the corpus and the hash family; swap the family (or salt the
-    'g|' prefix) to redraw.
+    uses). The noise is derived, not random: m = hash('g|'||id) mod
+    ``gumbel_mod`` indexes :func:`gumbel_micro_table` — the base-10
+    Gumbel inverse CDF at u = (m+0.5)/mod in integer micro-units
+    (base-10 Gumbel differs from ln-Gumbel by a constant offset, which
+    cannot change a top-k). The table broadcast-joins on m, so the
+    selection key s + g[m] is an exact bigint with NO float evaluated
+    in the engine. Ties break on id. Deterministic given the corpus and
+    the hash family; swap the family (or salt the 'g|' prefix) to
+    redraw.
     """
+    spark = raw.sparkSession
     scores = _dsir_micro_scores(
         raw, target, text_col, id_col, dim, use_bigrams, hash_family
     )
@@ -166,15 +205,21 @@ def dsir_select(
             return md5_long(c)
         return F.pmod(F.xxhash64(c), F.lit(1 << 60))
 
-    u = (
-        F.pmod(_h(F.concat(F.lit("g|"), F.col("id").cast("string"))), F.lit(MICRO))
-        + F.lit(0.5)
-    ) / F.lit(float(MICRO))
-    gumbel = F.floor(-F.log10(-F.log10(u)) * MICRO).cast("bigint")
-    keyed = scores.select(
-        "id",
-        F.round(F.col("s").cast("double") / MICRO, 6).alias("log_weight"),
-        (F.col("s") + gumbel).alias("key"),
+    gt = spark.createDataFrame(
+        list(enumerate(gumbel_micro_table(gumbel_mod))), "m bigint, g bigint"
+    )
+    m = F.pmod(
+        _h(F.concat(F.lit("g|"), F.col("id").cast("string"))),
+        F.lit(int(gumbel_mod)),
+    ).alias("m")
+    keyed = (
+        scores.select("id", "s", m)
+        .join(F.broadcast(gt), "m")
+        .select(
+            "id",
+            F.round(F.col("s").cast("double") / MICRO, 6).alias("log_weight"),
+            (F.col("s") + F.col("g")).alias("key"),
+        )
     )
     return (
         keyed.orderBy(F.col("key").desc(), F.col("id"))

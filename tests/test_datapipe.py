@@ -1310,3 +1310,27 @@ def test_dsir_select_gumbel_topk(spark):
     # deterministic redraw
     got2 = [r.doc_id for r in dsir_select(raw, target, k=10, dim=256).collect()]
     assert got == got2
+    # layout invariance: the key is an exact bigint, so partitioning
+    # cannot perturb the top-k
+    got3 = [r.doc_id
+            for r in dsir_select(raw.repartition(7), target, k=10, dim=256).collect()]
+    assert got == got3
+
+
+def test_dsir_gumbel_table_exact_integer_device():
+    """The Gumbel noise comes from a Python-precomputed integer inverse-
+    CDF table (round-8 post-mortem: in-engine float log10 was the one
+    unreproduced cross-engine divergence). The table must match the
+    defining formula, be strictly increasing (dg/du ≥ 1.18 everywhere,
+    so micro-floors never collide), and span the documented range."""
+    import math
+
+    from reflexiv_spark.datapipe.dsir import GUMBEL_MOD, gumbel_micro_table
+
+    t = gumbel_micro_table()
+    assert len(t) == GUMBEL_MOD == 65536
+    for m in (0, 1, 12345, 32768, 65534, 65535):
+        u = (m + 0.5) / GUMBEL_MOD
+        assert t[m] == math.floor(-math.log10(-math.log10(u)) * 1_000_000)
+    assert all(a < b for a, b in zip(t, t[1:]))
+    assert -710_000 < t[0] < -700_000 and 5_400_000 < t[-1] < 5_500_000

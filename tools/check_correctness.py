@@ -130,7 +130,9 @@ def main() -> int:
         if not problems:
             sh, oh = _hash_rows(scols, srows), _hash_rows(ocols, orows)
             if sh != oh:
-                problems.append("value-hash mismatch")
+                problems.append(
+                    f"value-hash mismatch (spark={sh} oracle={oh})"
+                )
                 sset = {
                     "\x01".join(
                         _norm_cell(r[i])
