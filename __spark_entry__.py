@@ -1664,7 +1664,7 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflexiv_spark.datapipe.classifier import train_logreg_hashed
 
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "y", (F.col("lang") == "en").cast("int")
+        "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
     )
     return train_logreg_hashed(
         docs, "y", dim=512, use_bigrams=True, hash_family="md5",
@@ -1682,7 +1682,7 @@ def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "y", (F.col("lang") == "en").cast("int")
+        "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
     )
     w = train_logreg_hashed(
         docs, "y", dim=512, use_bigrams=True, hash_family="md5",

@@ -76,7 +76,11 @@ def train_logreg_hashed(
 
     ``lr`` should be a dyadic rational (default 0.5) so lr·g stays an
     exact double before the floor. ``label_col`` must be 0/1 (int or
-    boolean). The returned table feeds
+    boolean) and NON-NULL: a NULL label would make the doc's residual
+    NULL and silently drop it from the gradient sum, so the trainer
+    raises on the first NULL instead (coalesce labels upstream — e.g.
+    ``F.coalesce((lang == 'en').cast('int'), F.lit(0))``). The returned
+    table feeds
     :func:`reflexiv_spark.datapipe.text.classifier_score_model`-style
     broadcast inference or :func:`logreg_predict` below.
 
@@ -89,7 +93,19 @@ def train_logreg_hashed(
     base, tf = _feats_tf(df, text_col, id_col, dim, use_bigrams, hash_family)
     y = df.select(
         F.col(id_col).alias("id"),
-        F.col(label_col).cast("long").alias("y"),
+        F.when(
+            F.col(label_col).isNotNull(), F.col(label_col).cast("long")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "train_logreg_hashed: NULL label — a NULL residual "
+                    "silently drops the doc from the gradient; coalesce "
+                    "labels upstream"
+                )
+            ).cast("long")
+        )
+        .alias("y"),
     )
     tf = tf.join(y, "id").localCheckpoint(eager=False)
     n = tf.select("id").distinct().count()  # docs with >=1 feature

@@ -1509,7 +1509,10 @@ def pipe_ffmpeg_frames(
     numbers recoverable as ``i*N``), and each BMP feeds the existing
     :func:`decode_bmp` / :func:`decode_images` / :func:`extract_features`
     plumbing unchanged. Rows ffmpeg cannot decode yield one
-    ``status``-bearing row instead of killing the Arrow batch. Raises
+    ``status``-bearing row instead of killing the Arrow batch; a nonzero
+    exit that still emitted frames (truncated container) keeps the
+    frames tagged ``partial_ffmpeg_exit_N`` so partial decodes are
+    distinguishable from complete ones. Raises
     ``RuntimeError`` up front when the binary is absent — callers fall
     back to :func:`sample_video_frames` (MJPEG / BI_RGB AVI, native).
     """
@@ -1552,9 +1555,17 @@ def pipe_ffmpeg_frames(
                 if not frames:
                     rows.append((i, 0, None, None, "no_video_frames"))
                     continue
+                # nonzero exit WITH frames = truncated/partially corrupt
+                # container: keep the frames but tag them so callers can
+                # tell a complete decode from a partial one (ADVICE r8)
+                st = (
+                    "ok"
+                    if proc.returncode == 0
+                    else f"partial_ffmpeg_exit_{proc.returncode}"
+                )
                 for j, fr in enumerate(frames):
                     rows.append(
-                        (i, j * nth, fr, hashlib.md5(fr).hexdigest(), "ok")
+                        (i, j * nth, fr, hashlib.md5(fr).hexdigest(), st)
                     )
             yield pd.DataFrame(
                 rows,

@@ -48,9 +48,20 @@ def bm25_score(
         # zero structs has VOID element type and the F.filter below
         # fails to resolve (INVALID_EXTRACT_BASE_FIELD_TYPE); the old
         # broadcast-join form returned empty, so keep that contract.
+        # Schema built programmatically (not a DDL f-string) so an
+        # id_col needing backticks parses the same as the non-empty path.
+        from pyspark.sql import types as T
+
         spark = df.sparkSession
         return spark.createDataFrame(
-            [], f"{id_col} {dict(df.dtypes)[id_col]}, n_matched bigint, score double"
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, df.schema[id_col].dataType),
+                    T.StructField("n_matched", T.LongType()),
+                    T.StructField("score", T.DoubleType()),
+                ]
+            ),
         )
 
     tok_arr = F.regexp_extract_all(

@@ -62,3 +62,24 @@ def test_train_logreg_empty_and_featureless(spark):
     w = train_logreg_hashed(docs, "y", dim=64, iters=2)
     z = {r.doc_id: r.z for r in logreg_predict(docs, w, dim=64).collect()}
     assert set(z) == {1, 2} and z[2] == 0.0
+
+
+def test_train_logreg_null_label_raises(spark):
+    """A NULL label must raise, not silently drop the doc from the
+    gradient sum (ADVICE r8: NULL residual diverges from the oracle's
+    CASE WHEN ... ELSE 0 while the check still passes on clean data)."""
+    import pytest
+
+    from reflexiv_spark.datapipe.classifier import train_logreg_hashed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "zulu yankee", None)],
+        "doc_id long, text string, y boolean",
+    )
+    with pytest.raises(Exception, match="NULL label"):
+        train_logreg_hashed(docs, "y", dim=64, iters=1).collect()
+    # the documented upstream coalesce trains cleanly
+    from pyspark.sql import functions as F
+
+    fixed = docs.withColumn("y", F.coalesce(F.col("y").cast("int"), F.lit(0)))
+    assert train_logreg_hashed(fixed, "y", dim=64, iters=1).count() > 0

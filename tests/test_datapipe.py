@@ -671,6 +671,12 @@ def test_bm25_empty_query_returns_empty(spark):
         out = bm25_score(docs, q)
         assert out.columns == ["doc_id", "n_matched", "score"]
         assert out.count() == 0
+    # an id_col that needs backticks must survive the empty path too
+    # (ADVICE r8: the old DDL f-string would fail to parse it)
+    odd = spark.createDataFrame([(1, "some text")], ["doc id", "text"])
+    out = bm25_score(odd, "", id_col="doc id")
+    assert out.columns == ["doc id", "n_matched", "score"]
+    assert out.count() == 0
 
 
 def test_asof_and_range_join_planted(spark):

@@ -58,11 +58,13 @@ def test_split_bmp_stream_pure():
     assert _split_bmp_stream(bad) == []
 
 
-def _write_fake_ffmpeg(tmpdir, stream: bytes) -> str:
+def _write_fake_ffmpeg(tmpdir, stream: bytes, exit_code: int = 0) -> str:
     """Shim that drains stdin and emits ``stream`` on stdout. The bytes
     are baked into the script (base64) — executor-side Python workers do
     not inherit driver-side env mutations, so an env-var channel would
-    be empty where the subprocess actually runs."""
+    be empty where the subprocess actually runs. ``exit_code`` simulates
+    a truncated/partially corrupt container (frames emitted, then a
+    nonzero exit)."""
     import base64
 
     p = os.path.join(str(tmpdir), "ffmpeg")
@@ -72,6 +74,7 @@ def _write_fake_ffmpeg(tmpdir, stream: bytes) -> str:
             "# Fake ffmpeg: drains stdin, emits deterministic BMPs.\n"
             "cat > /dev/null\n"
             f"printf '%s' '{base64.b64encode(stream).decode()}' | base64 -d\n"
+            f"exit {exit_code}\n"
         )
     os.chmod(p, os.stat(p).st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
     return p
@@ -95,6 +98,32 @@ def test_pipe_machinery_with_fake_binary(spark, tmp_path):
         assert all(r.status == "ok" and r.digest for r in got)
         w, h, ch, mean = decode_bmp(bytes(got[0].frame))
         assert (w, h) == (2, 2) and mean == pytest.approx(10.0)
+
+
+def test_pipe_partial_decode_is_tagged(spark, tmp_path):
+    """Nonzero ffmpeg exit WITH emitted frames = truncated container:
+    the frames are kept but tagged 'partial_ffmpeg_exit_N' so callers
+    can tell a complete decode from a partial one (ADVICE r8 — the old
+    code returned them as 'ok' and swallowed the error)."""
+    stream = _tiny_bmp(10) + _tiny_bmp(200)
+    shim = _write_fake_ffmpeg(tmp_path, stream, exit_code=69)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"truncated-container"))], "id long, blob binary"
+    )
+    rows = sorted(
+        pipe_ffmpeg_frames(df, every_nth=2, ffmpeg_bin=shim).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert all(r.status == "partial_ffmpeg_exit_69" for r in rows)
+    assert all(r.frame is not None and r.digest for r in rows)
+    # nonzero exit with NO frames keeps the hard-failure tag
+    # (separate dir: the shim filename is fixed to 'ffmpeg')
+    d2 = tmp_path / "hard"
+    d2.mkdir()
+    shim2 = _write_fake_ffmpeg(d2, b"", exit_code=1)
+    (row,) = pipe_ffmpeg_frames(df, ffmpeg_bin=shim2).collect()
+    assert row.status == "ffmpeg_exit_1" and row.frame is None
 
 
 def test_pipe_ffmpeg_absent_binary_raises(spark):
