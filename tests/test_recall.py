@@ -307,3 +307,48 @@ def test_semantic_dedup_planted_groups(spark):
         ).select("vec_id").collect()
     }
     assert kept3 == kept_ids
+
+
+def test_semantic_dedup_blocked_gemm_parity(spark):
+    """The row-blocked within-cell GEMM (task memory O(block·|cell|),
+    VERDICT r8 hardening) must keep EXACTLY the unblocked kernel's
+    survivor set on an oversized cell. One cluster of 3000 vectors with
+    planted near-dup pairs; block budget forced to ~1 row per block so
+    every blocking boundary is exercised. The budget is a function
+    parameter captured as a closure local — a module-global override
+    would NOT reach the executor's fresh import (probed round 9)."""
+    import random
+
+    import reflexiv_spark.datapipe.semdedup as sd
+
+    rng = random.Random(41)
+    dim = 8
+    rows = []
+    # one tight cloud → kmeans with 1 centroid puts ALL rows in a
+    # single cell; ~10% are near-clones of an earlier vector
+    base = [rng.uniform(0.5, 1.0) for _ in range(dim)]
+    originals = []
+    for i in range(3000):
+        if originals and i % 10 == 0:
+            src = rng.choice(originals)
+            vec = [c + rng.uniform(-1e-5, 1e-5) for c in src]
+        else:
+            vec = [c + rng.uniform(-0.05, 0.05) for c in base]
+            originals.append(vec)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(budget):
+        return {
+            r.vec_id
+            for r in sd.semantic_dedup(
+                df, threshold=0.9999, dim=dim, n_centroids=1,
+                id_col="vec_id", gemm_block_doubles=budget,
+            ).select("vec_id").collect()
+        }
+
+    unblocked = run(1 << 30)  # budget ≫ 3000² → single block
+    blocked = run(4096)  # 3000 rows/cell → 1-row blocks
+    assert blocked == unblocked
+    # sanity: the planted clones actually got dropped
+    assert len(unblocked) < 3000
