@@ -138,7 +138,7 @@ def rank_paths(
     k: int,
     max_rounds: int = 40,
     overlap: int | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 3,
     packed: bool | None = None,
 ) -> DataFrame:
     """Pointer-doubling (list-ranking) contraction — the O(rows)-per-round
@@ -253,7 +253,7 @@ def rank_paths_packed(
     k: int,
     max_rounds: int = 40,
     overlap: int | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """:func:`rank_paths` over ALREADY-PACKED 2-bit bigint k-mer ids —
     DataFrame[kid: bigint, count] as produced by
@@ -304,7 +304,7 @@ def rank_paths_blocks(
     k: int,
     max_rounds: int = 40,
     overlap: int | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """:func:`rank_paths` over long-block packed k-mers (k > 31) —
     DataFrame[kid: array<long>, count] as produced by
@@ -387,16 +387,37 @@ def _double_pointers(
     power of two — cannot pin the loop at max_rounds. state is already
     materialized by the eager checkpoint, so the count is a cheap scan.
 
-    Every round's barrier is :func:`iteration_barrier` — plain
+    Every barrier is :func:`iteration_barrier` — plain
     ``localCheckpoint`` preserves the join's squared sizeInBytes
     estimate and the compounding BigInt turns plan time exponential
     (see ``plans/barriers.py``).
+
+    Job economy (r9): the convergence probe runs ONLY at barrier rounds,
+    and the barrier is LAZY — the probe's full-scan mover-count
+    aggregate is the action that materializes the checkpoint, so each
+    barrier costs ONE job (the old shape paid an eager-checkpoint job
+    plus a probe job EVERY round: 2·rounds jobs; now it is
+    rounds/checkpoint_every).
+
+    Cycle-proof early exit (r9): the old probe stopped only when NO
+    pointer moved — but cycle members move FOREVER, so one cycle
+    anywhere in the input pinned the loop at the full log2(total-rows)
+    bound even though every path had converged rounds earlier. The
+    probe now counts movers: an unconverged PATH pointer always moves
+    (its jump is strictly head-ward) and then never moves again, so the
+    path-mover count is strictly decreasing until 0, while the
+    cycle-mover count is exactly constant. Two consecutive probes with
+    EQUAL mover counts therefore prove only cycles are still moving →
+    stop. Identical fixed point for path rows (extra rounds are
+    identity jumps); cycle rows are dropped by the callers' head
+    semi-join regardless of how many extra laps they ran.
     """
     from reflexiv_spark.plans.barriers import iteration_barrier
 
     n_rows = state.count()
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
 
+    prev_movers = None
     for r in range(1, rounds + 1):
         jump = state.select(
             F.col("kid").alias("anc"),
@@ -412,14 +433,20 @@ def _double_pointers(
             (F.col("off") + F.col("__off2")).alias("off"),
             (F.col("__anc2") != F.col("anc")).alias("__moved"),
         )
-        if r % checkpoint_every == 0:
-            nxt = iteration_barrier(nxt)
-        # converged when no pointer moved; cycle members keep moving and
-        # are dropped by the head semi-join when max_rounds is hit
-        moved = nxt.where(F.col("__moved")).limit(1).count()
-        state = nxt.drop("__moved")
-        if moved == 0:
-            break
+        if r % checkpoint_every == 0 or r == rounds:
+            nxt = iteration_barrier(nxt, eager=False)
+            # full-scan aggregate (not limit(1)): computes EVERY
+            # partition, so the lazy checkpoint materializes completely
+            # in this one job and downstream rounds reuse the blocks
+            movers = nxt.agg(
+                F.count_if(F.col("__moved")).alias("m")
+            ).first()[0]
+            state = nxt.drop("__moved")
+            if movers == 0 or movers == prev_movers:
+                break
+            prev_movers = movers
+        else:
+            state = nxt.drop("__moved")
     return state
 
 

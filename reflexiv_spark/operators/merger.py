@@ -33,17 +33,31 @@ def overlap_pairs(
     min_overlap: int = DEFAULT_MIN_OVERLAP,
     seed_k: int | None = None,
     searchable_len: int | None = DEFAULT_SEARCHABLE,
+    b_side: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[id_a, id_b, overlap]: best suffix(A)→prefix(B) overlap
     per (A, B), with overlap ≥ min_overlap.
 
     ``seed_k`` defaults to ``min_overlap`` (every valid overlap then
     contains the seed); ``searchable_len=None`` searches whole contigs.
+
+    ``b_side`` (same ``seq_col``/``id_col`` schema) makes the join
+    ASYMMETRIC: suffixes come from ``contigs`` (the A side), prefixes
+    from ``b_side`` only. Callers that want cross-set overlaps (e.g.
+    fragment→contig end extension) get exactly that quadrant instead of
+    paying for the full self-join on the union and discarding 3/4 of
+    the candidates afterwards. Default (None) is the symmetric
+    self-overlap set, unchanged.
     """
     if seed_k is None:
         seed_k = min_overlap
     s, i = F.col(seq_col), F.col(id_col)
     base = contigs.select(i.alias("id"), s.alias("seq"), F.length(s).alias("len"))
+    base_b = (
+        base
+        if b_side is None
+        else b_side.select(i.alias("id"), s.alias("seq"), F.length(s).alias("len"))
+    )
 
     tail_start = (
         F.greatest(F.lit(1), F.col("len") - F.lit(searchable_len - 1))
@@ -72,7 +86,7 @@ def overlap_pairs(
     ).select(
         "id_a", "len_a", F.col("ps.p").alias("p"), F.col("ps.seed").alias("seed")
     )
-    heads = base.select(
+    heads = base_b.select(
         F.col("id").alias("id_b"),
         F.col("len").alias("len_b"),
         F.substring(F.col("seq"), 1, seed_k).alias("seed"),
@@ -93,7 +107,7 @@ def overlap_pairs(
         .dropDuplicates(["id_a", "id_b", "overlap"])
     )
     seq_a = base.select(F.col("id").alias("id_a"), F.col("seq").alias("seq_a"))
-    seq_b = base.select(F.col("id").alias("id_b"), F.col("seq").alias("seq_b"))
+    seq_b = base_b.select(F.col("id").alias("id_b"), F.col("seq").alias("seq_b"))
     verified = (
         cand.join(seq_a, "id_a")
         .join(seq_b, "id_b")

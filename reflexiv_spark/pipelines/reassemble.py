@@ -37,21 +37,23 @@ def _both_strands(contigs: DataFrame) -> DataFrame:
 
 def _extend_right(frags: DataFrame, ctgs: DataFrame, min_overlap: int) -> DataFrame:
     """Extend each fragment rightward with its best-overlapping contig."""
-    # plan barrier: this function references `frags` four times (tagged
-    # union, semi-join, seq rejoin, untouched anti-join) and is applied
-    # twice back-to-back (right end, then RC'd left end) — without the
-    # barrier the second application's plan tree contains the first's
-    # FOUR times over, exploding analysis cost (measured: a 1,724-
-    # exchange pre-execution plan; ~40 after the barriers)
+    # plan barrier: this function references `frags` three times (tail
+    # side, seq rejoin, untouched anti-join) and is applied twice
+    # back-to-back (right end, then RC'd left end) — without the barrier
+    # the second application's plan tree contains the first's several
+    # times over, exploding analysis cost (measured: a 1,724-exchange
+    # pre-execution plan; ~40 after the barriers)
     frags = frags.localCheckpoint(eager=False)
-    both = frags.select(F.col("frag_id").alias("cid"), "seq").unionByName(ctgs)
-    pairs = overlap_pairs(
-        both, seq_col="seq", id_col="cid",
+    # asymmetric overlap join: fragment suffixes vs contig prefixes ONLY
+    # — the old form self-joined the frag ∪ contig union and semi-joined
+    # 3 of the 4 quadrants away afterwards (paying the contig-tail
+    # explode for candidates it then discarded)
+    frag_pairs = overlap_pairs(
+        frags.select(F.col("frag_id").alias("cid"), "seq"),
+        seq_col="seq", id_col="cid",
         min_overlap=min_overlap, searchable_len=None,
+        b_side=ctgs,
     )
-    frag_pairs = pairs.join(
-        frags.select(F.col("frag_id").alias("id_a")), "id_a", "left_semi"
-    ).join(ctgs.select(F.col("cid").alias("id_b")), "id_b", "left_semi")
     w = Window.partitionBy("id_a").orderBy(F.col("overlap").desc(), F.col("id_b"))
     best = (
         frag_pairs.withColumn("__rn", F.row_number().over(w))
