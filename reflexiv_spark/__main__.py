@@ -257,6 +257,16 @@ def main(argv: list[str] | None = None) -> int:
     sd_.add_argument("--n-centroids", type=int, default=16)
     sd_.add_argument("--n-iter", type=int, default=2)
 
+    qt_ = add("quantiles", help="datapipe: mergeable rank-grid quantile "
+              "summary of a numeric column (capacity-bounded, exact "
+              "integer ranks; optionally evaluate quantile points)")
+    qt_.add_argument("--value-col", default="n_tokens")
+    qt_.add_argument("--capacity", type=int, default=256)
+    qt_.add_argument("--qs", default=None,
+                     help="comma-separated quantile points (e.g. "
+                     "0.5,0.9,0.99) — emits (q, value) instead of the "
+                     "raw (rank, value) summary")
+
     ts_ = add("text-strip", help="datapipe: strip HTML/markup to plain text")
     ts_.add_argument("--text-col", default="text")
     ts_.add_argument("--id-col", default="doc_id")
@@ -660,6 +670,21 @@ def main(argv: list[str] | None = None) -> int:
             group_col=args.group_col, order_col=args.order_col,
             text_col=args.text_col, id_col=args.id_col,
         )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "quantiles":
+        from reflexiv_spark.datapipe.quantile import (
+            quantile_sketch,
+            quantile_values,
+        )
+
+        out = quantile_sketch(
+            spark.read.parquet(args.input),
+            args.value_col, capacity=args.capacity,
+        )
+        if args.qs:
+            out = quantile_values(
+                out, [float(x) for x in args.qs.split(",") if x]
+            )
         _write(out, args.output, args.outformat)
     elif args.cmd == "ndv":
         from reflexiv_spark.datapipe.sketch import hll_distinct_by

@@ -1,0 +1,167 @@
+"""Mergeable rank-grid quantile summary — bounded-size quantiles for
+arbitrary-cardinality columns.
+
+The sketch family's missing member (CMS/KMV/HLL exist; quantiles were
+histogram-exact only): ``text.token_quantiles`` aggregates exact
+per-value counts, which is correct but value-cardinality-bounded — fine
+for token counts, wrong shape for an arbitrary numeric column at 100 TB.
+This module's summary is CAPACITY-bounded instead: at most
+``capacity + 1`` rows whatever the input cardinality.
+
+Semantics (canonical, order-free, exact-integer ranks): the summary of
+a multiset M of n non-null values is the set of (rank, value) pairs at
+sorted 1-based ranks {1, 1+step, 1+2·step, …} ∪ {n} with
+step = ⌈n/capacity⌉ — the classic ε-summary with ε = 1/(2·capacity)
+(rank error ≤ step). Every device is integer arithmetic on exact
+counts, so the summary is a pure function of the multiset — any layout,
+any engine — and an ANSI-SQL window oracle replays it bit-for-bit
+(unlike KLL/GK whose compactions depend on arrival order and merge
+topology; a deterministic oracle cannot replay layout-dependent state).
+
+Scale shape: one map-side-combined ``groupBy(value)`` (the only
+data-sized exchange), then :func:`packing.global_prefix_sum` over the
+DISTINCT values (range shuffle + partition-count driver hop — the
+two-phase scan, never a single-task global window), then a per-row
+integer test emits ≤ capacity + 1 rows. The scalar (n, step) rides a
+1-row broadcast cross join.
+
+Mergeability — the 100 TB story: summaries of disjoint shards combine
+WITHOUT touching the raw data: rank_M⊎M'(v) = rank_M(v) + rank_M'(v),
+each side read off its own summary with error ≤ its step, so
+:func:`merge_quantile_sketches` unions the value grids and adds
+side-wise ranks (error ≤ step_A + step_B — the standard mergeable-
+summary bound). Summaries are sketch-sized, so the merge runs as a
+broadcast-friendly tiny plan; merging P shards costs P·capacity rows.
+
+Built round 9; enters the driver-oracle window round 10 per the
+registry-window protocol (SURVEY §8) — covered by pytest (planted
+exact-rank cases, layout invariance, merge error bound) this round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.packing import global_prefix_sum
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 256,
+) -> DataFrame:
+    """Rank-grid quantile summary → DataFrame[rank: bigint, value].
+
+    At most ``capacity + 1`` rows: the values at sorted ranks
+    1, 1+step, 1+2·step, … plus rank n (the max), step = ⌈n/capacity⌉.
+    NULLs are excluded. ``value`` keeps the input column's type; ranks
+    count duplicates (multiset ranks). Empty input → empty summary.
+    """
+    cap = max(1, int(capacity))
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cum = global_prefix_sum(counts, "value", "__cnt", out_col="__cum")
+    tot = cum.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+    # ⌈n/cap⌉ without floats: (n + cap − 1) div cap
+    step = ((F.col("__n") + cap - 1) - F.pmod(F.col("__n") + cap - 1, F.lit(cap))) / cap
+    step = step.cast("bigint")
+    rows = cum.crossJoin(F.broadcast(tot)).select(
+        "value",
+        (F.col("__cum") - F.col("__cnt")).alias("__lo"),  # exclusive
+        F.col("__cum").alias("__hi"),  # inclusive
+        F.col("__n"),
+        step.alias("__step"),
+    )
+    # grid ranks r ≡ 1 (mod step) inside (lo, hi]: first candidate is
+    # lo rounded DOWN to the grid then bumped past lo — all bigint ops
+    first = (F.floor(F.col("__lo") / F.col("__step")) * F.col("__step") + 1).cast(
+        "bigint"
+    )
+    first = F.when(first <= F.col("__lo"), first + F.col("__step")).otherwise(first)
+    grid = rows.select(
+        "value",
+        F.explode(
+            F.when(
+                first <= F.least(F.col("__hi"), F.col("__n")),
+                F.sequence(first, F.least(F.col("__hi"), F.col("__n")), F.col("__step")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("rank"),
+    )
+    # the max row (rank = n) anchors the upper end; union + distinct in
+    # case n already sits on the grid
+    top = rows.where(
+        (F.col("__lo") < F.col("__n")) & (F.col("__n") <= F.col("__hi"))
+    ).select("value", F.col("__n").alias("rank"))
+    return (
+        grid.unionByName(top)
+        .select(F.col("rank").cast("bigint"), "value")
+        .distinct()
+    )
+
+
+def quantile_values(
+    summary: DataFrame,
+    qs: list[float],
+) -> DataFrame:
+    """Evaluate quantiles from a summary → DataFrame[q: double, value].
+
+    q ∈ [0, 1] maps to target rank max(1, ⌈q·n⌉) (n = the summary's top
+    rank); the answer is the summary value at the smallest rank ≥ the
+    target — rank error ≤ step by construction. Summaries are
+    sketch-sized, so the single-partition ordered window is model-sized
+    work (same driver-bound as centroid tables), not a data-sized sort.
+    """
+    spark = summary.sparkSession
+    n = summary.agg(F.max("rank").alias("__n"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    target = qdf.crossJoin(F.broadcast(n)).select(
+        "q",
+        F.greatest(F.lit(1).cast("bigint"), F.ceil(F.col("q") * F.col("__n"))).alias(
+            "__t"
+        ),
+    )
+    hit = (
+        target.join(F.broadcast(summary), F.col("rank") >= F.col("__t"))
+        .groupBy("q")
+        .agg(F.min_by("value", "rank").alias("value"))
+    )
+    return hit.orderBy("q")
+
+
+def merge_quantile_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two summaries of DISJOINT corpora → a summary of the
+    union, rank error ≤ step_A + step_B.
+
+    rank_{A⊎B}(v) = rank_A(v) + rank_B(v); each side-rank is read off
+    its own summary as the largest rank with value ≤ v (0 below the
+    summary's min). Implemented as one ordered scan over the tagged
+    union with running per-side maxima — summaries are sketch-sized
+    (≤ capacity+1 rows each), so the single-partition window is
+    model-sized work by design, never data-sized.
+    """
+    u = a.select(
+        F.col("rank").alias("__ra"), F.lit(None).cast("bigint").alias("__rb"), "value"
+    ).unionByName(
+        b.select(F.lit(None).cast("bigint").alias("__ra"), F.col("rank").alias("__rb"), "value")
+    )
+    w = Window.orderBy("value", "__ra", "__rb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = u.select(
+        "value",
+        (
+            F.coalesce(F.last("__ra", ignorenulls=True).over(w), F.lit(0))
+            + F.coalesce(F.last("__rb", ignorenulls=True).over(w), F.lit(0))
+        ).alias("rank"),
+    )
+    # equal values from both sides collapse to the larger combined rank
+    return (
+        ranked.groupBy("value")
+        .agg(F.max("rank").cast("bigint").alias("rank"))
+        .select("rank", "value")
+    )

@@ -382,3 +382,26 @@ def test_cli_text_train(spark, tmp_path):
     z = {r.doc_id: r.z for r in logreg_predict(docs, w, dim=128).collect()}
     assert all(z[i] > 0 for i in range(0, 20, 2))
     assert all(z[i] < 0 for i in range(1, 20, 2))
+
+
+def test_cli_quantiles(spark, tmp_path):
+    """quantiles subcommand: raw summary has exact grid ranks; --qs
+    evaluates quantile points within the step bound."""
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 101)],
+                               "doc_id long, n_tokens long")
+    inp = tmp_path / "in.parquet"
+    df.write.parquet(str(inp))
+
+    sout = tmp_path / "s"
+    assert main(["quantiles", "-i", str(inp), "-o", str(sout),
+                 "--capacity", "10"]) == 0
+    rows = {r["rank"]: r["value"]
+            for r in spark.read.parquet(str(sout)).collect()}
+    assert set(rows) == {1 + 10 * i for i in range(10)} | {100}
+    assert rows[1] == 10 and rows[51] == 510 and rows[100] == 1000
+
+    qout = tmp_path / "q"
+    assert main(["quantiles", "-i", str(inp), "-o", str(qout),
+                 "--capacity", "10", "--qs", "0.5,0.99"]) == 0
+    got = {r["q"]: r["value"] for r in spark.read.parquet(str(qout)).collect()}
+    assert got[0.5] in (510, 520) and got[0.99] in (1000,)
