@@ -1887,80 +1887,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-8 window
-    # (mechanically checkable via tools/check_window.py): the 34
-    # r6-green queries that sat out the round-7 window rotate back in
-    # (slots 1-34), the NEW semantic_dedup enters in the round it is
-    # claimed (slot 35), then every query whose module round 8 touches
-    # (retrieval.py empty-query guard, similarity.py init_centroids,
-    # mapping.py end_extend work, graph.py pagerank work; slots 36-40),
-    # plus defensive spares for kernels later round-8 work might touch
-    # (slots 41-50).  Slots 51+ are r7-green queries whose modules
-    # round 8 does not semantically change — their CORRECTNESS_r07.json
-    # rows stand as evidence.
+    # The driver oracles the FIRST 50 dict entries.  Round-9 window
+    # (mechanically checkable via tools/check_window.py): the 39
+    # r7-green queries that sat out the round-8 window rotate back in
+    # (slots 1-39), then every query whose module round 9 touches
+    # (slots 40-50): dsir.py (exact-integer Gumbel table), semdedup.py
+    # (blocked GEMM), classifier.py (NULL-label guard), retrieval.py
+    # (empty-query schema), multimodal.py (partial-ffmpeg status),
+    # extension.py (lazy plateau probe — pulls in reassemble/rc_expand/
+    # prune_forks/assemble_paths; junction_support/assemble_blocks/
+    # meta_assemble are already inside the rotated 39), reassemble.py +
+    # merger.py (asymmetric overlap join — contig_merge is inside the
+    # rotated 39).  The window is exactly full (50/50): the NEW
+    # quantile summary (datapipe/quantile.py) therefore follows the
+    # built-round-N/enters-round-N+1 protocol (the semantic_dedup
+    # precedent) — pytest-covered this round, oracle window round 10.
+    # Slots 51+ are r8-green queries whose modules round 9 does not
+    # semantically change — their CORRECTNESS_r08.json rows stand.
     return {
-        # --- r6-green, sat out the r7 window: rotate back in ---
-        "unigram_logprob": q_unigram_logprob,
-        "redact_pii": q_redact_pii,
-        "embedding_quantize": q_embedding_quantize,
-        "kmeans_assign": q_kmeans_assign,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "binary_meta": q_binary_meta,
-        "patch_contigs": q_patch_contigs,
-        "reassemble": q_reassemble,
-        "pair_merge": q_pair_merge,
-        "error_correct": q_error_correct,
-        "dup_spans": q_dup_spans,
-        "vocab_coverage": q_vocab_coverage,
-        "event_transitions": q_event_transitions,
-        "bigram_logprob": q_bigram_logprob,
-        "hll_by_lang": q_hll_by_lang,
-        "classifier_score": q_classifier_score,
-        "strip_markup": q_strip_markup,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "events_asof": q_events_asof,
-        "cluster_keep_best": q_cluster_keep_best,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_by_lang": q_kmv_by_lang,
-        "dup_clusters": q_dup_clusters,
-        "minhash_near_dup": q_minhash_near_dup,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        "clean_corpus": q_clean_corpus,
-        "events_range_join": q_events_range_join,
-        "fasta_wrap": q_fasta_wrap,
-        # --- NEW in round 8 (built round 7, enters per protocol) ---
-        "semantic_dedup": q_semantic_dedup,
-        # --- NEW in round 8 (DSIR importance resampling) ---
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        # --- NEW in round 8 (in-engine classifier training) ---
-        "classifier_train": q_classifier_train,
-        "classifier_predict": q_classifier_predict,
-        # --- modules touched in round 8: must re-enter the window ---
-        "bm25_rank": q_bm25_rank,
-        "end_extend": q_end_extend,
-        "read_mapping": q_read_mapping,
-        "graph_pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        # --- defensive spares: kernels later round-8 work might touch
-        # (extension/stitch/counter/sampling/streaming families) ---
-        "assemble_paths": q_assemble_paths,
-        "stitch_bridges": q_stitch_bridges,
-        "kmer_count": q_kmer_count,
-        "contig_dedup": q_contig_dedup,
-        "token_budget_select": q_token_budget_select,
-        "reduction": q_reduction,
-        # --- r7-green, rotated out (modules not semantically changed
-        # in round 8; CORRECTNESS_r07.json rows stand; contig_merge /
-        # contained_dedup / events_window / mercy ceded their spare
-        # slots to the four NEW queries — merger/containment/streaming/
-        # mercy modules untouched this round) ---
+        # --- r7-green, sat out the r8 window: rotate back in (1-39) ---
         "events_window": q_events_window,
         "mercy": q_mercy,
         "contig_merge": q_contig_merge,
@@ -2000,6 +1945,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "assemble_blocks": q_assemble_blocks,
         "meta_assemble": q_meta_assemble,
+        # --- modules touched in round 9: must re-enter (40-50) ---
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "semantic_dedup": q_semantic_dedup,
+        "classifier_train": q_classifier_train,
+        "classifier_predict": q_classifier_predict,
+        "bm25_rank": q_bm25_rank,
+        "binary_meta": q_binary_meta,
+        "reassemble": q_reassemble,
+        "rc_expand": q_rc_expand,
+        "prune_forks": q_prune_forks,
+        "assemble_paths": q_assemble_paths,
+        # --- r8-green, rotated out (slots 51+; modules not semantically
+        # changed in round 9; CORRECTNESS_r08.json rows stand) ---
+        "unigram_logprob": q_unigram_logprob,
+        "redact_pii": q_redact_pii,
+        "embedding_quantize": q_embedding_quantize,
+        "kmeans_assign": q_kmeans_assign,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "patch_contigs": q_patch_contigs,
+        "pair_merge": q_pair_merge,
+        "error_correct": q_error_correct,
+        "dup_spans": q_dup_spans,
+        "vocab_coverage": q_vocab_coverage,
+        "event_transitions": q_event_transitions,
+        "bigram_logprob": q_bigram_logprob,
+        "hll_by_lang": q_hll_by_lang,
+        "classifier_score": q_classifier_score,
+        "strip_markup": q_strip_markup,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "events_asof": q_events_asof,
+        "cluster_keep_best": q_cluster_keep_best,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_lang": q_kmv_by_lang,
+        "dup_clusters": q_dup_clusters,
+        "minhash_near_dup": q_minhash_near_dup,
+        "fasta_wrap": q_fasta_wrap,
+        "clean_corpus": q_clean_corpus,
+        "events_range_join": q_events_range_join,
+        "end_extend": q_end_extend,
+        "read_mapping": q_read_mapping,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "stitch_bridges": q_stitch_bridges,
+        "kmer_count": q_kmer_count,
+        "contig_dedup": q_contig_dedup,
+        "token_budget_select": q_token_budget_select,
+        "reduction": q_reduction,
     }
 
 

@@ -311,23 +311,33 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {n} failed: {e}", file=sys.stderr)
             timings[n] = -1.0
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs": n_runs,
-                "agg": "min",
-                "scope": "full_registry"
-                if os.environ.get("SPARK_GRAFT_BENCH_ALL")
-                else "headline",
-            }
+    # deliberately-quadratic EXACTNESS BASELINES (the recall/parity
+    # yardsticks for the bucketed paths — embedding_topk for ann_lsh/
+    # ann_ivf/pq_topk, ngram_jaccard for minhash): kept runnable, but
+    # split out of the engine total so a full-registry capture measures
+    # the engine, not the oracles it is beating (VERDICT r8 #6)
+    BASELINES = {"embedding_topk", "ngram_jaccard"}
+    engine = {k: v for k, v in timings.items() if k not in BASELINES}
+    base = {k: v for k, v in timings.items() if k in BASELINES}
+    total = round(sum(v for v in engine.values() if v >= 0), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": engine,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs": n_runs,
+        "agg": "min",
+        "scope": "full_registry"
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+        else "headline",
+    }
+    if base:
+        out["exactness_baselines"] = base
+        out["exactness_baselines_total"] = round(
+            sum(v for v in base.values() if v >= 0), 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

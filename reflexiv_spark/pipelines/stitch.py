@@ -13,6 +13,17 @@ the winning gap distance and partner are window argmaxes (W6 shape), and
 the splice text comes from one deterministic representative read. Both
 contig orientations participate (a bridge may involve either strand), and
 an exact/RC dedup collapses the mirror-image duplicates afterwards.
+
+Scaling caveat (measured, round 7 — BASELINE.md "Scaling curve"): on the
+CLONED scale-up corpora the sf3→sf10 segment is super-linear (6.7× wall
+for 3.4× data) while output stays flat (3,370 bridges at sf1/sf3/sf10).
+Cause: every read's end-seed k-mer matches the ends of ALL clones of its
+contig, so the per-read (L-hits × R-hits) candidate product grows
+quadratically in clone MULTIPLICITY — a corpus-construction artifact,
+not a plan defect (real corpora repeat through genuine repeat structure,
+and the fan-out is bounded by true end-sharing). If a real corpus ever
+shows clone-like end-sharing, bound the per-rid candidate lists (top-N
+nearest end-hits per side) before the L×R pairing below.
 """
 
 from __future__ import annotations
