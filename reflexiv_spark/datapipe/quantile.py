@@ -76,7 +76,9 @@ def quantile_sketch(
         F.col("__cum").alias("__hi"),  # inclusive
         F.col("__n"),
         step.alias("__step"),
-    )
+    # two consumers (grid + top): the lazy barrier shares the prefix-sum
+    # subtree instead of duplicating its window + scalar broadcast
+    ).localCheckpoint(eager=False)
     # grid ranks r ≡ 1 (mod step) inside (lo, hi]: first candidate is
     # lo rounded DOWN to the grid then bumped past lo — all bigint ops
     first = (F.floor(F.col("__lo") / F.col("__step")) * F.col("__step") + 1).cast(

@@ -122,3 +122,33 @@ def test_merge_quantile_sketches_error_bound(spark):
         )
     # the merged top anchors at the true total count
     assert max(r.rank for r in merged) == len(s)
+
+
+def test_quantile_sketch_plan_shape(spark):
+    """100 TB plan guard: exactly one data-sized hash exchange (the
+    value groupBy) plus the range exchange of the two-phase prefix sum
+    and the model-sized broadcast of (n, step) — no single-task global
+    window, no per-row Python, and never more than these exchanges."""
+    import re
+
+    from reflexiv_spark.datapipe.quantile import quantile_sketch
+
+    df = spark.createDataFrame([(i % 97,) for i in range(2000)], "x long")
+    plan = (
+        quantile_sketch(df, "x", capacity=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    range_ex = len(re.findall(r"Exchange rangepartitioning", plan))
+    single_ex = len(re.findall(r"Exchange SinglePartition", plan))
+    # the groupBy(value) + prefix-sum machinery sits behind the shared
+    # lazy barrier (materialized by the partition-totals driver hop);
+    # above it only the summary-sized distinct may exchange
+    assert hash_ex <= 1, plan
+    assert range_ex <= 1, plan
+    # a global orderBy/window would show as a SinglePartition exchange
+    # feeding a Sort/Window — the shape this operator must never take
+    assert single_ex == 0, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
