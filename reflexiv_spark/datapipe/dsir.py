@@ -205,8 +205,13 @@ def dsir_select(
             return md5_long(c)
         return F.pmod(F.xxhash64(c), F.lit(1 << 60))
 
+    import pandas as pd
+
+    # Arrow path: a 65k-row python-tuple createDataFrame costs ~0.3 s of
+    # driver CPU per call; the pandas route is a single Arrow batch
+    tbl = gumbel_micro_table(gumbel_mod)
     gt = spark.createDataFrame(
-        list(enumerate(gumbel_micro_table(gumbel_mod))), "m bigint, g bigint"
+        pd.DataFrame({"m": range(len(tbl)), "g": tbl}), "m bigint, g bigint"
     )
     m = F.pmod(
         _h(F.concat(F.lit("g|"), F.col("id").cast("string"))),
