@@ -1876,6 +1876,54 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_t(spark, sf_dir, "embeddings"), k=20)
 
 
+def q_token_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: mergeable rank-grid quantile summary of per-doc token
+    counts (capacity 32) — values at exact multiset ranks {1, 1+step, …}
+    ∪ {n}, step = ⌈n/32⌉, all-integer rank arithmetic (the sketch
+    family's quantile member; arbitrary-cardinality-safe unlike the
+    histogram-exact token_quantiles). STAGED round 9 per the window
+    protocol (SURVEY §8) — registered in queries()/oracle_sql() in
+    round 10 when the window rotates; its oracle twin is
+    _SQL_TOKEN_QUANTILES_SKETCH below and
+    tests/test_quantile.py::test_staged_driver_pair_parity already runs
+    the full gate comparison locally."""
+    from reflexiv_spark.datapipe.quantile import quantile_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"\w+"), 0
+        )
+    )
+    return quantile_sketch(
+        docs.select(v.cast("bigint").alias("v")), "v", capacity=32
+    ).select("rank", F.col("value").cast("bigint").alias("value"))
+
+
+# Oracle twin for q_token_quantiles_sketch (round-10 registration):
+# exact-count cumulative window → integer grid-rank selection, the same
+# all-bigint devices as the engine.
+_SQL_TOKEN_QUANTILES_SKETCH = (
+    r"WITH t AS (SELECT len(regexp_extract_all(lower(coalesce(text, '')),"
+    r" '\w+')) AS value FROM documents), "
+    "c AS (SELECT CAST(value AS BIGINT) AS value, count(*) AS cnt"
+    " FROM t GROUP BY 1), "
+    "cum AS (SELECT value, cnt,"
+    " CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) AS hi FROM c), "
+    "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,"
+    " CAST((sum(cnt) + 31) // 32 AS BIGINT) AS step FROM c), "
+    "r AS (SELECT value, hi - cnt AS lo, hi, s.n, s.step,"
+    " CAST((hi - cnt) // s.step * s.step + 1 AS BIGINT) AS f0"
+    " FROM cum, s), "
+    "grid AS (SELECT value, CAST(i AS BIGINT) AS rank FROM r,"
+    " unnest(generate_series(CASE WHEN f0 <= lo THEN f0 + step ELSE f0"
+    " END, least(hi, n), step)) AS u(i)), "
+    "tp AS (SELECT value, n AS rank FROM r WHERE lo < n AND n <= hi) "
+    "SELECT DISTINCT rank, value FROM"
+    " (SELECT * FROM grid UNION ALL SELECT * FROM tp)"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -152,3 +152,27 @@ def test_quantile_sketch_plan_shape(spark):
     # feeding a Sort/Window — the shape this operator must never take
     assert single_ex == 0, plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_staged_driver_pair_parity(spark):
+    """The round-10 driver pair, gated LOCALLY this round: the staged
+    q_token_quantiles_sketch query and its _SQL_TOKEN_QUANTILES_SKETCH
+    DuckDB oracle must agree on rows, schema, and values at sf0.01 —
+    the same comparison the driver will run when the pair registers
+    next round (SURVEY §8 staging protocol)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_token_quantiles_sketch(spark, "/root/testdata/sf0.01")
+    srows = sorted((r.rank, r.value) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    cur = con.execute(ent._SQL_TOKEN_QUANTILES_SKETCH)
+    assert [d[0] for d in cur.description] == ["rank", "value"]
+    orows = sorted(tuple(r) for r in cur.fetchall())
+    assert srows == orows and len(srows) >= 30
