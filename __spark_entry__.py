@@ -1924,6 +1924,39 @@ _SQL_TOKEN_QUANTILES_SKETCH = (
 )
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: cell-bounded k-nearest-neighbor GRAPH (k=10, the
+    kmeans_lite 16-cell model) — every vector's top-10 cosine
+    neighbors within its cell as an edge list, exact int64 dots,
+    (cos DESC, dst ASC) ranking. STAGED round 9 per the window
+    protocol (SURVEY §8) — registered in round 10; oracle twin
+    _SQL_KNN_GRAPH below, pair gated locally by
+    tests/test_knn.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.knn import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=10)
+
+
+# Oracle twin for q_knn_graph (round-10 registration): the shared
+# kmeans_lite replay (a2 assignments + v quantized vectors), then
+# within-cell pairs, exact-int dots as doubles, top-10 per src.
+_SQL_KNN_GRAPH = (
+    _SQL_KMEANS16_A2
+    + ", m AS (SELECT a2.vec_id, a2.cell, v.qv,"
+    " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(v.qv AS DOUBLE[]))"
+    " AS n2 FROM a2 JOIN v USING (vec_id)"
+    " WHERE list_dot_product(CAST(v.qv AS DOUBLE[]),"
+    " CAST(v.qv AS DOUBLE[])) > 0), "
+    "p AS (SELECT a.vec_id AS src, b.vec_id AS dst,"
+    " list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))"
+    " / (sqrt(a.n2) * sqrt(b.n2)) AS cos FROM m a JOIN m b"
+    " ON a.cell = b.cell AND a.vec_id != b.vec_id), "
+    "rk AS (SELECT src, dst, cos, row_number() OVER (PARTITION BY src"
+    " ORDER BY cos DESC, dst) AS rn FROM p) "
+    "SELECT src, dst, round(cos, 6) AS cos FROM rk WHERE rn <= 10"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -267,6 +267,15 @@ def main(argv: list[str] | None = None) -> int:
                      "0.5,0.9,0.99) — emits (q, value) instead of the "
                      "raw (rank, value) summary")
 
+    kn_ = add("knn", help="datapipe: cell-bounded k-nearest-neighbor "
+              "graph over an embedding parquet — top-k cosine edges "
+              "per vector within its k-means cell")
+    kn_.add_argument("--id-col", default="vec_id")
+    kn_.add_argument("--vec-col", default="embedding")
+    kn_.add_argument("--dim", type=int, default=64)
+    kn_.add_argument("-k", type=int, default=10)
+    kn_.add_argument("--n-centroids", type=int, default=16)
+
     ts_ = add("text-strip", help="datapipe: strip HTML/markup to plain text")
     ts_.add_argument("--text-col", default="text")
     ts_.add_argument("--id-col", default="doc_id")
@@ -669,6 +678,15 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input), budget=args.budget,
             group_col=args.group_col, order_col=args.order_col,
             text_col=args.text_col, id_col=args.id_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "knn":
+        from reflexiv_spark.datapipe.knn import knn_graph
+
+        out = knn_graph(
+            spark.read.parquet(args.input),
+            k=args.k, dim=args.dim, n_centroids=args.n_centroids,
+            id_col=args.id_col, vec_col=args.vec_col,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "quantiles":

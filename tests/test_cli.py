@@ -405,3 +405,20 @@ def test_cli_quantiles(spark, tmp_path):
                  "--capacity", "10", "--qs", "0.5,0.99"]) == 0
     got = {r["q"]: r["value"] for r in spark.read.parquet(str(qout)).collect()}
     assert got[0.5] in (510, 520) and got[0.99] in (1000,)
+
+
+def test_cli_knn(spark, tmp_path):
+    """knn subcommand: edge parquet with k edges per vector."""
+    rows = [(i, [1.0 + 0.001 * i, 0.5]) for i in range(8)]
+    inp = tmp_path / "emb.parquet"
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(str(inp))
+    out = tmp_path / "edges"
+    assert main(["knn", "-i", str(inp), "-o", str(out),
+                 "--dim", "2", "-k", "3", "--n-centroids", "1"]) == 0
+    got = spark.read.parquet(str(out)).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.src, set()).add(r.dst)
+    assert set(per_src) == set(range(8))
+    assert all(len(v) == 3 for v in per_src.values())
