@@ -1645,7 +1645,11 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit importance score + hash-indexed base-10 Gumbel noise
     from a shared precomputed integer inverse-CDF table (a constant off
     ln-Gumbel, so the top-k is the paper's sampler; the key is a pure
-    bigint function of the hash — no float in either engine)."""
+    bigint function of the hash — no float in either engine). Round 10:
+    output is ALL-BIGINT (doc_id, log_weight_micro, key) — the rounded
+    double display column was the last float in the row and the r8/r9
+    driver artifacts red-flagged the hash while every local/scale check
+    passed, so the bisection removes it (VERDICT r9 #1)."""
     from reflexiv_spark.datapipe.dsir import dsir_select
 
     raw, target = _dsir_split(spark, sf_dir)
@@ -2904,19 +2908,23 @@ def oracle_sql() -> dict[str, str]:
             # precomputed integer Gumbel inverse-CDF table the engine
             # broadcast-joins (gumbel_micro_table — inlined here as a
             # DuckDB list constant), so key = s + g[m] is a pure bigint
-            # function of the hash on both sides; ties → doc_id
+            # function of the hash on both sides; ties → doc_id.
+            # ALL-BIGINT output (round-10 bisection, VERDICT r9 #1):
+            # the rounded-double log_weight display column — the only
+            # float either engine emitted — is replaced by the exact
+            # integer micro score on both sides.
             _SQL_DSIR_PD
             + ", gt AS (SELECT CAST(i AS BIGINT) AS m, "
             + _sql_gumbel_list()
             + "[CAST(i AS INT) + 1] AS g FROM"
             " unnest(generate_series(0, 65535)) AS u(i)), "
             "keyed AS (SELECT rd.doc_id,"
-            " round(CAST(coalesce(s, 0) AS DOUBLE) / 1000000, 6)"
-            " AS log_weight, coalesce(s, 0) + gt.g AS key"
+            " CAST(coalesce(s, 0) AS BIGINT)"
+            " AS log_weight_micro, coalesce(s, 0) + gt.g AS key"
             " FROM rd LEFT JOIN pd USING (doc_id)"
             " JOIN gt ON gt.m = CAST(('0x' || substr(md5('g|' ||"
             " CAST(rd.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 65536) "
-            "SELECT doc_id, log_weight, key FROM keyed"
+            "SELECT doc_id, log_weight_micro, key FROM keyed"
             " ORDER BY key DESC, doc_id LIMIT 50"
         ),
         "classifier_train": (

@@ -73,9 +73,16 @@ def pagerank(
         e.select(F.col("dst").alias("node")).distinct(), eager=False
     )
     # outdeg is src-cardinality-sized → AQE broadcasts it; edeg carries
-    # (src, dst, outdeg) and is the per-round probe table
+    # (src, dst, outdeg) and is the per-round probe table. Deliberately
+    # NOT barriered: edeg is a CONSTANT relation (it never participates
+    # in the iterative self-join whose stats-squaring the barrier
+    # exists to stop), and converting it to a LogicalRDD made every
+    # round's plan a distinct subtree, defeating ReuseExchange — the
+    # edge exchange re-executed per iteration (round-9 paired study,
+    # BASELINE.md: 5.91 → 4.43 s at sf1.0 with bit-identical output).
+    # Left as a plain plan node, Catalyst marks the per-round probe
+    # subtrees equal and reuses one shuffle for all rounds.
     edeg = e.join(outdeg, "src")
-    edeg = iteration_barrier(edeg, eager=False)
     # barriered: nodes seeds round 1's rank state, so an un-truncated
     # lineage here (outdeg agg + union-distinct) nests inside every
     # subsequent round's plan — the growing-lineage shape the celebrity

@@ -67,9 +67,11 @@ def quantile_sketch(
     )
     cum = global_prefix_sum(counts, "value", "__cnt", out_col="__cum")
     tot = cum.agg(F.sum("__cnt").cast("bigint").alias("__n"))
-    # ⌈n/cap⌉ without floats: (n + cap − 1) div cap
-    step = ((F.col("__n") + cap - 1) - F.pmod(F.col("__n") + cap - 1, F.lit(cap))) / cap
-    step = step.cast("bigint")
+    # ⌈n/cap⌉ without floats: SQL `div` is INTEGRAL division on bigints
+    # (the round-9 advisory: the old form divided through a double,
+    # exact only below 2^52 — contradicting the module's all-integer
+    # contract even if unreachable at current scales)
+    step = F.expr(f"(__n + {cap - 1}) div {cap}").cast("bigint")
     rows = cum.crossJoin(F.broadcast(tot)).select(
         "value",
         (F.col("__cum") - F.col("__cnt")).alias("__lo"),  # exclusive
@@ -81,9 +83,8 @@ def quantile_sketch(
     ).localCheckpoint(eager=False)
     # grid ranks r ≡ 1 (mod step) inside (lo, hi]: first candidate is
     # lo rounded DOWN to the grid then bumped past lo — all bigint ops
-    first = (F.floor(F.col("__lo") / F.col("__step")) * F.col("__step") + 1).cast(
-        "bigint"
-    )
+    # (`div` = integral division; lo ≥ 0 and step ≥ 1, so div ≡ floor)
+    first = (F.expr("__lo div __step") * F.col("__step") + 1).cast("bigint")
     first = F.when(first <= F.col("__lo"), first + F.col("__step")).otherwise(first)
     grid = rows.select(
         "value",

@@ -405,10 +405,14 @@ def _double_pointers(
     bound even though every path had converged rounds earlier. The
     probe now counts movers: an unconverged PATH pointer always moves
     (its jump is strictly head-ward) and then never moves again, so the
-    path-mover count is strictly decreasing until 0, while the
-    cycle-mover count is exactly constant. Two consecutive probes with
-    EQUAL mover counts therefore prove only cycles are still moving →
-    stop. Identical fixed point for path rows (extra rounds are
+    path-mover count is strictly decreasing while nonzero, and the
+    cycle-mover count is NON-INCREASING — not constant: a cycle whose
+    length divides 2^r collapses to self-loops after log2(c) doubling
+    rounds and its members stop moving too. The exit therefore relies
+    only on both deltas being ≤ 0 with the path delta strictly negative
+    until exhausted: two consecutive probes with EQUAL mover counts
+    prove no path pointer remains unconverged (whatever mix of live
+    cycles and self-looped cycles makes up the residue) → stop. Identical fixed point for path rows (extra rounds are
     identity jumps); cycle rows are dropped by the callers' head
     semi-join regardless of how many extra laps they ran.
     """

@@ -48,6 +48,16 @@ def overlap_pairs(
     paying for the full self-join on the union and discarding 3/4 of
     the candidates afterwards. Default (None) is the symmetric
     self-overlap set, unchanged.
+
+    ID-SPACE REQUIREMENT for ``b_side``: the two sides' id spaces must
+    be DISJOINT (or share only ids meaning the same entity). The
+    ``id_a != id_b`` self-pair filter still applies in the asymmetric
+    quadrant — a ``b_side`` row whose id numerically collides with an
+    unrelated A-side id would be silently dropped as a "self" pair
+    (round-9 advisory). Callers joining independent sets should salt
+    one side's ids (e.g. negate, or offset by max(id)+1) first; the
+    filter is kept even with ``b_side`` because the existing consumers
+    pass overlapping universes where equal id ⇒ same contig.
     """
     if seed_k is None:
         seed_k = min_overlap

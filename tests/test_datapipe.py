@@ -1309,6 +1309,12 @@ def test_dsir_select_gumbel_topk(spark):
     rows += [(100 + i, "zulu yankee xray whiskey victor " * 4) for i in range(20)]
     raw = spark.createDataFrame(rows, "doc_id long, text string")
     sel = dsir_select(raw, target, k=10, dim=256)
+    # round-10 bisection contract: EVERY output column is a bigint —
+    # no float anywhere in the row (VERDICT r9 #1)
+    assert [f.dataType.simpleString() for f in sel.schema.fields] == [
+        "bigint", "bigint", "bigint"
+    ], sel.schema
+    assert sel.columns == ["doc_id", "log_weight_micro", "key"]
     got = [r.doc_id for r in sel.collect()]
     assert len(got) == 10 and len(set(got)) == 10
     target_like = sum(1 for d in got if d < 100)

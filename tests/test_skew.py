@@ -210,15 +210,23 @@ def test_pagerank_celebrity_graph(spark, skew_confs):
     assert "partial_sum" in plan, plan[:3000]
 
     # (c) bounded per-round exchange count: each extra iteration may add
-    # at most a constant number of exchanges (edge side, nodes side,
-    # contribution agg, rank re-attach) — every one of them 8-byte-keyed
-    # and nodes- or edges-sized, never growing with the round number. A
-    # plan whose per-round cost compounds (the stats-squaring /
-    # growing-lineage failure mode) shows super-constant growth here.
+    # at most a constant number of exchanges (edge probe, rank
+    # re-attach, contribution agg, node-union side) — every one of them
+    # 8-byte-keyed and nodes- or edges-sized, never growing with the
+    # round number. A plan whose per-round cost compounds (the
+    # stats-squaring / growing-lineage failure mode) shows
+    # super-constant growth here. Count the AQE FINAL plan only:
+    # executedPlan().toString() appends the pre-AQE "Initial Plan",
+    # which double-counts every exchange and (since the round-10
+    # edeg-barrier drop, which trades the LogicalRDD for a reusable
+    # plain subtree) drowns the ReusedExchange nodes the change exists
+    # to create. Measured: 4/round at iters=3 vs 1; bound 5 leaves one
+    # exchange of slack before the guard cries growth.
     def _n_exch(p: str) -> int:
+        final = p.split("== Initial Plan ==")[0]
         return sum(
             1
-            for ln in p.splitlines()
+            for ln in final.splitlines()
             if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
         )
 
@@ -226,7 +234,7 @@ def test_pagerank_celebrity_graph(spark, skew_confs):
     r1.write.format("noop").mode("overwrite").save()
     plan1 = r1._jdf.queryExecution().executedPlan().toString()
     per_round = (_n_exch(plan) - _n_exch(plan1)) / 2  # iters 3 vs 1
-    assert per_round <= 7, (
+    assert per_round <= 5, (
         f"{per_round} exchanges/round (iters=3: {_n_exch(plan)}, "
         f"iters=1: {_n_exch(plan1)})"
     )
