@@ -1885,12 +1885,10 @@ def q_token_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (capacity 32) — values at exact multiset ranks {1, 1+step, …}
     ∪ {n}, step = ⌈n/32⌉, all-integer rank arithmetic (the sketch
     family's quantile member; arbitrary-cardinality-safe unlike the
-    histogram-exact token_quantiles). STAGED round 9 per the window
-    protocol (SURVEY §8) — registered in queries()/oracle_sql() in
-    round 10 when the window rotates; its oracle twin is
-    _SQL_TOKEN_QUANTILES_SKETCH below and
-    tests/test_quantile.py::test_staged_driver_pair_parity already runs
-    the full gate comparison locally."""
+    histogram-exact token_quantiles). Built round 9, REGISTERED round
+    10 per the window protocol (SURVEY §8); oracle twin
+    _SQL_TOKEN_QUANTILES_SKETCH below, pair also gated locally by
+    tests/test_quantile.py::test_staged_driver_pair_parity."""
     from reflexiv_spark.datapipe.quantile import quantile_sketch
 
     docs = _t(spark, sf_dir, "documents")
@@ -1932,9 +1930,9 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: cell-bounded k-nearest-neighbor GRAPH (k=10, the
     kmeans_lite 16-cell model) — every vector's top-10 cosine
     neighbors within its cell as an edge list, exact int64 dots,
-    (cos DESC, dst ASC) ranking. STAGED round 9 per the window
-    protocol (SURVEY §8) — registered in round 10; oracle twin
-    _SQL_KNN_GRAPH below, pair gated locally by
+    (cos DESC, dst ASC) ranking. Built round 9, REGISTERED round 10
+    per the window protocol (SURVEY §8); oracle twin _SQL_KNN_GRAPH
+    below, pair also gated locally by
     tests/test_knn.py::test_staged_driver_pair_parity."""
     from reflexiv_spark.datapipe.knn import knn_graph
 
@@ -1961,6 +1959,75 @@ _SQL_KNN_GRAPH = (
 )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: IVF-PQ ADC search (FAISS's IVFx,PQy shape) — the
+    kmeans_lite coarse quantizer prunes to 4 probed cells; members are
+    stored as 8 residual-PQ codes (min-id residual codebooks, 16 codes
+    per subspace); the min-id query scores each member with m
+    exact-int64 table lookups. Top-20 by (adc_sqdist, vec_id). NEW in
+    round 10 (VERDICT r9 #7)."""
+    from reflexiv_spark.datapipe.similarity import ann_ivfpq
+
+    return ann_ivfpq(
+        _t(spark, sf_dir, "embeddings"), k=20, m=8, ksub=16,
+        n_probes=4, dim=64, n_centroids=16, n_iter=2,
+    )
+
+
+# Oracle twin for q_ann_ivfpq: the shared kmeans_lite replay (c1
+# centroids + a2 assignments + v quantized vectors), then exact-int64
+# residuals, min-id residual codebooks, argmin encode (ties → lowest
+# code), probe ranking by the assignment metric, per-cell ADC tables,
+# and the global top-20.
+_SQL_ANN_IVFPQ = (
+    _SQL_KMEANS16_A2
+    + ", r AS (SELECT a2.vec_id, a2.cell,"
+    " list_transform(generate_series(1, 64),"
+    " i -> v.qv[CAST(i AS INT)] - c1.cq[CAST(i AS INT)]) AS res"
+    " FROM a2 JOIN v USING (vec_id) JOIN c1 USING (cell)), "
+    "cbseed AS (SELECT res, row_number() OVER (ORDER BY vec_id) - 1"
+    " AS j FROM (SELECT * FROM r ORDER BY vec_id LIMIT 16)), "
+    "cb AS (SELECT CAST(s AS BIGINT) AS s, j,"
+    " list_transform(generate_series(1, 8),"
+    " i -> res[CAST(s * 8 + i AS INT)]) AS cv"
+    " FROM cbseed, unnest(generate_series(0, 7)) AS u(s)), "
+    "rsub AS (SELECT vec_id, cell, CAST(s AS BIGINT) AS s,"
+    " list_transform(generate_series(1, 8),"
+    " i -> res[CAST(s * 8 + i AS INT)]) AS rv"
+    " FROM r, unnest(generate_series(0, 7)) AS u(s)), "
+    "encd AS (SELECT rsub.vec_id, rsub.cell, rsub.s, cb.j,"
+    " CAST(list_sum(list_transform(generate_series(1, 8),"
+    " i -> (rv[CAST(i AS INT)] - cv[CAST(i AS INT)])"
+    " * (rv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS d2"
+    " FROM rsub JOIN cb USING (s)), "
+    "enc AS (SELECT vec_id, cell, s, j AS code FROM"
+    " (SELECT *, row_number() OVER (PARTITION BY vec_id, s"
+    " ORDER BY d2, j) AS rn FROM encd) WHERE rn = 1), "
+    "qq AS (SELECT qv FROM v ORDER BY vec_id LIMIT 1), "
+    "pr AS (SELECT cell, cq FROM (SELECT c1.cell, c1.cq,"
+    " row_number() OVER (ORDER BY"
+    " list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(c1.cq AS DOUBLE[]))"
+    " / sqrt(list_dot_product(CAST(c1.cq AS DOUBLE[]),"
+    " CAST(c1.cq AS DOUBLE[]))) DESC, c1.cell ASC) AS rn"
+    " FROM c1 CROSS JOIN qq) WHERE rn <= 4), "
+    "qres AS (SELECT pr.cell, CAST(s AS BIGINT) AS s,"
+    " list_transform(generate_series(1, 8),"
+    " i -> qq.qv[CAST(s * 8 + i AS INT)] - pr.cq[CAST(s * 8 + i AS INT)])"
+    " AS qs FROM pr CROSS JOIN qq, unnest(generate_series(0, 7)) AS u(s)), "
+    "dt AS (SELECT qres.cell, qres.s, cb.j,"
+    " CAST(list_sum(list_transform(generate_series(1, 8),"
+    " i -> (qs[CAST(i AS INT)] - cv[CAST(i AS INT)])"
+    " * (qs[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT) AS qd2"
+    " FROM qres JOIN cb USING (s)), "
+    "sc AS (SELECT enc.vec_id, enc.cell,"
+    " CAST(sum(dt.qd2) AS BIGINT) AS adc_sqdist FROM enc"
+    " JOIN dt ON enc.cell = dt.cell AND enc.s = dt.s AND enc.code = dt.j"
+    " GROUP BY 1, 2) "
+    "SELECT vec_id, cell, adc_sqdist FROM sc"
+    " ORDER BY adc_sqdist, vec_id LIMIT 20"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1972,78 +2039,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-9 window
+    # The driver oracles the FIRST 50 dict entries.  Round-10 window
     # (mechanically checkable via tools/check_window.py): the 39
-    # r7-green queries that sat out the round-8 window rotate back in
-    # (slots 1-39), then every query whose module round 9 touches
-    # (slots 40-50): dsir.py (exact-integer Gumbel table), semdedup.py
-    # (blocked GEMM), classifier.py (NULL-label guard), retrieval.py
-    # (empty-query schema), multimodal.py (partial-ffmpeg status),
-    # extension.py (lazy plateau probe — pulls in reassemble/rc_expand/
-    # prune_forks/assemble_paths; junction_support/assemble_blocks/
-    # meta_assemble are already inside the rotated 39), reassemble.py +
-    # merger.py (asymmetric overlap join — contig_merge is inside the
-    # rotated 39).  The window is exactly full (50/50): the NEW
-    # quantile summary (datapipe/quantile.py) therefore follows the
-    # built-round-N/enters-round-N+1 protocol (the semantic_dedup
-    # precedent) — pytest-covered this round, oracle window round 10.
-    # Slots 51+ are r8-green queries whose modules round 9 does not
-    # semantically change — their CORRECTNESS_r08.json rows stand.
+    # r8-green queries that sat out the round-9 window rotate back in
+    # (slots 1-39) — this set already contains graph_pagerank +
+    # triangle_count (graph.py: the variant-B edeg-barrier drop lands
+    # this round) and the whole similarity family (similarity.py gains
+    # ann_ivfpq, so every transitive consumer is window-affected).
+    # Slots 40-45: the round-10-touched dsir pair (all-bigint
+    # dsir_select bisection + cached Gumbel table), semantic_dedup +
+    # knn_graph (import kmeans_lite from the changed similarity.py;
+    # knn.py also gains max_cell_rows), and the THREE entries
+    # pre-committed in SURVEY §8 — token_quantiles_sketch (built r9,
+    # quantile.py also switches to integral div this round), knn_graph
+    # (built r9), ann_ivfpq (NEW this round, VERDICT r9 #7).
+    # Slots 46-50: defensive spares for modules late-round work might
+    # touch (classifier, packing via pack_sequences/decontaminate,
+    # text histogram quantiles).  Slots 51+ are r9-green queries whose
+    # modules round 10 does not semantically change — their
+    # CORRECTNESS_r09.json rows stand.
     return {
-        # --- r7-green, sat out the r8 window: rotate back in (1-39) ---
-        "events_window": q_events_window,
-        "mercy": q_mercy,
-        "contig_merge": q_contig_merge,
-        "contained_dedup": q_contained_dedup,
-        "kmer_band": q_kmer_band,
-        "kmer_clip": q_kmer_clip,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_dup": q_simhash_dup,
-        "fork_argmax": q_fork_argmax,
-        "fork_argmax_gated": q_fork_argmax_gated,
-        "junction_support": q_junction_support,
-        "union_counts": q_union_counts,
-        "best_connection": q_best_connection,
-        "distinct_pairs": q_distinct_pairs,
-        "top_orders": q_top_orders,
-        "multi_join_agg": q_multi_join_agg,
-        "events_sessionize": q_events_sessionize,
-        "events_funnel": q_events_funnel,
-        "events_running": q_events_running,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "source_rollup": q_source_rollup,
-        "lang_pivot": q_lang_pivot,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "doc_chunk": q_doc_chunk,
-        "cms_estimate": q_cms_estimate,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "token_quantiles": q_token_quantiles,
-        "hash_sample": q_hash_sample,
-        "corpus_mix": q_corpus_mix,
-        "stratified_split": q_stratified_split,
-        "assemble_blocks": q_assemble_blocks,
-        "meta_assemble": q_meta_assemble,
-        # --- modules touched in round 9: must re-enter (40-50) ---
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "semantic_dedup": q_semantic_dedup,
-        "classifier_train": q_classifier_train,
-        "classifier_predict": q_classifier_predict,
-        "bm25_rank": q_bm25_rank,
-        "binary_meta": q_binary_meta,
-        "reassemble": q_reassemble,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        "assemble_paths": q_assemble_paths,
-        # --- r8-green, rotated out (slots 51+; modules not semantically
-        # changed in round 9; CORRECTNESS_r08.json rows stand) ---
+        # --- r8-green, sat out the r9 window: rotate back in (1-39) ---
         "unigram_logprob": q_unigram_logprob,
         "redact_pii": q_redact_pii,
         "embedding_quantize": q_embedding_quantize,
@@ -2083,6 +2099,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contig_dedup": q_contig_dedup,
         "token_budget_select": q_token_budget_select,
         "reduction": q_reduction,
+        # --- modules touched in round 10: must (re-)enter (40-45) ---
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_graph": q_knn_graph,
+        "token_quantiles_sketch": q_token_quantiles_sketch,
+        "ann_ivfpq": q_ann_ivfpq,
+        # --- defensive spares (46-50) ---
+        "classifier_train": q_classifier_train,
+        "classifier_predict": q_classifier_predict,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "token_quantiles": q_token_quantiles,
+        # --- r9-green, rotated out (slots 51+; modules not semantically
+        # changed in round 10; CORRECTNESS_r09.json rows stand) ---
+        "events_window": q_events_window,
+        "mercy": q_mercy,
+        "contig_merge": q_contig_merge,
+        "contained_dedup": q_contained_dedup,
+        "kmer_band": q_kmer_band,
+        "kmer_clip": q_kmer_clip,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_dup": q_simhash_dup,
+        "fork_argmax": q_fork_argmax,
+        "fork_argmax_gated": q_fork_argmax_gated,
+        "junction_support": q_junction_support,
+        "union_counts": q_union_counts,
+        "best_connection": q_best_connection,
+        "distinct_pairs": q_distinct_pairs,
+        "top_orders": q_top_orders,
+        "multi_join_agg": q_multi_join_agg,
+        "events_sessionize": q_events_sessionize,
+        "events_funnel": q_events_funnel,
+        "events_running": q_events_running,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "source_rollup": q_source_rollup,
+        "lang_pivot": q_lang_pivot,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "doc_chunk": q_doc_chunk,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
+        "stratified_split": q_stratified_split,
+        "assemble_blocks": q_assemble_blocks,
+        "meta_assemble": q_meta_assemble,
+        "bm25_rank": q_bm25_rank,
+        "binary_meta": q_binary_meta,
+        "reassemble": q_reassemble,
+        "rc_expand": q_rc_expand,
+        "prune_forks": q_prune_forks,
+        "assemble_paths": q_assemble_paths,
     }
 
 
@@ -2897,6 +2970,9 @@ def oracle_sql() -> dict[str, str]:
             _SQL_KMEANS16_A2
             + " SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a2"
         ),
+        "knn_graph": _SQL_KNN_GRAPH,
+        "token_quantiles_sketch": _SQL_TOKEN_QUANTILES_SKETCH,
+        "ann_ivfpq": _SQL_ANN_IVFPQ,
         "dsir_weights": (
             _SQL_DSIR_PD
             + " SELECT rd.doc_id, CAST(coalesce(n_feats, 0) AS BIGINT)"

@@ -117,6 +117,12 @@ HEADLINE = [
     # shape (the md5/oracle twins stay correctness entries)
     "dsir_select_xxh64",
     "semantic_dedup",
+    # round 10: the cell-bounded kNN edge list, the mergeable quantile
+    # summary, and the IVF-PQ ADC index — production IS the oracled
+    # path for all three (all-integer devices)
+    "knn_graph",
+    "token_quantiles_sketch",
+    "ann_ivfpq",
 ]
 
 

@@ -275,6 +275,10 @@ def main(argv: list[str] | None = None) -> int:
     kn_.add_argument("--dim", type=int, default=64)
     kn_.add_argument("-k", type=int, default=10)
     kn_.add_argument("--n-centroids", type=int, default=16)
+    kn_.add_argument("--max-cell-rows", type=int, default=None,
+                     help="split cells larger than this into id-mod "
+                     "sub-cells (bounds task memory; recall becomes "
+                     "shard-local)")
 
     ts_ = add("text-strip", help="datapipe: strip HTML/markup to plain text")
     ts_.add_argument("--text-col", default="text")
@@ -317,6 +321,18 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-k", type=int, default=20)
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
+
+    ip_ = add("ivfpq-search", help="similarity: IVF-PQ ADC top-k — "
+              "kmeans coarse cells pruned to n-probes lists, residual "
+              "PQ codes, m-lookup scoring vs the min-id query")
+    ip_.add_argument("--vec-col", default="embedding")
+    ip_.add_argument("--id-col", default="vec_id")
+    ip_.add_argument("-k", type=int, default=20)
+    ip_.add_argument("-m", type=int, default=8)
+    ip_.add_argument("--ksub", type=int, default=16)
+    ip_.add_argument("--dim", type=int, default=64)
+    ip_.add_argument("--n-centroids", type=int, default=16)
+    ip_.add_argument("--n-probes", type=int, default=4)
 
     args = p.parse_args(argv)
 
@@ -687,6 +703,7 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input),
             k=args.k, dim=args.dim, n_centroids=args.n_centroids,
             id_col=args.id_col, vec_col=args.vec_col,
+            max_cell_rows=args.max_cell_rows,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "quantiles":
@@ -727,6 +744,16 @@ def main(argv: list[str] | None = None) -> int:
         out = pq_topk(
             spark.read.parquet(args.input),
             k=args.k, m=args.m, ksub=args.ksub,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "ivfpq-search":
+        from reflexiv_spark.datapipe.similarity import ann_ivfpq
+
+        out = ann_ivfpq(
+            spark.read.parquet(args.input),
+            k=args.k, m=args.m, ksub=args.ksub, dim=args.dim,
+            n_centroids=args.n_centroids, n_probes=args.n_probes,
             id_col=args.id_col, vec_col=args.vec_col,
         )
         _write(out, args.output, args.outformat)

@@ -49,6 +49,7 @@ def knn_graph(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     gemm_block_doubles: int = _GEMM_BLOCK_DOUBLES,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor edges → DataFrame[src, dst, cos].
 
@@ -58,6 +59,24 @@ def knn_graph(
     training (assign-only against a pre-trained int64 fixed-point
     model — the web-scale path). Ids must be integral (they ride an
     int64 edge list).
+
+    TASK-MEMORY CEILING — the per-cell base matrix: the blocked GEMM
+    bounds the cosine SLAB to ``gemm_block_doubles`` float64s, but each
+    ``applyInPandas`` task still materializes its whole cell's
+    quantized int64 matrix (|cell| × dim × 8 bytes — 512 MB at a
+    1M-row cell with dim 64) plus the Arrow batch it arrived in. Size
+    ``n_centroids ≳ n / max_cell_rows`` so cells stay task-sized, or
+    set ``max_cell_rows`` to enforce it:
+
+    ``max_cell_rows``: when set, any cell with more members is
+    deterministically split into ⌈|cell|/cap⌉ sub-cells by
+    ``vec_id mod n_sub`` BEFORE candidate generation, so no task ever
+    holds more than ~2·cap rows (mod splits are balanced only in
+    expectation). RECALL NOTE: neighbors are then found within the
+    (cell, sub-cell) shard only — an exactness trade the caller opts
+    into, same contract as lowering LSH bands. Default ``None``
+    preserves the exact within-cell semantics (what the driver oracle
+    replays).
     """
     assign, _ = kmeans_lite(
         df, dim=dim, n_centroids=n_centroids,
@@ -80,6 +99,23 @@ def knn_graph(
         .withColumn("__n2", dot(F.col("__qv"), F.col("__qv")))
         .where(F.col("__n2") > 0)
     )
+    if max_cell_rows is not None:
+        cap = max(1, int(max_cell_rows))
+        # cell sizes are an n_centroids-row aggregate → broadcast back;
+        # n_sub = ⌈|cell|/cap⌉ in exact integer arithmetic, sub-cell by
+        # id mod (deterministic, layout-free)
+        sizes = members.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("__cn")
+        )
+        members = members.join(F.broadcast(sizes), "cell").withColumn(
+            "__sub",
+            F.pmod(
+                F.col("__vid"),
+                F.expr(f"(__cn + {cap - 1}) div {cap}"),
+            ),
+        )
+    else:
+        members = members.withColumn("__sub", F.lit(0))
 
     import pandas as pd
     from pyspark.sql.types import (
@@ -144,8 +180,8 @@ def knn_graph(
     # same display-rounding device every other oracled double column in
     # the repo uses; ranking inside the kernel used the unrounded cos
     return (
-        members.select("cell", "__vid", "__qv", "__n2")
-        .groupBy("cell")
+        members.select("cell", "__sub", "__vid", "__qv", "__n2")
+        .groupBy("cell", "__sub")
         .applyInPandas(edges_in_cell, schema)
         .select("src", "dst", F.round("cos", 6).alias("cos"))
     )

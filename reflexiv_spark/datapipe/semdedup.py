@@ -75,6 +75,18 @@ def semantic_dedup(
     an execution knob: the survivor set is bit-identical for any value
     (covered by ``test_semantic_dedup_blocked_gemm_parity``).
 
+    TASK-MEMORY CEILING — the per-cell base matrix: the block budget
+    bounds the cosine SLAB, but each ``applyInPandas`` task still holds
+    its whole cell's quantized int64 matrix (|cell| × dim × 8 bytes —
+    512 MB at a 1M-row cell with dim 64) plus the drop-state bitmap.
+    The binding sizing rule is therefore ``n_centroids ≳ n / cap`` for
+    your per-task row budget ``cap`` (the paper's k ≈ n/50k satisfies
+    it by two orders). Unlike :func:`knn.knn_graph` there is NO salt
+    split escape here: the drop rule is sequential over the whole
+    cell's centroid-distance order, so splitting a cell changes the
+    survivor set — if a cell cannot fit, retrain with more centroids
+    (or pass a bigger pre-trained ``centroids`` model).
+
     ``centroids``: optional pre-trained int64 fixed-point C×dim matrix
     (e.g. a prior :func:`kmeans_lite` run on a hash-sample, or an
     external trainer quantized with floor(x·1000)). When given, no

@@ -1040,3 +1040,145 @@ def pq_codebooks_trained(
             cmat = np.concatenate([cmat, pad])
         mats.append(cmat.astype(np.int64))
     return np.stack(mats)
+
+
+def ann_ivfpq(
+    df: DataFrame,
+    k: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    n_probes: int = 4,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ with asymmetric-distance search → the ``k`` best rows as
+    DataFrame[id, cell, adc_sqdist] (ascending ADC distance, ties by
+    id) against the min-id query vector.
+
+    The production ANN index shape (Jégou et al., TPAMI'11; what FAISS
+    ships as ``IVFx,PQy``), composed from parts this family already
+    proves out one by one: a :func:`kmeans_lite` coarse quantizer
+    prunes the scan to ``n_probes`` inverted lists (``ann_ivf``'s
+    device), and within each list vectors are stored as ``m``-code
+    product quantizations of their RESIDUAL to the list's centroid —
+    residual PQ carries far more precision per byte than flat PQ
+    (``pq_encode``'s device) because the coarse step has already
+    removed the centroid's share of the variance. Search never touches
+    a full vector: per probed cell, the query's residual yields an
+    (m × ksub) exact-int64 distance table, and each member's ADC score
+    is ``m`` table lookups on its codes.
+
+    At 100 TB neither flat PQ (no pruning — every query scans all
+    codes) nor IVF-flat (full vectors resident in the cells) is what
+    ships; IVF-PQ reads ``n_probes/C`` of the corpus at ``m`` bytes
+    per vector. Here the coarse model and codebooks are driver-sized
+    (C×dim + m×ksub×dim/m int64s), the encode+score pass is ONE Arrow
+    ``mapInPandas`` over the probed cells' members (cell filter pushed
+    below the Python crossing), and the global top-k compiles to
+    TakeOrdered — no shuffle anywhere but the kmeans assignment's.
+
+    Determinism (oracle-replayable): vectors fix to floor(x·scale)
+    int64; the coarse quantizer is the fixed-point :func:`kmeans_lite`
+    (or a pre-trained ``centroids`` matrix); residuals are exact int64
+    differences; codebook ``s`` is the residual subvectors of the
+    ``ksub`` smallest-id vectors (the same min-id seed device as
+    :func:`pq_codebooks` — non-iterative, so the whole index build
+    replays in ANSI SQL); encode argmin and ADC sums are exact int64
+    with ties to the lowest code. Probed cells rank by the assignment
+    metric (int dot / exact centroid norm, DESC, ties to the lower
+    cell id).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    assign, cmat = kmeans_lite(
+        df, dim=dim, n_centroids=n_centroids,
+        n_iter=1 if centroids is not None else n_iter,
+        id_col=id_col, vec_col=vec_col, init_centroids=centroids,
+    )
+    if not len(cmat):
+        raise ValueError("ann_ivfpq: no non-zero-norm quantizer seeds")
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    qv = df.select(F.col(id_col).cast("long").alias("__vid"), q.alias("__qv"))
+    members = assign.select(
+        F.col(id_col).cast("long").alias("__vid"), "cell"
+    ).join(qv, "__vid")
+
+    # --- driver-side model: codebooks, probe list, distance tables ---
+    # (each collect is model- or ksub-sized; the corpus never lands on
+    # the driver)
+    seed_rows = members.orderBy("__vid").limit(int(ksub)).collect()
+    if not seed_rows:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "vec_id long, cell long, adc_sqdist long"
+        ).select(
+            F.col("vec_id").alias(id_col), "cell", "adc_sqdist"
+        )
+    seeds = np.array([r["__qv"] for r in seed_rows], dtype=np.int64)
+    seed_cells = np.array([r["cell"] for r in seed_rows], dtype=np.int64)
+    seed_res = seeds - cmat[seed_cells]
+    # cb[s] : (ksub_eff, dsub) — residual subvectors, code order = id rank
+    cb = np.stack(
+        [seed_res[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    qrow = seed_rows[0]  # min-id vector is the query (pq_topk's device)
+    qvec = np.array(qrow["__qv"], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    scores = (qvec @ cmat.T).astype(np.float64) / cnorm
+    # (score DESC, cell ASC): lexsort's last key is primary
+    order = np.lexsort((np.arange(len(cmat)), -scores))
+    probe_cells = np.sort(order[: min(int(n_probes), len(cmat))])
+    # dt[c, s, j] = ||(q - centroid_c)_s - cb[s, j]||², exact int64 —
+    # built for probed cells only (others never scored)
+    dt = np.zeros((len(cmat), m, cb.shape[1]), dtype=np.int64)
+    for c in probe_cells:
+        qres = qvec - cmat[c]
+        for s in range(m):
+            diff = qres[s * dsub : (s + 1) * dsub][None, :] - cb[s]
+            dt[c, s] = (diff * diff).sum(axis=1)
+
+    probe_set = [int(c) for c in probe_cells]
+    local_cmat, local_dt, local_cb = cmat, dt, cb
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["__qv"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy(dtype=np.int64)
+            res = v - local_cmat[cells]
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                sub = res[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - local_cb[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes = np.argmin(d2, axis=1)  # first min = lowest code
+                adc += local_dt[cells, s, codes]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["__vid"].to_numpy(),
+                    "cell": cells,
+                    "adc_sqdist": adc,
+                }
+            )
+
+    scored = (
+        members.where(F.col("cell").isin(probe_set))
+        .mapInPandas(_score, "vec_id long, cell long, adc_sqdist long")
+    )
+    return (
+        scored.orderBy("adc_sqdist", "vec_id")
+        .limit(int(k))
+        .select(F.col("vec_id").alias(id_col), "cell", "adc_sqdist")
+    )

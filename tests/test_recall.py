@@ -206,6 +206,64 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     assert overlap >= 0.6, f"ADC@10 overlap vs exact L2: {overlap:.2f}"
 
 
+def test_ann_ivfpq_residual_beats_flat_pq(spark):
+    """IVF-PQ quality gates (round-10 operator, VERDICT r9 #7):
+    (a) with every cell probed, residual-PQ ADC overlap vs the exact
+    int64-L2 top-10 is at least the flat pq_topk overlap at the SAME
+    bytes per vector (m=8, ksub=16) — the whole point of encoding
+    residuals is that the coarse step removes the centroid's share of
+    the variance; (b) with 4/16 probes, the planted near-clone of the
+    query still podiums (it shares the query's cell by construction);
+    (c) the query itself always scores ADC 0 at rank 1."""
+    from reflexiv_spark.datapipe.similarity import ann_ivfpq, pq_topk
+
+    rng = np.random.RandomState(31)
+    # Corpus design: two separated blobs (coarse structure for the IVF
+    # step) whose WITHIN-blob variation is low-rank (3-dim latent) —
+    # the regime where residual coding genuinely carries more precision
+    # per byte: remove the blob offset and the residual lives near a
+    # 3-dim manifold that ksub codes cover well. On fully ISOTROPIC
+    # within-blob noise both codecs degrade to the same coarse tail
+    # (measured 0.4/0.4 overlap at ksub=16 — nothing left to quantize),
+    # so an isotropic corpus cannot separate them.
+    W = rng.randn(3, 64)
+    centers = np.array([np.ones(64) * 3.0, -np.ones(64) * 3.0])
+    Z = rng.randn(200, 3)
+    blob = np.repeat([0, 1], 100)
+    base = centers[blob] + Z @ W * 0.5 + 0.05 * rng.randn(200, 64)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    rows.append((5000, (base[0] + 0.01 * rng.randn(64)).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    q = np.floor(base[0] * 1000).astype(np.int64)
+    mats = {i: np.floor(np.array(v) * 1000).astype(np.int64) for i, v in rows}
+    exact = sorted(
+        mats, key=lambda i: (int(((mats[i] - q) ** 2).sum()), i)
+    )[:10]
+
+    ivfpq_all = ann_ivfpq(
+        emb, k=10, m=8, ksub=16, n_probes=16, n_centroids=16
+    ).collect()
+    ids = [r.vec_id for r in ivfpq_all]
+    assert ids[0] == 0 and ivfpq_all[0].adc_sqdist == 0
+    flat = [r.vec_id for r in pq_topk(emb, k=10, m=8, ksub=16).collect()]
+    ov_ivfpq = len(set(ids) & set(exact)) / 10
+    ov_flat = len(set(flat) & set(exact)) / 10
+    # the structural claim at MATCHED bytes (m=8, ksub=16): measured
+    # 0.9 vs 0.8 on this corpus
+    assert ov_ivfpq >= ov_flat, (ov_ivfpq, ov_flat)
+    assert ov_ivfpq >= 0.8, f"residual-PQ overlap vs exact L2: {ov_ivfpq}"
+
+    probed = [
+        r.vec_id
+        for r in ann_ivfpq(
+            emb, k=10, m=8, ksub=16, n_probes=4, n_centroids=16
+        ).collect()
+    ]
+    assert probed[0] == 0
+    assert 5000 in probed[:3], f"clone missed the podium: {probed[:5]}"
+
+
 def test_star_edges_same_components(spark):
     """On clone families (the corpus shape star edges exist for), the
     spanning-star candidate set yields EXACTLY the same connected
