@@ -1926,6 +1926,89 @@ _SQL_TOKEN_QUANTILES_SKETCH = (
 )
 
 
+def q_token_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: MERGEABILITY of the rank-grid quantile summary driven
+    end-to-end — the 100 TB story of the sketch: summaries of two
+    DISJOINT shards (doc_id parity) combine by side-wise rank addition
+    without touching the raw data (error ≤ step_A + step_B). STAGED
+    round 10 per the window protocol (SURVEY §8 — the round-10 window
+    is exactly full); registers round 11. Oracle twin
+    _SQL_TOKEN_QUANTILES_MERGE below; the pair is gated locally by
+    tests/test_quantile.py::test_staged_merge_driver_pair_parity."""
+    from reflexiv_spark.datapipe.quantile import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.size(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(r"\w+"), 0
+        )
+    )
+    toks = docs.select(
+        F.col("doc_id"), v.cast("bigint").alias("v")
+    )
+    a = quantile_sketch(
+        toks.where(F.col("doc_id") % 2 == 0).select("v"), "v", capacity=32
+    )
+    b = quantile_sketch(
+        toks.where(F.col("doc_id") % 2 != 0).select("v"), "v", capacity=32
+    )
+    return merge_quantile_sketches(a, b).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def _sql_tqsketch_shard(tag: str, pred: str) -> str:
+    """The token-count rank-grid summary CTE chain for one document
+    shard (the _SQL_TOKEN_QUANTILES_SKETCH devices, tag-suffixed so two
+    shards compose in one query). Ends with CTE ``s{tag}(rank, value)``."""
+    return (
+        f"t{tag} AS (SELECT len(regexp_extract_all(lower(coalesce(text,"
+        f" '')), '\\w+')) AS value FROM documents WHERE {pred}), "
+        f"c{tag} AS (SELECT CAST(value AS BIGINT) AS value, count(*) AS cnt"
+        f" FROM t{tag} GROUP BY 1), "
+        f"cum{tag} AS (SELECT value, cnt,"
+        f" CAST(sum(cnt) OVER (ORDER BY value) AS BIGINT) AS hi FROM c{tag}), "
+        f"sc{tag} AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,"
+        f" CAST((sum(cnt) + 31) // 32 AS BIGINT) AS step FROM c{tag}), "
+        f"r{tag} AS (SELECT value, hi - cnt AS lo, hi, sc{tag}.n,"
+        f" sc{tag}.step,"
+        f" CAST((hi - cnt) // sc{tag}.step * sc{tag}.step + 1 AS BIGINT)"
+        f" AS f0 FROM cum{tag}, sc{tag}), "
+        f"g{tag} AS (SELECT value, CAST(i AS BIGINT) AS rank FROM r{tag},"
+        f" unnest(generate_series(CASE WHEN f0 <= lo THEN f0 + step ELSE f0"
+        f" END, least(hi, n), step)) AS u(i)), "
+        f"tp{tag} AS (SELECT value, n AS rank FROM r{tag}"
+        f" WHERE lo < n AND n <= hi), "
+        f"s{tag} AS (SELECT DISTINCT rank, value FROM"
+        f" (SELECT * FROM g{tag} UNION ALL SELECT * FROM tp{tag}))"
+    )
+
+
+# Oracle twin for q_token_quantiles_merge (round-11 registration): two
+# shard summaries, then the side-wise rank-addition merge — for every
+# distinct value v in the union, rank(v) = max rank_A(value ≤ v) +
+# max rank_B(value ≤ v) (0 below a side's min), equal values collapsing
+# to the combined rank; summaries are ≤ 33 rows each so the ≤-joins are
+# sketch-sized.
+_SQL_TOKEN_QUANTILES_MERGE = (
+    "WITH "
+    + _sql_tqsketch_shard("a", "doc_id % 2 = 0")
+    + ", "
+    + _sql_tqsketch_shard("b", "doc_id % 2 != 0")
+    + ", uv AS (SELECT DISTINCT value FROM"
+    " (SELECT value FROM sa UNION ALL SELECT value FROM sb)) "
+    "SELECT CAST(coalesce((SELECT max(sa.rank) FROM sa"
+    " WHERE sa.value <= uv.value), 0)"
+    " + coalesce((SELECT max(sb.rank) FROM sb"
+    " WHERE sb.value <= uv.value), 0) AS BIGINT) AS rank,"
+    " uv.value FROM uv"
+)
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: cell-bounded k-nearest-neighbor GRAPH (k=10, the
     kmeans_lite 16-cell model) — every vector's top-10 cosine

@@ -154,6 +154,36 @@ def test_quantile_sketch_plan_shape(spark):
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
+def test_staged_merge_driver_pair_parity(spark):
+    """The round-11 STAGED driver pair gated locally this round:
+    q_token_quantiles_merge (two disjoint doc_id-parity shard summaries
+    combined by side-wise rank addition) and its
+    _SQL_TOKEN_QUANTILES_MERGE DuckDB twin must agree on rows, schema,
+    and values at sf0.01 (SURVEY §8 staging protocol — the round-10
+    window is exactly full, so the pair registers next round)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_token_quantiles_merge(spark, "/root/testdata/sf0.01")
+    srows = sorted((r.rank, r.value) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    cur = con.execute(ent._SQL_TOKEN_QUANTILES_MERGE)
+    assert [d[0] for d in cur.description] == ["rank", "value"]
+    orows = sorted(tuple(r) for r in cur.fetchall())
+    assert len(srows) == len(orows) > 10
+    assert srows == orows
+    # the merged summary's top rank is the full corpus size: the merge
+    # lost no mass
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert max(r for r, _ in srows) == n_docs
+
+
 def test_staged_driver_pair_parity(spark):
     """The round-10 driver pair, gated LOCALLY this round: the staged
     q_token_quantiles_sketch query and its _SQL_TOKEN_QUANTILES_SKETCH
