@@ -1926,6 +1926,59 @@ _SQL_TOKEN_QUANTILES_SKETCH = (
 )
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: Bloom-filter membership pre-screen for decontamination
+    — build a 2^16-bit / 4-hash filter over the TARGET corpus's words
+    (the dsir doc_id%10 split), probe every RAW document's distinct
+    words map-side against the broadcast filter; a word hits iff all 4
+    bits are set (zero false negatives, deterministic false positives).
+    The 100 TB shape: the probe corpus never shuffles against the build
+    corpus. STAGED round 10 (window exactly full; SURVEY §8); registers
+    round 11. Oracle twin _SQL_BLOOM_DECONTAM below; pair gated locally
+    by tests/test_bloom.py::test_staged_bloom_driver_pair_parity."""
+    from reflexiv_spark.datapipe.bloom import bloom_decontaminate
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return bloom_decontaminate(
+        raw, target, m_bits=1 << 16, k_hashes=4, hash_family="md5"
+    )
+
+
+# Oracle twin for q_bloom_decontam (round-11 registration): the same
+# salted-md5 bit positions ('b{i}|' || word, mod 2^16), 63-bit word
+# packing via bit_or, per-(doc, word) all-4-bits membership, per-doc
+# counts. Words via the proven regexp_extract_all '\w+' device.
+_SQL_BLOOM_DECONTAM = (
+    r"WITH w AS (SELECT doc_id,"
+    r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+    " FROM documents), "
+    "dw AS (SELECT DISTINCT doc_id, ws[CAST(i AS INT)] AS t FROM w,"
+    " unnest(generate_series(1, len(ws))) AS u(i)), "
+    "tv AS (SELECT DISTINCT t FROM dw WHERE doc_id % 10 = 0), "
+    "tp AS (SELECT DISTINCT CAST(('0x' || substr(md5('b' || i || '|' ||"
+    " t), 1, 15)) AS BIGINT) % 65536 AS pos FROM tv,"
+    " unnest([0, 1, 2, 3]) AS s(i)), "
+    "bl AS (SELECT pos // 63 AS word,"
+    " bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits"
+    " FROM tp GROUP BY 1), "
+    "rw AS (SELECT doc_id, t FROM dw WHERE doc_id % 10 != 0), "
+    "pr AS (SELECT doc_id, t,"
+    " CAST(('0x' || substr(md5('b' || i || '|' || t), 1, 15))"
+    " AS BIGINT) % 65536 AS pos FROM rw, unnest([0, 1, 2, 3]) AS s(i)), "
+    "hw AS (SELECT pr.doc_id, pr.t, count(*) FILTER ("
+    " (coalesce(bl.bits, 0) & (CAST(1 AS BIGINT)"
+    " << CAST(pr.pos % 63 AS INT))) != 0) = 4 AS hit"
+    " FROM pr LEFT JOIN bl ON pr.pos // 63 = bl.word"
+    " GROUP BY pr.doc_id, pr.t), "
+    "agg AS (SELECT doc_id, count(*) AS n_terms,"
+    " count(*) FILTER (hit) AS n_hits FROM hw GROUP BY doc_id), "
+    "rd AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 != 0) "
+    "SELECT rd.doc_id, CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,"
+    " CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits"
+    " FROM rd LEFT JOIN agg USING (doc_id)"
+)
+
+
 def q_token_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: MERGEABILITY of the rank-grid quantile summary driven
     end-to-end — the 100 TB story of the sketch: summaries of two

@@ -322,6 +322,19 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
 
+    bf_ = add("bloom-decontam", help="sketch: Bloom membership "
+              "pre-screen — build a bit filter over --target's words, "
+              "probe every input doc map-side (no corpus shuffle); "
+              "emits doc_id, n_terms, n_hits")
+    bf_.add_argument("--target", required=True,
+                     help="parquet of the corpus whose words build the filter")
+    bf_.add_argument("--text-col", default="text")
+    bf_.add_argument("--id-col", default="doc_id")
+    bf_.add_argument("--m-bits", type=int, default=1 << 20)
+    bf_.add_argument("--k-hashes", type=int, default=4)
+    bf_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+
     ip_ = add("ivfpq-search", help="similarity: IVF-PQ ADC top-k — "
               "kmeans coarse cells pruned to n-probes lists, residual "
               "PQ codes, m-lookup scoring vs the min-id query")
@@ -745,6 +758,17 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input),
             k=args.k, m=args.m, ksub=args.ksub,
             id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "bloom-decontam":
+        from reflexiv_spark.datapipe.bloom import bloom_decontaminate
+
+        out = bloom_decontaminate(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.target),
+            text_col=args.text_col, id_col=args.id_col,
+            m_bits=args.m_bits, k_hashes=args.k_hashes,
+            hash_family=args.hash_family,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "ivfpq-search":
