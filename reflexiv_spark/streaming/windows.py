@@ -316,3 +316,122 @@ def streaming_top_tokens(
             "top",
         )
     )
+
+
+def streaming_quantile_summary(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    capacity: int = 32,
+    watermark: str | None = "15 minutes",
+) -> DataFrame:
+    """Per-event-time-window rank-grid quantile summary → (win_start,
+    win_end, rank, value) — the streaming face of
+    :func:`reflexiv_spark.datapipe.quantile.quantile_sketch` (identical
+    semantics per window: values at sorted multiset ranks {1, 1+step,
+    …} ∪ {n}, step = ⌈n/capacity⌉, all-integer arithmetic).
+
+    The per-window distribution monitor a training-data pipeline runs
+    over its ingest stream (doc-length / token-count p50-p99 per hour)
+    — a full per-window sort would need unbounded state; the rank grid
+    needs only the per-(window, value) exact counts.
+
+    Two chained stateful aggregations (the ``streaming_top_tokens``
+    shape, Spark 3.4+): (1) windowed ``groupBy(value)`` count — the
+    only data-sized state, bounded by the watermark times value
+    cardinality; (2) a ``window_time`` re-window folds each CLOSED
+    window's sorted (value, cnt) list into the summary with one
+    ``F.aggregate`` cumulative pass — pure codegen'd expressions, no
+    Python, no per-window driver work. Append mode: each window's
+    summary emits once, when the watermark closes it. On a batch
+    DataFrame the same call computes the same summaries (equivalence
+    contract, pinned against the batch ``quantile_sketch`` in
+    ``tests/test_streaming.py``).
+    """
+    cap = max(1, int(capacity))
+    src = df
+    if watermark is not None and src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    v = F.col(value_col).cast("long")
+    counts = (
+        src.where(v.isNotNull())
+        .select(F.col(ts_col), v.alias("value"))
+        .groupBy(F.window(ts_col, window).alias("w"), "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    folded = (
+        counts.groupBy(F.window(F.window_time("w"), window).alias("w2"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("value", "cnt"))
+            ).alias("xs")
+        )
+    )
+    n = F.aggregate(
+        "xs", F.lit(0).cast("bigint"), lambda a, x: a + x["cnt"]
+    )
+    stepped = folded.select(
+        "w2",
+        "xs",
+        n.alias("n"),
+    ).select(
+        "w2",
+        "xs",
+        "n",
+        F.expr(f"(n + {cap - 1}) div {cap}").cast("bigint").alias("step"),
+    )
+
+    # one cumulative pass over the sorted runs: for each (value, cnt)
+    # run spanning multiset ranks (lo, hi], emit the grid ranks
+    # ≡ 1 (mod step) inside it — first = lo - lo%step + 1, bumped past
+    # lo (all bigint ops, the quantile_sketch devices verbatim)
+    def _emit(acc, x):
+        lo = acc["cum"]
+        hi = acc["cum"] + x["cnt"]
+        step = F.col("step")
+        first0 = lo - F.pmod(lo, step) + F.lit(1).cast("bigint")
+        first = F.when(first0 <= lo, first0 + step).otherwise(first0)
+        seq = F.when(
+            first <= hi, F.sequence(first, hi, step)
+        ).otherwise(F.array().cast("array<bigint>"))
+        rows = F.transform(
+            seq,
+            lambda r: F.struct(
+                r.alias("rank"), x["value"].alias("value")
+            ),
+        )
+        return F.struct(
+            hi.alias("cum"), F.concat(acc["out"], rows).alias("out")
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.array().cast("array<struct<rank:bigint,value:bigint>>").alias(
+            "out"
+        ),
+    )
+    top = F.struct(
+        F.col("n").alias("rank"),
+        F.element_at("xs", -1)["value"].alias("value"),
+    )
+    summary = F.array_distinct(
+        F.concat(
+            F.aggregate("xs", init, _emit, lambda acc: acc["out"]),
+            F.array(top),
+        )
+    )
+    return (
+        stepped.where(F.col("n") > 0)
+        .select(
+            F.col("w2.start").alias("win_start"),
+            F.col("w2.end").alias("win_end"),
+            F.explode(summary).alias("s"),
+        )
+        .select(
+            "win_start",
+            "win_end",
+            F.col("s.rank").alias("rank"),
+            F.col("s.value").alias("value"),
+        )
+    )

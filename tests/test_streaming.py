@@ -437,3 +437,137 @@ def test_strip_and_classify_compose_on_streams(spark, tmp_path):
     for i in (1, 2):
         assert got[i].logit == batch[i].logit
         assert got[i].n_feats == batch[i].n_feats
+
+
+def test_streaming_quantile_summary_matches_batch_and_sketch(spark, tmp_path):
+    """Per-window rank-grid summaries over a file stream equal (a) the
+    same callable on the batch read AND (b) the batch quantile_sketch
+    run per window group — the sketch is a pure function of each
+    window's value multiset, so all three agree exactly."""
+    from reflexiv_spark.datapipe.quantile import quantile_sketch
+    from reflexiv_spark.streaming.windows import (
+        stream_from_files,
+        streaming_quantile_summary,
+    )
+
+    d = tmp_path / "q_in"
+    d.mkdir()
+    # window 10:00 gets values 1..25 (n=25, cap 4 -> step 7: ranks
+    # 1,8,15,22,25); window 11:00 gets 100,100,200 (n=3, step 1: every
+    # rank). Split across files so the stream sees multiple batches.
+    rows1 = [
+        {"ts": f"2026-01-01T10:{m:02d}:00", "v": i + 1}
+        for m, i in zip(range(0, 50, 2), range(25))
+    ]
+    rows2 = [
+        {"ts": "2026-01-01T11:05:00", "v": 100},
+        {"ts": "2026-01-01T11:10:00", "v": 100},
+        {"ts": "2026-01-01T11:20:00", "v": 200},
+    ]
+    _write_batch(d, "b1.json", rows1[:13])
+    _write_batch(d, "b2.json", rows1[13:] + rows2)
+    # chained stateful aggregations only run in APPEND mode (Spark's
+    # global-watermark correctness check rejects complete) — a late
+    # sentinel advances the watermark past both asserted windows; its
+    # own still-open window must NOT emit
+    _write_batch(d, "b3.json", [{"ts": "2026-01-01T13:30:00", "v": 42}])
+    # FileStreamSource orders micro-batches by modification time: three
+    # files written back-to-back can collide on mtime and replay out of
+    # order, which would advance the watermark past b2 and late-drop it
+    # — pin strictly increasing mtimes
+    import os
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json")):
+        os.utime(d / name, (now + i, now + i))
+    schema = "ts timestamp, v long"
+
+    stream = stream_from_files(spark, str(d), schema, max_files_per_trigger=1)
+    out = streaming_quantile_summary(
+        stream, value_col="v", window="1 hour", capacity=4,
+        watermark="10 minutes",
+    )
+    _run_stream(out, "q_summ", "append")
+    got = {
+        (str(r.win_start), r.rank, r.value)
+        for r in spark.sql("SELECT * FROM q_summ").collect()
+    }
+    assert not any(w.startswith("2026-01-01 13") for w, _, _ in got), got
+    assert {(w, r, v) for w, r, v in got if w.startswith("2026-01-01 10")} == {
+        ("2026-01-01 10:00:00", 1, 1),
+        ("2026-01-01 10:00:00", 8, 8),
+        ("2026-01-01 10:00:00", 15, 15),
+        ("2026-01-01 10:00:00", 22, 22),
+        ("2026-01-01 10:00:00", 25, 25),
+    }
+    assert {(w, r, v) for w, r, v in got if w.startswith("2026-01-01 11")} == {
+        ("2026-01-01 11:00:00", 1, 100),
+        ("2026-01-01 11:00:00", 2, 100),
+        ("2026-01-01 11:00:00", 3, 200),
+    }
+
+    # (a) batch/stream equivalence: same callable on the batch read —
+    # the batch pass also reports the sentinel's (open-on-the-stream)
+    # window, which append mode correctly withheld
+    batch = spark.read.schema(schema).json(str(d))
+    expected = {
+        (str(r.win_start), r.rank, r.value)
+        for r in streaming_quantile_summary(
+            batch, value_col="v", window="1 hour", capacity=4
+        ).collect()
+    }
+    assert got == {
+        (w, r, v) for w, r, v in expected
+        if not w.startswith("2026-01-01 13")
+    }
+
+    # (b) the batch sketch per window group agrees value-for-value
+    from pyspark.sql import functions as F
+
+    for win, pred in (
+        ("2026-01-01 10", F.hour("ts") == 10),
+        ("2026-01-01 11", F.hour("ts") == 11),
+    ):
+        sk = {
+            (r.rank, r.value)
+            for r in quantile_sketch(
+                batch.where(pred).select(F.col("v")), "v", capacity=4
+            ).collect()
+        }
+        assert sk == {(r, v) for w, r, v in got if w.startswith(win)}
+
+
+def test_streaming_quantile_summary_append_mode_closed_windows(spark, tmp_path):
+    """Append mode emits each window exactly once after the watermark
+    closes it — the earlier window's summary appears; the still-open
+    final window does not."""
+    from reflexiv_spark.streaming.windows import (
+        stream_from_files,
+        streaming_quantile_summary,
+    )
+
+    d = tmp_path / "q_app"
+    d.mkdir()
+    _write_batch(d, "b1.json", [
+        {"ts": "2026-01-01T10:05:00", "v": 5},
+        {"ts": "2026-01-01T10:25:00", "v": 7},
+    ])
+    _write_batch(d, "b2.json", [
+        {"ts": "2026-01-01T12:30:00", "v": 9},  # advances watermark past 10:00
+    ])
+    schema = "ts timestamp, v long"
+    stream = stream_from_files(spark, str(d), schema, max_files_per_trigger=1)
+    out = streaming_quantile_summary(
+        stream, value_col="v", window="1 hour", capacity=4,
+        watermark="10 minutes",
+    )
+    _run_stream(out, "q_app", "append")
+    got = {
+        (str(r.win_start), r.rank, r.value)
+        for r in spark.sql("SELECT * FROM q_app").collect()
+    }
+    assert got == {
+        ("2026-01-01 10:00:00", 1, 5),
+        ("2026-01-01 10:00:00", 2, 7),
+    }
