@@ -422,3 +422,45 @@ def test_cli_knn(spark, tmp_path):
         per_src.setdefault(r.src, set()).add(r.dst)
     assert set(per_src) == set(range(8))
     assert all(len(v) == 3 for v in per_src.values())
+
+
+def test_cli_ivfpq_search(spark, tmp_path):
+    """ivfpq-search subcommand: top-k parquet with the query (min id)
+    at ADC distance 0 in front."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(16) + (3.0 if i < 10 else -3.0)).tolist())
+            for i in range(20)]
+    inp = tmp_path / "emb.parquet"
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .write.parquet(str(inp))
+    out = tmp_path / "hits"
+    assert main(["ivfpq-search", "-i", str(inp), "-o", str(out),
+                 "--dim", "16", "-m", "4", "--ksub", "8",
+                 "--n-centroids", "4", "--n-probes", "2", "-k", "5"]) == 0
+    got = sorted(spark.read.parquet(str(out)).collect(),
+                 key=lambda r: (r.adc_sqdist, r.vec_id))
+    assert len(got) == 5
+    assert got[0].vec_id == 0 and got[0].adc_sqdist == 0
+    assert all(r.adc_sqdist >= 0 for r in got)
+
+
+def test_cli_bloom_decontam(spark, tmp_path):
+    """bloom-decontam subcommand: docs sharing the target vocabulary
+    hit 100% of their terms; disjoint docs hit ~0 (false positives
+    only)."""
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "zulu yankee xray whiskey")],
+        "doc_id long, text string")
+    tp, rp = tmp_path / "tgt.parquet", tmp_path / "raw.parquet"
+    target.write.parquet(str(tp)); raw.write.parquet(str(rp))
+    out = tmp_path / "flagged"
+    assert main(["bloom-decontam", "-i", str(rp), "--target", str(tp),
+                 "-o", str(out), "--m-bits", "65536"]) == 0
+    got = {r.doc_id: (r.n_terms, r.n_hits)
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got[1] == (3, 3)      # all distinct terms in the filter
+    assert got[2][0] == 4 and got[2][1] <= 1  # at most FP noise
