@@ -1055,10 +1055,20 @@ def ann_ivfpq(
     vec_col: str = "embedding",
     scale: int = 1000,
     centroids: np.ndarray | None = None,
+    query: "np.ndarray | list | None" = None,
+    codebooks: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ with asymmetric-distance search → the ``k`` best rows as
     DataFrame[id, cell, adc_sqdist] (ascending ADC distance, ties by
-    id) against the min-id query vector.
+    id) against ``query`` (a raw float vector, quantized with the same
+    floor(x·scale) device) — default: the min-id corpus vector, the
+    deterministic choice the SQL oracle replays.
+
+    ``codebooks``: optional pre-trained residual codebooks, an int64
+    array (m, ksub', dim/m) in the SAME fixed-point units — e.g. from
+    :func:`pq_residual_codebooks_trained`, or an external trainer.
+    Default: the residual subvectors of the ``ksub`` smallest-id
+    vectors (non-iterative, oracle-replayable).
 
     The production ANN index shape (Jégou et al., TPAMI'11; what FAISS
     ships as ``IVFx,PQy``), composed from parts this family already
@@ -1123,16 +1133,34 @@ def ann_ivfpq(
         ).select(
             F.col("vec_id").alias(id_col), "cell", "adc_sqdist"
         )
-    seeds = np.array([r["__qv"] for r in seed_rows], dtype=np.int64)
-    seed_cells = np.array([r["cell"] for r in seed_rows], dtype=np.int64)
-    seed_res = seeds - cmat[seed_cells]
-    # cb[s] : (ksub_eff, dsub) — residual subvectors, code order = id rank
-    cb = np.stack(
-        [seed_res[:, s * dsub : (s + 1) * dsub] for s in range(m)]
-    )
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.int64)
+        if cb.ndim != 3 or cb.shape[0] != m or cb.shape[2] != dsub:
+            raise ValueError(
+                f"codebooks shape {cb.shape} != ({m}, ksub, {dsub})"
+            )
+    else:
+        seeds = np.array([r["__qv"] for r in seed_rows], dtype=np.int64)
+        seed_cells = np.array(
+            [r["cell"] for r in seed_rows], dtype=np.int64
+        )
+        seed_res = seeds - cmat[seed_cells]
+        # cb[s]: (ksub_eff, dsub) — residual subvectors, code order =
+        # id rank
+        cb = np.stack(
+            [seed_res[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+        )
 
-    qrow = seed_rows[0]  # min-id vector is the query (pq_topk's device)
-    qvec = np.array(qrow["__qv"], dtype=np.int64)
+    if query is not None:
+        qvec = np.floor(
+            np.asarray(query, dtype=np.float64) * scale
+        ).astype(np.int64)
+        if qvec.shape != (dim,):
+            raise ValueError(f"query shape {qvec.shape} != ({dim},)")
+    else:
+        # min-id vector is the query (pq_topk's device — deterministic,
+        # oracle-replayable)
+        qvec = np.array(seed_rows[0]["__qv"], dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
     scores = (qvec @ cmat.T).astype(np.float64) / cnorm
     # (score DESC, cell ASC): lexsort's last key is primary
@@ -1181,4 +1209,58 @@ def ann_ivfpq(
         scored.orderBy("adc_sqdist", "vec_id")
         .limit(int(k))
         .select(F.col("vec_id").alias(id_col), "cell", "adc_sqdist")
+    )
+
+
+def ivfpq_residuals(
+    df: DataFrame,
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Exact coarse-quantizer residuals → DataFrame[id, cell,
+    residual: array<bigint>] (residual = floor(x·scale) − centroid,
+    component-wise int64).
+
+    The training feed for production residual codebooks: run this on a
+    :func:`reflexiv_spark.datapipe.sampling.hash_sample` of the corpus,
+    train per-subspace codebooks on ``residual/scale`` (e.g. with
+    :func:`pq_codebooks_trained`), and hand the result to
+    ``ann_ivfpq(codebooks=..., centroids=...)`` — the same
+    train-on-sample / encode-everything split every billion-scale PQ
+    deployment runs. Also the diagnostics surface (residual-norm
+    distributions per cell tell you when the coarse model is stale).
+    The centroid table broadcast-joins; nothing data-sized reaches the
+    driver.
+    """
+    assign, cmat = kmeans_lite(
+        df, dim=dim, n_centroids=n_centroids,
+        n_iter=1 if centroids is not None else n_iter,
+        id_col=id_col, vec_col=vec_col, init_centroids=centroids,
+    )
+    if not len(cmat):
+        raise ValueError("ivfpq_residuals: no non-zero-norm quantizer seeds")
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [int(v) for v in row]) for i, row in enumerate(cmat)],
+        "cell bigint, __cq array<bigint>",
+    )
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    qv = df.select(F.col(id_col).alias("__id"), q.alias("__qv"))
+    members = assign.select(
+        F.col(id_col).alias("__id"), "cell"
+    ).join(qv, "__id")
+    return members.join(F.broadcast(cent), "cell").select(
+        F.col("__id").alias(id_col),
+        "cell",
+        F.zip_with(
+            "__qv", "__cq", lambda x, c: x - c
+        ).alias("residual"),
     )

@@ -410,3 +410,74 @@ def test_semantic_dedup_blocked_gemm_parity(spark):
     assert blocked == unblocked
     # sanity: the planted clones actually got dropped
     assert len(unblocked) < 3000
+
+
+def test_ann_ivfpq_trained_codebooks_and_explicit_query(spark):
+    """Production paths of the IVF-PQ index: (a) an explicit query
+    vector (not the min-id corpus row) still scores its planted clone
+    to the podium; (b) residual codebooks trained on
+    ivfpq_residuals/scale via pq_codebooks_trained plug in through the
+    codebooks= escape and keep (or beat) the seed-codebook overlap vs
+    exact L2 — the same error-reduction contract pq_codebooks_trained
+    carries for flat PQ."""
+    from reflexiv_spark.datapipe.similarity import (
+        ann_ivfpq,
+        ivfpq_residuals,
+        pq_codebooks_trained,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(31)
+    W = rng.randn(3, 64)
+    centers = np.array([np.ones(64) * 3.0, -np.ones(64) * 3.0])
+    Z = rng.randn(200, 3)
+    blob = np.repeat([0, 1], 100)
+    base = centers[blob] + Z @ W * 0.5 + 0.05 * rng.randn(200, 64)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    rows.append((5000, (base[7] + 0.01 * rng.randn(64)).tolist()))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    # (a) explicit query = vector 7 (not the min id): its clone 5000
+    # and itself must lead
+    got = [
+        r.vec_id
+        for r in ann_ivfpq(
+            emb, k=5, m=8, ksub=16, n_probes=16, n_centroids=16,
+            query=base[7],
+        ).collect()
+    ]
+    assert got[0] == 7, got
+    assert 5000 in got[:2], got
+
+    # (b) trained residual codebooks through the escape hatch
+    res = ivfpq_residuals(emb, n_centroids=16)
+    assert res.columns == ["vec_id", "cell", "residual"]
+    res_f = res.select(
+        "vec_id",
+        F.transform(
+            "residual", lambda x: x.cast("double") / 1000.0
+        ).alias("embedding"),
+    )
+    cb = pq_codebooks_trained(res_f, m=8, ksub=16, n_iter=2)
+    q = np.floor(base[0] * 1000).astype(np.int64)
+    mats = {i: np.floor(np.array(v) * 1000).astype(np.int64) for i, v in rows}
+    exact = sorted(
+        mats, key=lambda i: (int(((mats[i] - q) ** 2).sum()), i)
+    )[:10]
+    seed_ids = [
+        r.vec_id
+        for r in ann_ivfpq(
+            emb, k=10, m=8, ksub=16, n_probes=16, n_centroids=16
+        ).collect()
+    ]
+    trained_ids = [
+        r.vec_id
+        for r in ann_ivfpq(
+            emb, k=10, m=8, ksub=16, n_probes=16, n_centroids=16,
+            codebooks=cb,
+        ).collect()
+    ]
+    ov_seed = len(set(seed_ids) & set(exact)) / 10
+    ov_trained = len(set(trained_ids) & set(exact)) / 10
+    assert trained_ids[0] == 0
+    assert ov_trained >= ov_seed, (ov_trained, ov_seed)
