@@ -1979,6 +1979,49 @@ _SQL_BLOOM_DECONTAM = (
 )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: incremental dedup of a batch against a persisted
+    fingerprint store — the nightly-production shape (never re-dedup
+    the corpus; anti-join the batch on the seen-fingerprint table,
+    keep-first within the batch). Store = doc_id%3==0 docs' normalized-
+    text md5-60bit fingerprints; batch = the rest. STAGED round 10
+    (window exactly full; SURVEY §8); registers round 11. Oracle twin
+    _SQL_INCREMENTAL_DEDUP; pair gated locally by
+    tests/test_incremental.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.incremental import (
+        exact_fingerprints,
+        incremental_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = exact_fingerprints(
+        docs.where(F.col("doc_id") % 3 == 0), hash_family="md5"
+    )
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(batch, seen, hash_family="md5").select(
+        "doc_id"
+    )
+
+
+# Oracle twin for q_incremental_dedup (round-11 registration): the
+# engine's exact fingerprint device (md5-60bit of the normalized text),
+# store anti-join, then keep-first per batch-internal fingerprint.
+_SQL_INCREMENTAL_DEDUP = (
+    r"WITH nrm AS (SELECT doc_id, CASE WHEN text IS NOT NULL THEN"
+    r" CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g')), 1, 15)) AS BIGINT) END AS fp FROM documents), "
+    "seen AS (SELECT DISTINCT fp FROM nrm WHERE doc_id % 3 = 0"
+    " AND fp IS NOT NULL), "
+    "b AS (SELECT doc_id, fp FROM nrm WHERE doc_id % 3 != 0), "
+    "unseen AS (SELECT * FROM b WHERE fp IS NULL"
+    " OR fp NOT IN (SELECT fp FROM seen)) "
+    "SELECT doc_id FROM (SELECT doc_id, row_number() OVER ("
+    "PARTITION BY fp ORDER BY doc_id) AS rn FROM unseen"
+    " WHERE fp IS NOT NULL) WHERE rn = 1"
+    " UNION ALL SELECT doc_id FROM unseen WHERE fp IS NULL"
+)
+
+
 def q_token_quantiles_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: MERGEABILITY of the rank-grid quantile summary driven
     end-to-end — the 100 TB story of the sketch: summaries of two
@@ -2242,15 +2285,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "token_quantiles_sketch": q_token_quantiles_sketch,
         "ann_ivfpq": q_ann_ivfpq,
-        # --- defensive spares (46-50) ---
+        # --- defensive spares + late-round collateral (46-50) ---
         "classifier_train": q_classifier_train,
         "classifier_predict": q_classifier_predict,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
-        "token_quantiles": q_token_quantiles,
+        # streaming/windows.py gained streaming_quantile_summary late in
+        # round 10 — events_sessionize imports the module, so it takes
+        # the last window slot (the token_quantiles spare rotates out;
+        # text.py is untouched and its r9 row stands)
+        "events_sessionize": q_events_sessionize,
         # --- r9-green, rotated out (slots 51+; modules not semantically
         # changed in round 10; CORRECTNESS_r09.json rows stand) ---
         "events_window": q_events_window,
+        "token_quantiles": q_token_quantiles,
         "mercy": q_mercy,
         "contig_merge": q_contig_merge,
         "contained_dedup": q_contained_dedup,
@@ -2267,7 +2315,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "top_orders": q_top_orders,
         "multi_join_agg": q_multi_join_agg,
-        "events_sessionize": q_events_sessionize,
         "events_funnel": q_events_funnel,
         "events_running": q_events_running,
         "text_stats": q_text_stats,

@@ -322,6 +322,20 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
 
+    ic_ = add("dedup-incremental", help="datapipe: dedup a batch "
+              "against a persisted fingerprint store (anti-join + "
+              "within-batch keep-first); optionally write the updated "
+              "store")
+    ic_.add_argument("--store", default=None,
+                     help="parquet of seen fingerprints (fp bigint); "
+                     "omit for an empty store (first batch)")
+    ic_.add_argument("--emit-store", default=None,
+                     help="write the UPDATED fingerprint store here")
+    ic_.add_argument("--text-col", default="text")
+    ic_.add_argument("--id-col", default="doc_id")
+    ic_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+
     bf_ = add("bloom-decontam", help="sketch: Bloom membership "
               "pre-screen — build a bit filter over --target's words, "
               "probe every input doc map-side (no corpus shuffle); "
@@ -760,6 +774,31 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col, vec_col=args.vec_col,
         )
         _write(out, args.output, args.outformat)
+    elif args.cmd == "dedup-incremental":
+        from reflexiv_spark.datapipe.incremental import (
+            exact_fingerprints,
+            incremental_dedup,
+        )
+
+        batch = spark.read.parquet(args.input)
+        if args.store is not None:
+            seen = spark.read.parquet(args.store)
+        else:
+            seen = spark.createDataFrame([], "fp bigint")
+        fresh = incremental_dedup(
+            batch, seen, text_col=args.text_col, id_col=args.id_col,
+            hash_family=args.hash_family,
+        )
+        _write(fresh, args.output, args.outformat)
+        if args.emit_store is not None:
+            updated = seen.unionByName(
+                exact_fingerprints(
+                    spark.read.parquet(args.output),
+                    text_col=args.text_col,
+                    hash_family=args.hash_family,
+                )
+            ).distinct()
+            updated.write.mode("overwrite").parquet(args.emit_store)
     elif args.cmd == "bloom-decontam":
         from reflexiv_spark.datapipe.bloom import bloom_decontaminate
 
