@@ -2207,6 +2207,124 @@ _SQL_ANN_IVFPQ = (
 )
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: EXACT edit-distance similarity join — all document
+    pairs within Levenshtein 2 on their normalized 16-char prefix keys
+    (FastSS deletion-neighborhood candidates, complete by construction;
+    built-in JVM levenshtein verify; no all-pairs product anywhere).
+    STAGED round 10 (window exactly full; SURVEY §8); registers
+    round 11. Oracle twin _SQL_EDIT_JOIN below is the brute-force
+    all-pairs ground truth; pair gated locally by
+    tests/test_editdist.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.editdist import edit_join
+
+    return edit_join(
+        _t(spark, sf_dir, "documents"), max_dist=2, key_len=16
+    )
+
+
+# Oracle twin for q_edit_join (round-11 registration): brute-force
+# all-pairs levenshtein over the same normalized 16-char prefix keys —
+# the quadratic ground truth the deletion-neighborhood join must equal
+# exactly (completeness is the operator's contract, so the oracle
+# deliberately does NOT replay the candidate scheme).
+_SQL_EDIT_JOIN = (
+    r"WITH k AS (SELECT doc_id, substr(regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g'), 1, 16) AS key FROM documents"
+    " WHERE text IS NOT NULL) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist"
+    " FROM k a JOIN k b ON a.doc_id < b.doc_id"
+    " WHERE levenshtein(a.key, b.key) <= 2"
+)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: winnowing fingerprints (Schleimer et al., SIGMOD 2003)
+    — per document, the rightmost-min selected 8-gram hash per window
+    of 4, the overlap-LOCATING sketch with the shared-substring
+    detection guarantee. Engine side is a ZERO-shuffle Catalyst array
+    kernel (one projection per doc); the oracle replays the same
+    semantics with an ANSI window function. STAGED round 10 (window
+    exactly full; SURVEY §8); registers round 11. Oracle twin
+    _SQL_WINNOW_FINGERPRINT; pair gated locally by
+    tests/test_winnow.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, window=4, hash_family="md5"
+    ).select("id", "pos", "fp")
+
+
+# Oracle twin for q_winnow_fingerprint (round-11 registration): the
+# same 40-bit salted-md5 gram hashes and the same rightmost-min-per-
+# window rule via the combined bigint key (h * 2^20 + (2^20-1-pos):
+# min(key) = min hash, ties -> rightmost pos), replayed with a ROWS
+# window frame instead of the engine's array kernel.
+_SQL_WINNOW_FINGERPRINT = (
+    r"WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g') AS t FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,"
+    " CAST(('0x' || substr(md5('w|' || substr(t, CAST(i AS INT), 8)),"
+    " 1, 15)) AS BIGINT) % 1099511627776 AS h"
+    " FROM n, unnest(generate_series(1, least(len(t) - 7, 1048575)))"
+    " AS u(i) WHERE len(t) >= 8), "
+    "k AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key"
+    " FROM g), "
+    "m AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id"
+    " ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,"
+    " count(*) OVER (PARTITION BY doc_id) AS p FROM k), "
+    "s AS (SELECT DISTINCT doc_id, wmin FROM m"
+    " WHERE pos <= greatest(p - 3, 1)) "
+    "SELECT doc_id AS id,"
+    " CAST(1048575 - (wmin % 1048576) AS BIGINT) AS pos,"
+    " CAST(wmin // 1048576 AS BIGINT) AS fp FROM s"
+)
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: MOSS-style overlap measure on the winnowed
+    fingerprints — document pairs sharing >= 2 distinct fingerprint
+    VALUES (positions dropped, so moved passages still match).
+    STAGED round 10; registers round 11. Oracle twin
+    _SQL_WINNOW_OVERLAP extends the fingerprint CTE; pair gated
+    locally by tests/test_winnow.py::test_staged_overlap_parity."""
+    from reflexiv_spark.datapipe.winnow import winnow_overlap
+
+    return winnow_overlap(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        window=4,
+        min_shared=2,
+        hash_family="md5",
+    )
+
+
+# Oracle twin for q_winnow_overlap: the fingerprint CTE chain, then
+# distinct (doc, fp) values, the fp equi-join, and the pair count.
+_SQL_WINNOW_OVERLAP = (
+    r"WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g') AS t FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,"
+    " CAST(('0x' || substr(md5('w|' || substr(t, CAST(i AS INT), 8)),"
+    " 1, 15)) AS BIGINT) % 1099511627776 AS h"
+    " FROM n, unnest(generate_series(1, least(len(t) - 7, 1048575)))"
+    " AS u(i) WHERE len(t) >= 8), "
+    "k AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key"
+    " FROM g), "
+    "m AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id"
+    " ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,"
+    " count(*) OVER (PARTITION BY doc_id) AS p FROM k), "
+    "fv AS (SELECT DISTINCT doc_id,"
+    " CAST(wmin // 1048576 AS BIGINT) AS fp FROM m"
+    " WHERE pos <= greatest(p - 3, 1)) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " CAST(count(*) AS BIGINT) AS n_shared"
+    " FROM fv a JOIN fv b ON a.fp = b.fp AND a.doc_id < b.doc_id"
+    " GROUP BY 1, 2 HAVING count(*) >= 2"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -361,6 +361,28 @@ def main(argv: list[str] | None = None) -> int:
     ip_.add_argument("--n-centroids", type=int, default=16)
     ip_.add_argument("--n-probes", type=int, default=4)
 
+    ej_ = add("edit-join", help="datapipe: EXACT edit-distance "
+              "similarity join — all pairs within Levenshtein d on "
+              "normalized prefix keys (FastSS deletion-neighborhood "
+              "candidates + JVM levenshtein verify, no all-pairs)")
+    ej_.add_argument("--text-col", default="text")
+    ej_.add_argument("--id-col", default="doc_id")
+    ej_.add_argument("-d", "--max-dist", type=int, default=1)
+    ej_.add_argument("--key-len", type=int, default=16)
+
+    wn_ = add("winnow", help="datapipe: winnowing fingerprints "
+              "(SIGMOD'03) — zero-shuffle per-doc rightmost-min k-gram "
+              "selection; --pairs emits MOSS overlap pairs instead")
+    wn_.add_argument("--text-col", default="text")
+    wn_.add_argument("--id-col", default="doc_id")
+    wn_.add_argument("-k", type=int, default=8)
+    wn_.add_argument("--window", type=int, default=4)
+    wn_.add_argument("--pairs", action="store_true",
+                     help="emit (id_a, id_b, n_shared) overlap pairs")
+    wn_.add_argument("--min-shared", type=int, default=2)
+    wn_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -819,6 +841,37 @@ def main(argv: list[str] | None = None) -> int:
             n_centroids=args.n_centroids, n_probes=args.n_probes,
             id_col=args.id_col, vec_col=args.vec_col,
         )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "edit-join":
+        from reflexiv_spark.datapipe.editdist import edit_join
+
+        out = edit_join(
+            spark.read.parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+            max_dist=args.max_dist, key_len=args.key_len,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "winnow":
+        from reflexiv_spark.datapipe.winnow import (
+            winnow_fingerprints,
+            winnow_overlap,
+        )
+
+        if args.pairs:
+            out = winnow_overlap(
+                spark.read.parquet(args.input),
+                id_col=args.id_col, text_col=args.text_col,
+                k=args.k, window=args.window,
+                min_shared=args.min_shared,
+                hash_family=args.hash_family,
+            )
+        else:
+            out = winnow_fingerprints(
+                spark.read.parquet(args.input),
+                id_col=args.id_col, text_col=args.text_col,
+                k=args.k, window=args.window,
+                hash_family=args.hash_family,
+            )
         _write(out, args.output, args.outformat)
     return 0
 

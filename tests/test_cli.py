@@ -464,3 +464,42 @@ def test_cli_bloom_decontam(spark, tmp_path):
            for r in spark.read.parquet(str(out)).collect()}
     assert got[1] == (3, 3)      # all distinct terms in the filter
     assert got[2][0] == 4 and got[2][1] <= 1  # at most FP noise
+
+
+def test_cli_edit_join(spark, tmp_path):
+    """edit-join subcommand: typo variants pair at their exact
+    distance; unrelated docs don't."""
+    docs = spark.createDataFrame(
+        [(1, "spark engine"), (2, "spark enginX"), (3, "unrelated body")],
+        "doc_id long, text string")
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    out = tmp_path / "pairs"
+    assert main(["edit-join", "-i", str(inp), "-o", str(out),
+                 "-d", "1", "--key-len", "16"]) == 0
+    got = [(r.id_a, r.id_b, r.dist)
+           for r in spark.read.parquet(str(out)).collect()]
+    assert got == [(1, 2, 1)]
+
+
+def test_cli_winnow(spark, tmp_path):
+    """winnow subcommand: fingerprints mode emits (id, pos, fp); pairs
+    mode flags the shared-passage pair."""
+    passage = "a long shared boilerplate sentence repeated verbatim"
+    docs = spark.createDataFrame(
+        [(1, "intro " + passage), (2, passage + " outro"),
+         (3, "nothing in common zzz qqq vvv")],
+        "doc_id long, text string")
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    fp_out = tmp_path / "fps"
+    assert main(["winnow", "-i", str(inp), "-o", str(fp_out)]) == 0
+    fps = spark.read.parquet(str(fp_out))
+    assert fps.columns == ["id", "pos", "fp"]
+    assert fps.count() > 10
+    pr_out = tmp_path / "pairs"
+    assert main(["winnow", "-i", str(inp), "-o", str(pr_out),
+                 "--pairs", "--min-shared", "2"]) == 0
+    pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(str(pr_out)).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

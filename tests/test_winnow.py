@@ -1,0 +1,160 @@
+"""Winnowing fingerprints (datapipe/winnow.py): selection rule vs a
+literal Python reference, the paper's detection guarantee on planted
+shared passages, short-document and NULL edges, zero-shuffle plan
+shape, and the round-11 staged driver pairs gated locally against
+DuckDB (SURVEY §8 staging protocol)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+K, W = 8, 4
+_POS_CAP = (1 << 20) - 1
+_HASH_MOD = 1 << 40
+
+
+def _md5_40(s: str) -> int:
+    return (int(hashlib.md5(("w|" + s).encode()).hexdigest()[:15], 16)) % _HASH_MOD
+
+
+def _ref_winnow(text: str, k: int = K, w: int = W) -> set[tuple[int, int]]:
+    """Literal reference: normalized k-gram hashes, rightmost-min per
+    window (one window over everything for short docs)."""
+    t = " ".join(text.lower().strip().split())
+    p = len(t) - k + 1
+    if p < 1:
+        return set()
+    hs = [_md5_40(t[i : i + k]) for i in range(p)]
+    out = set()
+    for i in range(max(p - w + 1, 1)):
+        win = hs[i : i + w]
+        m = min(win)
+        j = max(jj for jj, h in enumerate(win) if h == m)
+        out.add((i + j + 1, m))  # 1-based position
+    return out
+
+
+def _fps(spark, rows):
+    from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, hash_family="md5").collect():
+        got.setdefault(r.id, set()).add((r.pos, r.fp))
+    return got
+
+
+def test_matches_python_reference(spark):
+    """Randomized docs: the array-kernel selection equals the literal
+    rightmost-min-per-window reference, including sub-window docs."""
+    rng = random.Random(7)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(1, 30))))
+        for i in range(25)
+    ]
+    rows += [(100, "abcdefgh"), (101, "abcdefghi"), (102, "short")]
+    got = _fps(spark, rows)
+    for i, text in rows:
+        assert got.get(i, set()) == _ref_winnow(text), (i, text)
+
+
+def test_detection_guarantee_and_nulls(spark):
+    """Any shared substring of length >= window + k - 1 yields a shared
+    fingerprint VALUE (Theorem 1 of the paper) even at different
+    offsets; NULL and too-short texts produce no rows."""
+    shared = "the common stolen passage here"
+    assert len(shared) >= W + K - 1
+    rows = [
+        (1, "zzz qqq " + shared + " tail one"),
+        (2, shared + " completely different ending words"),
+        (3, None),
+        (4, "xy"),  # shorter than k
+    ]
+    got = _fps(spark, rows)
+    fp1 = {fp for _, fp in got[1]}
+    fp2 = {fp for _, fp in got[2]}
+    assert fp1 & fp2, "detection guarantee violated"
+    assert 3 not in got and 4 not in got
+
+
+def test_zero_shuffle_plan(spark):
+    """The fingerprint kernel is ONE projection — no Exchange anywhere
+    in the physical plan (the 100 TB scan-speed contract)."""
+    from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghijkl")], "doc_id long, text string")
+    plan = (
+        winnow_fingerprints(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_overlap_pairs(spark):
+    """winnow_overlap finds the planted near-pair (shared passage) and
+    not the unrelated doc; threshold respected."""
+    from reflexiv_spark.datapipe.winnow import winnow_overlap
+
+    passage = "a long shared boilerplate sentence that repeats verbatim"
+    rows = [
+        (1, "intro " + passage + " outro alpha"),
+        (2, passage + " but with a different continuation"),
+        (3, "nothing in common with the others at all zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_overlap(df, min_shared=2, hash_family="md5").collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in pair for pair in got)
+
+
+def test_staged_driver_pair_parity(spark):
+    """The round-11 STAGED driver pair gated locally this round:
+    q_winnow_fingerprint and _SQL_WINNOW_FINGERPRINT must agree on
+    rows, schema, and values at sf0.01 (SURVEY §8 staging protocol)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_winnow_fingerprint(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["id", "pos", "fp"]
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ent._SQL_WINNOW_FINGERPRINT).fetchall()
+    )
+    assert len(got) > 100
+    assert got == want
+
+
+def test_staged_overlap_parity(spark):
+    """q_winnow_overlap vs _SQL_WINNOW_OVERLAP at sf0.01."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_winnow_overlap(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["id_a", "id_b", "n_shared"]
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ent._SQL_WINNOW_OVERLAP).fetchall()
+    )
+    assert len(got) > 0
+    assert got == want
