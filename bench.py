@@ -257,8 +257,30 @@ def _bench_only_queries():
         g3 = ent.lang_trigrams(docs)  # same tokenization as the oracled twin
         return hll_distinct_by(g3, "g3", "lang", p=8, hash_family="xxhash64")
 
+    def winnow_overlap_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.winnow import winnow_overlap
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # max_df: the production shape — the synthetic corpus's ~20-word
+        # vocabulary makes some 8-grams corpus-ubiquitous, and an
+        # uncapped fp join is hot-shingle quadratic (ngram_jaccard's
+        # failure shape). The oracle-gated md5 twin stays uncapped-exact
+        # at sf0.01 where the corpus is small enough.
+        return winnow_overlap(
+            docs, k=8, window=4, min_shared=2, hash_family="xxhash64",
+            max_df=50,
+        )
+
+    def edit_join_d1(spark, sf_dir):
+        from reflexiv_spark.datapipe.editdist import edit_join
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return edit_join(docs, max_dist=1, key_len=16)
+
     return {
         "dsir_select_xxh64": dsir_select_xxh64,
+        "winnow_overlap_xxh64": winnow_overlap_xxh64,
+        "edit_join_d1": edit_join_d1,
         "classifier_score_xxh64": classifier_score_xxh64,
         "hll_by_lang_xxh64": hll_by_lang_xxh64,
         "stratified_split_xxh64": stratified_split_xxh64,

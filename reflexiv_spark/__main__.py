@@ -380,6 +380,10 @@ def main(argv: list[str] | None = None) -> int:
     wn_.add_argument("--pairs", action="store_true",
                      help="emit (id_a, id_b, n_shared) overlap pairs")
     wn_.add_argument("--min-shared", type=int, default=2)
+    wn_.add_argument("--max-df", type=int, default=None,
+                     help="stop-gram cap: drop fingerprints present in "
+                     "more than this many docs before pairing (the "
+                     "hot-fp quadratic backstop; recommended at scale)")
     wn_.add_argument("--hash-family", default="xxhash64",
                      choices=["xxhash64", "md5"])
 
@@ -862,7 +866,7 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.input),
                 id_col=args.id_col, text_col=args.text_col,
                 k=args.k, window=args.window,
-                min_shared=args.min_shared,
+                min_shared=args.min_shared, max_df=args.max_df,
                 hash_family=args.hash_family,
             )
         else:

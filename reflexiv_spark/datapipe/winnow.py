@@ -77,31 +77,49 @@ def winnow_fingerprints(
         raise ValueError("k and window must be >= 1")
     t = normalize_text(F.col(text_col))
     p = F.least(F.length(t) - F.lit(k - 1), F.lit(_POS_CAP))
-    keys = F.transform(
-        F.sequence(F.lit(1), p),
-        lambda i: _gram_hash(F.substring(t, i, k), hash_family)
-        * F.lit(1 << _POS_BITS)
-        + (F.lit(_POS_CAP) - i),
-    )
-    # LET-BINDING, load-bearing: the window transform must reference the
-    # key array as a LAMBDA VARIABLE, not inline the `keys` expression —
-    # higher-order-function lambdas re-evaluate their body per element,
-    # so an inlined `keys` would recompute all P gram hashes for EVERY
-    # window (O(P^2) digests per document; measured 19 min vs 4 s on the
-    # sf0.01 gate). Wrapping it as the single element of an outer
-    # transform evaluates it once per row and binds it to `ks`.
+
+    # LET-BINDING, load-bearing, TWICE: higher-order-function lambdas
+    # re-evaluate their body per element, so every expensive expression
+    # consumed inside a per-element lambda must enter as a LAMBDA
+    # VARIABLE (bound once per row via a 1-element outer transform),
+    # never inline. Both levels were measured: an inlined key array
+    # recomputes all P gram hashes per window (O(P^2) digests — 19 min
+    # vs 4 s on the sf0.01 gate), and an inlined normalize_text
+    # re-runs the regexp per GRAM (~9.5 us/gram vs ~0.5 us with the
+    # binding). `tt` = the normalized text, `ks` = the key array.
+    def _keys_of(tt: Column) -> Column:
+        pp = F.least(F.length(tt) - F.lit(k - 1), F.lit(_POS_CAP))
+        return F.transform(
+            F.sequence(F.lit(1), pp),
+            lambda i: _gram_hash(F.substring(tt, i, k), hash_family)
+            * F.lit(1 << _POS_BITS)
+            + (F.lit(_POS_CAP) - i),
+        )
+
+    def _window_mins(ks: Column) -> Column:
+        # full windows only exist when P >= window; short docs get one
+        # window over everything. least() over `window` element_at's
+        # beats array_min(slice(...)): no per-window array allocation.
+        if window == 1:
+            return ks
+        full = F.transform(
+            F.sequence(F.lit(1), F.size(ks) - F.lit(window - 1)),
+            lambda i: F.least(
+                *[F.element_at(ks, i + F.lit(j)) for j in range(window)]
+            ),
+        )
+        return F.when(F.size(ks) >= window, full).otherwise(
+            F.array(F.array_min(ks))
+        )
+
     sel = F.array_distinct(
         F.flatten(
             F.transform(
-                F.array(keys),
-                lambda ks: F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(
-                            F.size(ks) - F.lit(window - 1), F.lit(1)
-                        ),
-                    ),
-                    lambda i: F.array_min(F.slice(ks, i, window)),
+                F.array(t),
+                lambda tt: F.flatten(
+                    F.transform(
+                        F.array(_keys_of(tt)), _window_mins
+                    )
                 ),
             )
         )
@@ -131,18 +149,43 @@ def winnow_overlap(
     window: int = 4,
     min_shared: int = 2,
     hash_family: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` distinct fingerprint
     VALUES → DataFrame[id_a, id_b, n_shared], ``id_a < id_b``. The MOSS
     overlap measure: an equi-join on fingerprint value (positions
-    dropped — a moved passage still matches), then a pair count. Scale:
-    candidates come only from equal 40-bit hashes; the join is
-    AQE-skewable, and stop-gram-like ubiquitous fingerprints should be
-    frequency-capped upstream for adversarial corpora (the paper's own
-    note)."""
+    dropped — a moved passage still matches), then a pair count.
+
+    ``max_df`` is the scale backstop: drop fingerprints present in more
+    than ``max_df`` documents before pairing (the paper's own stop-gram
+    note). A fingerprint in n docs contributes C(n, 2) join rows, so
+    without the cap one boilerplate gram shared by 10^5 documents emits
+    5×10^9 pairs — the hot-shingle quadratic that sinks every
+    value-join dedup (``ngram_jaccard``'s documented failure shape).
+    With the cap the join is bounded by ``max_df``·|fps| rows, and only
+    CORPUS-ubiquitous grams (which carry no overlap signal — they would
+    pair everything with everything) are lost; a passage shared by up
+    to ``max_df`` documents still matches exactly. The document-
+    frequency filter rides the same fp-hash partitioning as the join
+    (co-partitioned agg + join, no extra exchange of the fp rows). At
+    100 TB, set it (boilerplate is universal); ``None`` keeps the exact
+    paper semantics the DuckDB oracle replays."""
     fps = winnow_fingerprints(
         df, id_col, text_col, k, window, hash_family
     ).select("id", "fp").distinct()
+    if max_df is not None:
+        # lazy barrier (the quantile.py pattern): the document-frequency
+        # agg AND the join probe both consume fps — without it the whole
+        # fingerprint kernel + distinct re-executes for each consumer
+        # (measured 10 exchanges vs 5)
+        fps = fps.localCheckpoint(eager=False)
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
     a = fps.select(F.col("id").alias("id_a"), "fp")
     b = fps.select(F.col("id").alias("id_b"), "fp")
     return (

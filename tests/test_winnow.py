@@ -158,3 +158,35 @@ def test_staged_overlap_parity(spark):
     )
     assert len(got) > 0
     assert got == want
+
+
+def test_overlap_max_df_cap(spark):
+    """The max_df stop-gram cap: a passage shared by 2 docs survives;
+    a gram present in ALL docs is dropped from pairing, so the
+    boilerplate-only pair disappears while the passage pair stays."""
+    from reflexiv_spark.datapipe.winnow import winnow_overlap
+
+    boiler = "universal boilerplate header every doc carries"
+    passage = "the rare shared sentence only two docs have"
+    rows = [
+        (1, boiler + " " + passage + " alpha tail"),
+        (2, boiler + " " + passage + " beta ending"),
+        (3, boiler + " solitary body zzz"),
+        (4, boiler + " different tail qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap(df, min_shared=1, hash_family="md5").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in winnow_overlap(
+            df, min_shared=1, hash_family="md5", max_df=2
+        ).collect()
+    }
+    # boilerplate pairs everything without the cap
+    assert (3, 4) in uncapped
+    # with the cap only the genuine passage pair remains
+    assert (1, 2) in capped
+    assert (3, 4) not in capped
