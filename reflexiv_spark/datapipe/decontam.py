@@ -27,15 +27,25 @@ from reflexiv_spark.datapipe.dedup import md5_long
 def word_ngrams(text: Column, n: int) -> Column:
     """array<string> of space-joined word ``n``-grams of ``text``
     (lower-cased ``\\w+`` tokens); empty when the document has fewer
-    than ``n`` words."""
+    than ``n`` words.
+
+    The token array enters the per-gram lambda as a LAMBDA VARIABLE
+    (1-element outer transform), not inline: HOF lambdas re-evaluate
+    their body per element, so an inlined ``ws`` re-runs the regexp
+    tokenization once per n-gram (the winnow.py lesson, round 10)."""
     ws = F.regexp_extract_all(F.lower(F.coalesce(text, F.lit(""))), F.lit(r"\w+"), 0)
-    return F.when(
-        F.size(ws) >= n,
+    return F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+            F.array(ws),
+            lambda w: F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
 
 
 def _gram_hash(gram: Column, hash_family: str) -> Column:
