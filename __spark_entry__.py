@@ -2325,6 +2325,108 @@ _SQL_WINNOW_OVERLAP = (
 )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the Gopher quality-filter rule bundle (Rae et al.
+    2021, Appendix A) — per-doc integer counts + the keep conjunction,
+    every ratio threshold evaluated as an exact integer cross-
+    multiplication (no float anywhere — the dsir_select lesson as
+    policy). min_words=30 so the flag varies on this corpus's ~45-word
+    docs, min_stop_hits=1 because the synthetic vocabulary carries
+    only 'the' of the paper's eight stop words (the flag must vary
+    for the hash row to evidence anything). STAGED round 10 (window
+    exactly full; SURVEY §8); registers round 11. Oracle twin
+    _SQL_GOPHER_RULES; pair gated locally by
+    tests/test_filters.py::test_staged_gopher_parity."""
+    from reflexiv_spark.datapipe.filters import gopher_rules
+
+    return gopher_rules(
+        _t(spark, sf_dir, "documents"), min_words=30, min_stop_hits=1
+    )
+
+
+# Oracle twin for q_gopher_rules (round-11 registration): the same
+# \S+ tokens, list_filter/list_intersect counts, and integer
+# cross-multiplied keep conjunction.
+_SQL_GOPHER_RULES = (
+    r"WITH s AS (SELECT doc_id AS id, coalesce(text, '') AS t"
+    " FROM documents), "
+    r"b AS (SELECT id, regexp_extract_all(t, '\S+') AS ws,"
+    " string_split(t, chr(10)) AS ls,"
+    r" CAST(len(regexp_extract_all(t, '#')) AS BIGINT) AS n_hash,"
+    r" CAST(len(regexp_extract_all(t, '\.\.\.')) AS BIGINT)"
+    " AS n_ellipsis FROM s), "
+    "c AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_words,"
+    " CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)"
+    " AS BIGINT) AS word_chars,"
+    " CAST(len(list_filter(ws, w -> regexp_matches(lower(w),"
+    " '[a-z]'))) AS BIGINT) AS n_alpha_words,"
+    " n_hash, n_ellipsis,"
+    " CAST(len(ls) AS BIGINT) AS n_lines,"
+    r" CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l),"
+    r" '^[•\-\*]'))) AS BIGINT) AS n_bullet_lines,"
+    " CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'))"
+    " AS BIGINT) AS n_ellipsis_lines,"
+    " CAST(len(list_intersect(list_transform(ws, w -> lower(w)),"
+    " ['the','be','to','of','and','that','have','with']))"
+    " AS BIGINT) AS n_stop_hits FROM b) "
+    "SELECT *, (n_words >= 30 AND n_words <= 100000"
+    " AND 3*n_words <= word_chars AND word_chars <= 10*n_words"
+    " AND 10*(n_hash + n_ellipsis) <= n_words"
+    " AND 10*n_bullet_lines <= 9*n_lines"
+    " AND 10*n_ellipsis_lines <= 3*n_lines"
+    " AND 5*n_alpha_words >= 4*n_words"
+    " AND n_stop_hits >= 1) AS keep FROM c"
+)
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the C4 cleaning rule bundle (Raffel et al. 2020 §2.2)
+    — line-level terminal-punctuation/min-words/javascript rules, page-
+    level lorem-ipsum/brace/min-sentences rules, kept lines re-joined.
+    The corpus is punctuation-free word salad, so the driver query
+    first applies a DETERMINISTIC literal rewrite (' table ' →
+    '.\\n table ', the same replace() on both engines) to create lines
+    and sentences that exercise every rule. STAGED round 10; registers
+    round 11. Oracle twin _SQL_C4_RULES; pair gated locally by
+    tests/test_filters.py::test_staged_c4_parity."""
+    from reflexiv_spark.datapipe.filters import c4_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" table "), F.lit(".\n table ")
+        ).alias("text"),
+    )
+    return c4_rules(docs)
+
+
+_SQL_C4_RULES = (
+    "WITH s AS (SELECT doc_id AS id,"
+    " coalesce(replace(text, ' table ', '.' || chr(10) || ' table '),"
+    " '') AS t FROM documents), "
+    "b AS (SELECT id, string_split(t, chr(10)) AS ls,"
+    " contains(lower(t), 'lorem ipsum') AS has_lorem,"
+    " contains(t, '{') AS has_brace FROM s), "
+    "k AS (SELECT id, CAST(len(ls) AS BIGINT) AS n_lines, has_lorem,"
+    " has_brace, coalesce(array_to_string(list_filter(ls, l ->"
+    " regexp_matches(rtrim(l), '[.!?\"]$')"
+    r" AND len(regexp_extract_all(l, '\S+')) >= 5"
+    " AND NOT contains(lower(l), 'javascript')), chr(10)), '')"
+    " AS clean_text,"
+    " CAST(len(list_filter(ls, l ->"
+    " regexp_matches(rtrim(l), '[.!?\"]$')"
+    r" AND len(regexp_extract_all(l, '\S+')) >= 5"
+    " AND NOT contains(lower(l), 'javascript'))) AS BIGINT)"
+    " AS n_kept_lines FROM b), "
+    "n AS (SELECT *, CAST(len(regexp_extract_all(clean_text,"
+    " '[.!?]')) AS BIGINT) AS n_sentences FROM k) "
+    "SELECT id, n_lines, n_kept_lines, n_sentences, has_lorem,"
+    " has_brace, (NOT has_lorem AND NOT has_brace"
+    " AND n_sentences >= 3 AND n_kept_lines >= 1) AS keep,"
+    " clean_text FROM n"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -387,6 +387,21 @@ def main(argv: list[str] | None = None) -> int:
     wn_.add_argument("--hash-family", default="xxhash64",
                      choices=["xxhash64", "md5"])
 
+    qf_ = add("quality-filter", help="datapipe: published quality-rule "
+              "bundles — Gopher (Rae et al. 2021 App. A) or C4 (Raffel "
+              "et al. 2020 §2.2); per-doc integer counts + keep flag "
+              "(+ clean_text for c4)")
+    qf_.add_argument("--ruleset", choices=["gopher", "c4"],
+                     default="gopher")
+    qf_.add_argument("--text-col", default="text")
+    qf_.add_argument("--id-col", default="doc_id")
+    qf_.add_argument("--min-words", type=int, default=50)
+    qf_.add_argument("--min-stop-hits", type=int, default=2)
+    qf_.add_argument("--min-line-words", type=int, default=5)
+    qf_.add_argument("--min-sentences", type=int, default=3)
+    qf_.add_argument("--keep-only", action="store_true",
+                     help="emit only rows with keep = true")
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -876,6 +891,27 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k, window=args.window,
                 hash_family=args.hash_family,
             )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "quality-filter":
+        from reflexiv_spark.datapipe.filters import c4_rules, gopher_rules
+
+        inp = spark.read.parquet(args.input)
+        if args.ruleset == "gopher":
+            out = gopher_rules(
+                inp, text_col=args.text_col, id_col=args.id_col,
+                min_words=args.min_words,
+                min_stop_hits=args.min_stop_hits,
+            )
+        else:
+            out = c4_rules(
+                inp, text_col=args.text_col, id_col=args.id_col,
+                min_line_words=args.min_line_words,
+                min_sentences=args.min_sentences,
+            )
+        if args.keep_only:
+            from pyspark.sql import functions as F
+
+            out = out.where(F.col("keep"))
         _write(out, args.output, args.outformat)
     return 0
 

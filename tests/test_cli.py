@@ -503,3 +503,28 @@ def test_cli_winnow(spark, tmp_path):
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(str(pr_out)).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_cli_quality_filter(spark, tmp_path):
+    """quality-filter subcommand: gopher flags the short doc, c4 with
+    --keep-only emits only the punctuated multi-sentence doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a document that we have written with care. "
+                "It talks about the weather and the sea and such. " * 3),
+            (2, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    g_out = tmp_path / "gopher"
+    assert main(["quality-filter", "-i", str(inp), "-o", str(g_out),
+                 "--ruleset", "gopher", "--min-words", "30"]) == 0
+    got = {r.id: r.keep for r in spark.read.parquet(str(g_out)).collect()}
+    assert got == {1: True, 2: False}
+    c_out = tmp_path / "c4"
+    assert main(["quality-filter", "-i", str(inp), "-o", str(c_out),
+                 "--ruleset", "c4", "--keep-only"]) == 0
+    kept = spark.read.parquet(str(c_out)).collect()
+    assert [r.id for r in kept] == [1] and kept[0].n_sentences >= 3
