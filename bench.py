@@ -50,6 +50,11 @@ HEADLINE = [
     # chained string ops + a digest per shingle/rehash vs one xxhash64
     # intrinsic, a family production never runs.
     "minhash_near_dup_xxh64",
+    # round 10: the character-level dedup members' production shapes
+    # (FastSS edit join at d=1; capped MOSS overlap — the md5 oracle
+    # twins are staged for the round-11 window)
+    "edit_join_d1",
+    "winnow_overlap_xxh64",
     "text_stats",
     # ann_lsh_gauss, not embedding_topk: the brute-force cosine is the
     # O(n²) correctness baseline; the LSH-bucketed path is the scale

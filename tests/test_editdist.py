@@ -130,3 +130,22 @@ def test_staged_driver_pair_parity(spark):
     want = sorted(tuple(r) for r in con.execute(ent._SQL_EDIT_JOIN).fetchall())
     assert len(got) > 0  # the gate row must be non-trivial
     assert got == want
+
+
+def test_edit_join_clone_family_skew(spark):
+    """A hot variant key (a 60-doc clone family with identical keys)
+    must yield exactly C(60,2) distance-0 pairs plus the planted d=1
+    satellites — the distinct-before-verify path under heavy key skew,
+    the shape the scaled corpus stresses."""
+    from reflexiv_spark.datapipe.editdist import edit_join
+
+    rows = [(i, "identical prefix here padded long") for i in range(60)]
+    rows += [(100, "identicaX prefix here different"), (101, "something else")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = edit_join(df, max_dist=1, key_len=16).collect()
+    zero = [r for r in got if r.dist == 0]
+    one = [r for r in got if r.dist == 1]
+    assert len(zero) == 60 * 59 // 2
+    # doc 100 is distance 1 from each clone, nothing pairs with 101
+    assert len(one) == 60 and all(r.id_b == 100 for r in one)
+    assert not any(101 in (r.id_a, r.id_b) for r in got)
