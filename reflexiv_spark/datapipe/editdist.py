@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from reflexiv_spark.datapipe.dedup import normalize_text
+from reflexiv_spark.plans.layout import spread
 
 
 def _del1(c: Column) -> Column:
@@ -91,7 +92,10 @@ def edit_keys(
     document (lowercase, trimmed, whitespace collapsed, first
     ``key_len`` chars)."""
     t = F.col(text_col)
-    return df.where(t.isNotNull()).select(
+    # spread(): neighborhood generation is a per-row CPU fan-out (up to
+    # 1+L+L(L-1)/2 variant strings); few-file local inputs must reach
+    # all cores first, many-file scans pass through untouched
+    return spread(df.where(t.isNotNull())).select(
         F.col(id_col).alias("id"),
         F.substring(normalize_text(t), 1, key_len).alias("key"),
     )

@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reflexiv_spark.plans.layout import spread
+
 # Gopher A1 stop words: "must contain at least two of the following
 # English words: the, be, to, of, and, that, have, with"
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -81,7 +83,9 @@ def gopher_rules(
       knob because narrow-vocabulary corpora legitimately tune it)
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    staged = df.select(
+    # spread(): per-word regex work; few-file inputs fan out to the
+    # cores, many-file scans pass through (plan stays exchange-free)
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(t, F.lit(r"\S+"), 0).alias("__ws"),
         F.split(t, "\n").alias("__lines"),
@@ -159,7 +163,7 @@ def c4_rules(
     clean_text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(t)
-    staged = df.select(
+    staged = spread(df).select(
         F.col(id_col).alias("id"),
         F.split(t, "\n").alias("__lines"),
         F.contains(low, F.lit("lorem ipsum")).alias("has_lorem"),

@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from reflexiv_spark.datapipe.dedup import md5_long, normalize_text
+from reflexiv_spark.plans.layout import spread
 
 _POS_BITS = 20
 _POS_CAP = (1 << _POS_BITS) - 1
@@ -125,8 +126,12 @@ def winnow_fingerprints(
         )
     )
     key = F.explode(sel).alias("__key")
+    # spread(): the kernel is CPU-bound (one digest per gram), so a
+    # few-file local input must fan out to the session's cores before
+    # it; a many-file 100 TB scan passes through untouched and the
+    # plan stays exchange-free (the plan-guard test pins that shape)
     return (
-        df.where(F.col(text_col).isNotNull() & (p >= 1))
+        spread(df.where(F.col(text_col).isNotNull() & (p >= 1)))
         .select(F.col(id_col).alias("id"), key)
         .select(
             "id",
