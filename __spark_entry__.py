@@ -2427,6 +2427,47 @@ _SQL_C4_RULES = (
 )
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: SEMANTIC decontamination — flag every train vector
+    whose nearest eval vector (vec_id%20==0, the benchmark split) has
+    cosine >= 0.3; the embedding counterpart of the n-gram
+    `decontaminate` (catches paraphrased leakage). The eval set packs
+    into ONE broadcast row and the argmax runs in-row — the train
+    corpus never shuffles. STAGED round 10; registers ROUND 12 (the
+    round-11 window is exactly full — SURVEY §8 window arithmetic).
+    Oracle twin _SQL_SEMANTIC_DECONTAM; pair gated locally by
+    tests/test_datapipe.py::test_staged_semantic_decontam_parity."""
+    from reflexiv_spark.datapipe.decontam import semantic_decontam
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 20 == 0)
+    tr = emb.where(F.col("vec_id") % 20 != 0)
+    return semantic_decontam(tr, ev, threshold=0.3)
+
+
+# Oracle twin for q_semantic_decontam (round-12 registration): the
+# family's exact device — floor(x*1000) int64 quantization, exact
+# integer dots, (cos DESC, eval_id ASC) argmax, threshold filter.
+_SQL_SEMANTIC_DECONTAM = (
+    "WITH v AS (SELECT vec_id, list_transform(CAST(embedding AS"
+    " DOUBLE[]), x -> CAST(floor(x*1000) AS BIGINT)) AS qv"
+    " FROM embeddings), "
+    "m AS (SELECT vec_id, qv, list_dot_product(CAST(qv AS DOUBLE[]),"
+    " CAST(qv AS DOUBLE[])) AS n2 FROM v WHERE"
+    " list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))"
+    " > 0), "
+    "ev AS (SELECT * FROM m WHERE vec_id % 20 = 0), "
+    "tr AS (SELECT * FROM m WHERE vec_id % 20 != 0), "
+    "p AS (SELECT tr.vec_id, ev.vec_id AS eval_id,"
+    " list_dot_product(CAST(tr.qv AS DOUBLE[]), CAST(ev.qv AS"
+    " DOUBLE[])) / (sqrt(tr.n2) * sqrt(ev.n2)) AS cos FROM tr, ev), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+    " ORDER BY cos DESC, eval_id) AS rn FROM p) "
+    "SELECT vec_id, eval_id, round(cos, 6) AS cos FROM rk"
+    " WHERE rn = 1 AND cos >= 0.3"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

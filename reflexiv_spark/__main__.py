@@ -402,6 +402,17 @@ def main(argv: list[str] | None = None) -> int:
     qf_.add_argument("--keep-only", action="store_true",
                      help="emit only rows with keep = true")
 
+    sd_ = add("semantic-decontam", help="datapipe: embedding-level "
+              "decontamination — flag train vectors whose nearest "
+              "eval vector is above a cosine threshold (broadcast "
+              "eval pack, in-row argmax, no corpus shuffle)")
+    sd_.add_argument("--eval", dest="eval_path", required=True,
+                     help="parquet of the eval/benchmark embeddings")
+    sd_.add_argument("--vec-col", default="embedding")
+    sd_.add_argument("--id-col", default="vec_id")
+    sd_.add_argument("--threshold", type=float, default=0.9)
+    sd_.add_argument("--dim", type=int, default=64)
+
     args = p.parse_args(argv)
 
     from reflexiv_spark.session import get_spark
@@ -912,6 +923,16 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             out = out.where(F.col("keep"))
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "semantic-decontam":
+        from reflexiv_spark.datapipe.decontam import semantic_decontam
+
+        out = semantic_decontam(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.eval_path),
+            vec_col=args.vec_col, id_col=args.id_col,
+            threshold=args.threshold, dim=args.dim,
+        )
         _write(out, args.output, args.outformat)
     return 0
 

@@ -528,3 +528,22 @@ def test_cli_quality_filter(spark, tmp_path):
                  "--ruleset", "c4", "--keep-only"]) == 0
     kept = spark.read.parquet(str(c_out)).collect()
     assert [r.id for r in kept] == [1] and kept[0].n_sentences >= 3
+
+
+def test_cli_semantic_decontam(spark, tmp_path):
+    """semantic-decontam subcommand: the near-parallel train vector
+    flags against its eval twin; the orthogonal one passes."""
+    d = 8
+    ev = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * (d - 1))], "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(1, [0.95, 0.05] + [0.0] * (d - 2)),
+         (2, [0.0] * (d - 1) + [1.0])],
+        "vec_id long, embedding array<float>")
+    ep, tp = tmp_path / "ev.parquet", tmp_path / "tr.parquet"
+    ev.write.parquet(str(ep)); tr.write.parquet(str(tp))
+    out = tmp_path / "flagged"
+    assert main(["semantic-decontam", "-i", str(tp), "--eval", str(ep),
+                 "-o", str(out), "--threshold", "0.9", "--dim", str(d)]) == 0
+    got = [(r.vec_id, r.eval_id) for r in spark.read.parquet(str(out)).collect()]
+    assert got == [(1, 100)]

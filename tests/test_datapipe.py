@@ -1346,3 +1346,53 @@ def test_dsir_gumbel_table_exact_integer_device():
         assert t[m] == math.floor(-math.log10(-math.log10(u)) * 1_000_000)
     assert all(a < b for a, b in zip(t, t[1:]))
     assert -710_000 < t[0] < -700_000 and 5_400_000 < t[-1] < 5_500_000
+
+
+def test_semantic_decontam_planted(spark):
+    """A train vector near-parallel to an eval vector flags with that
+    eval id; an orthogonal one does not; zero-norm vectors are inert
+    on both sides."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from reflexiv_spark.datapipe.decontam import semantic_decontam
+
+    d = 8
+    ev_rows = [
+        (100, [1.0] + [0.0] * (d - 1)),
+        (101, [0.0, 1.0] + [0.0] * (d - 2)),
+        (102, [0.0] * d),                     # zero-norm eval: inert
+    ]
+    tr_rows = [
+        (1, [0.9, 0.1] + [0.0] * (d - 2)),    # close to eval 100
+        (2, [0.0] * (d - 1) + [1.0]),         # orthogonal to both
+        (3, [0.0] * d),                        # zero-norm train: inert
+    ]
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(tr_rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.eval_id, r.cos)
+           for r in semantic_decontam(tr, ev, threshold=0.5, dim=d).collect()}
+    assert set(got) == {1}
+    assert got[1][0] == 100 and got[1][1] > 0.9
+
+
+def test_staged_semantic_decontam_parity(spark):
+    """The round-12 STAGED driver pair gated locally (SURVEY §8):
+    q_semantic_decontam vs _SQL_SEMANTIC_DECONTAM at sf0.01."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_semantic_decontam(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["vec_id", "eval_id", "cos"]
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ent._SQL_SEMANTIC_DECONTAM).fetchall()
+    )
+    assert len(got) > 50
+    assert got == want
