@@ -149,8 +149,11 @@ def semantic_decontam(
     import numpy as np
     import pandas as pd
 
+    # dim bounds the probed prefix (identity when vectors are exactly
+    # dim long — the family's usual case; a documented contract, not a
+    # silent assumption)
     q = F.transform(
-        F.col(vec_col).cast("array<double>"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dim),
         lambda x: F.floor(x * 1000).cast("long"),
     )
     n2 = F.aggregate(
