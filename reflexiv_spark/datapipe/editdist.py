@@ -51,6 +51,16 @@ from reflexiv_spark.datapipe.dedup import normalize_text
 from reflexiv_spark.plans.layout import spread
 
 
+def _spread_batch(df: DataFrame) -> DataFrame:
+    """spread() for batch inputs, pass-through for streaming ones —
+    the kernel is stateless, so it composes with readStream, but
+    micro-batch partitioning belongs to the source (and ``df.rdd``
+    inside spread() is illegal on a streaming plan). A layout.py
+    change is window-blocked this round; fold this guard into
+    ``plans.layout.spread`` when its consumers next rotate in."""
+    return df if df.isStreaming else spread(df)
+
+
 def _del1(c: Column) -> Column:
     """All single-character deletions of a string column, as an array
     (position i removed, for i = 1..len). Empty string -> empty array."""
@@ -95,7 +105,7 @@ def edit_keys(
     # spread(): neighborhood generation is a per-row CPU fan-out (up to
     # 1+L+L(L-1)/2 variant strings); few-file local inputs must reach
     # all cores first, many-file scans pass through untouched
-    return spread(df.where(t.isNotNull())).select(
+    return _spread_batch(df.where(t.isNotNull())).select(
         F.col(id_col).alias("id"),
         F.substring(normalize_text(t), 1, key_len).alias("key"),
     )

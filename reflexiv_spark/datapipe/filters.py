@@ -44,6 +44,16 @@ from pyspark.sql import functions as F
 
 from reflexiv_spark.plans.layout import spread
 
+def _spread_batch(df: DataFrame) -> DataFrame:
+    """spread() for batch inputs, pass-through for streaming ones —
+    the kernel is stateless, so it composes with readStream, but
+    micro-batch partitioning belongs to the source (and ``df.rdd``
+    inside spread() is illegal on a streaming plan). A layout.py
+    change is window-blocked this round; fold this guard into
+    ``plans.layout.spread`` when its consumers next rotate in."""
+    return df if df.isStreaming else spread(df)
+
+
 # Gopher A1 stop words: "must contain at least two of the following
 # English words: the, be, to, of, and, that, have, with"
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -85,7 +95,7 @@ def gopher_rules(
     t = F.coalesce(F.col(text_col), F.lit(""))
     # spread(): per-word regex work; few-file inputs fan out to the
     # cores, many-file scans pass through (plan stays exchange-free)
-    staged = spread(df).select(
+    staged = _spread_batch(df).select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(t, F.lit(r"\S+"), 0).alias("__ws"),
         F.split(t, "\n").alias("__lines"),
@@ -163,7 +173,7 @@ def c4_rules(
     clean_text."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     low = F.lower(t)
-    staged = spread(df).select(
+    staged = _spread_batch(df).select(
         F.col(id_col).alias("id"),
         F.split(t, "\n").alias("__lines"),
         F.contains(low, F.lit("lorem ipsum")).alias("has_lorem"),

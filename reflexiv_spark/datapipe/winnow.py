@@ -49,6 +49,17 @@ from pyspark.sql import functions as F
 from reflexiv_spark.datapipe.dedup import md5_long, normalize_text
 from reflexiv_spark.plans.layout import spread
 
+
+def _spread_batch(df: DataFrame) -> DataFrame:
+    """spread() for batch inputs, pass-through for streaming ones —
+    the kernel is stateless, so it composes with readStream, but
+    micro-batch partitioning belongs to the source (and ``df.rdd``
+    inside spread() is illegal on a streaming plan). A layout.py
+    change is window-blocked this round; fold this guard into
+    ``plans.layout.spread`` when its consumers next rotate in."""
+    return df if df.isStreaming else spread(df)
+
+
 _POS_BITS = 20
 _POS_CAP = (1 << _POS_BITS) - 1
 _HASH_MOD = 1 << 40
@@ -131,7 +142,7 @@ def winnow_fingerprints(
     # it; a many-file 100 TB scan passes through untouched and the
     # plan stays exchange-free (the plan-guard test pins that shape)
     return (
-        spread(df.where(F.col(text_col).isNotNull() & (p >= 1)))
+        _spread_batch(df.where(F.col(text_col).isNotNull() & (p >= 1)))
         .select(F.col(id_col).alias("id"), key)
         .select(
             "id",

@@ -194,3 +194,43 @@ def test_overlap_max_df_cap(spark):
     # with the cap only the genuine passage pair remains
     assert (1, 2) in capped
     assert (3, 4) not in capped
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    """The fingerprint kernel is stateless, so readStream composes:
+    streaming output over a file source equals the batch output on the
+    same rows (the _spread_batch guard — spread() would throw on a
+    streaming plan)."""
+    from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+
+    rows = [
+        (1, "a shared document body to fingerprint"),
+        (2, "another rather different body of text"),
+        (3, None),
+    ]
+    src = tmp_path / "docs"
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(src))
+    batch = sorted(
+        tuple(r)
+        for r in winnow_fingerprints(
+            spark.read.parquet(str(src)), hash_family="md5"
+        ).collect()
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    q = (
+        winnow_fingerprints(stream, hash_family="md5")
+        .writeStream.format("memory")
+        .queryName("wfp_eq")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("select * from wfp_eq").collect()
+        )
+    finally:
+        q.stop()
+    assert got == batch and len(batch) > 0
