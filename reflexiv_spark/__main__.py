@@ -386,6 +386,11 @@ def main(argv: list[str] | None = None) -> int:
                      "hot-fp quadratic backstop; recommended at scale)")
     wn_.add_argument("--hash-family", default="xxhash64",
                      choices=["xxhash64", "md5"])
+    wn_.add_argument("--remove-spans", action="store_true",
+                     help="emit (id, n_spans, chars_removed, clean_text)"
+                     " — excise each non-owner doc's matched k-gram"
+                     " spans (character-level ExactSubstr-style removal"
+                     " at winnow granularity)")
 
     qf_ = add("quality-filter", help="datapipe: published quality-rule "
               "bundles — Gopher (Rae et al. 2021 App. A) or C4 (Raffel "
@@ -883,11 +888,19 @@ def main(argv: list[str] | None = None) -> int:
         _write(out, args.output, args.outformat)
     elif args.cmd == "winnow":
         from reflexiv_spark.datapipe.winnow import (
+            remove_shared_spans,
             winnow_fingerprints,
             winnow_overlap,
         )
 
-        if args.pairs:
+        if args.remove_spans:
+            out = remove_shared_spans(
+                spark.read.parquet(args.input),
+                id_col=args.id_col, text_col=args.text_col,
+                k=args.k, window=args.window,
+                hash_family=args.hash_family, max_df=args.max_df,
+            )
+        elif args.pairs:
             out = winnow_overlap(
                 spark.read.parquet(args.input),
                 id_col=args.id_col, text_col=args.text_col,

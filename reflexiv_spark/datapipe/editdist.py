@@ -47,30 +47,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reflexiv_spark.datapipe._layout import spread_batch as _spread_batch
 from reflexiv_spark.datapipe.dedup import normalize_text
-from reflexiv_spark.plans.layout import spread
-
-
-def _spread_batch(df: DataFrame) -> DataFrame:
-    """spread() for batch inputs, pass-through for streaming ones —
-    the kernel is stateless, so it composes with readStream, but
-    micro-batch partitioning belongs to the source (and ``df.rdd``
-    inside spread() is illegal on a streaming plan). A layout.py
-    change is window-blocked this round; fold this guard into
-    ``plans.layout.spread`` when its consumers next rotate in."""
-    return df if df.isStreaming else spread(df)
 
 
 def _del1(c: Column) -> Column:
     """All single-character deletions of a string column, as an array
-    (position i removed, for i = 1..len). Empty string -> empty array."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.concat(
-            c.substr(F.lit(1), i - F.lit(1)),
-            F.substring(c, i + F.lit(1), F.length(c)),
+    (position i removed, for i = 1..len). Empty string -> empty array:
+    the guard is load-bearing, not cosmetic — ``sequence(1, 0)`` yields
+    the DESCENDING [1, 0], so an unguarded transform would emit ['', '']
+    for the empty string (round-11 ADVICE; the old behavior was masked
+    by array_union/array_distinct dedup in deletion_neighborhood, but
+    any caller counting variants would have been wrong)."""
+    return F.when(
+        F.length(c) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                F.substring(c, i + F.lit(1), F.length(c)),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def deletion_neighborhood(col: Column | str, max_dist: int) -> Column:

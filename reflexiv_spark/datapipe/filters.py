@@ -42,16 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from reflexiv_spark.plans.layout import spread
-
-def _spread_batch(df: DataFrame) -> DataFrame:
-    """spread() for batch inputs, pass-through for streaming ones —
-    the kernel is stateless, so it composes with readStream, but
-    micro-batch partitioning belongs to the source (and ``df.rdd``
-    inside spread() is illegal on a streaming plan). A layout.py
-    change is window-blocked this round; fold this guard into
-    ``plans.layout.spread`` when its consumers next rotate in."""
-    return df if df.isStreaming else spread(df)
+from reflexiv_spark.datapipe._layout import spread_batch as _spread_batch
 
 
 # Gopher A1 stop words: "must contain at least two of the following
@@ -84,7 +75,9 @@ def gopher_rules(
     integer comparison:
     - ``min_words <= n_words <= max_words``
     - mean word length in [3, 10]: ``3*n_words <= word_chars <= 10*n_words``
-    - symbol ratio <= 0.1: ``10*(n_hash + n_ellipsis) <= n_words``
+    - symbol ratios <= 0.1 EACH (the paper states the hash and ellipsis
+      thresholds separately): ``10*n_hash <= n_words`` AND
+      ``10*n_ellipsis <= n_words``
     - bullet lines < 90%? paper: ">90% of lines starting with a bullet
       point" is a REJECT: keep iff ``10*n_bullet_lines <= 9*n_lines``
     - ellipsis-ending lines <= 30%: ``10*n_ellipsis_lines <= 3*n_lines``
@@ -144,7 +137,8 @@ def gopher_rules(
         & (c("n_words") <= max_words)
         & (3 * c("n_words") <= c("word_chars"))
         & (c("word_chars") <= 10 * c("n_words"))
-        & (10 * (c("n_hash") + c("n_ellipsis")) <= c("n_words"))
+        & (10 * c("n_hash") <= c("n_words"))
+        & (10 * c("n_ellipsis") <= c("n_words"))
         & (10 * c("n_bullet_lines") <= 9 * c("n_lines"))
         & (10 * c("n_ellipsis_lines") <= 3 * c("n_lines"))
         & (5 * c("n_alpha_words") >= 4 * c("n_words"))

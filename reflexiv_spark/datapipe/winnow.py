@@ -46,18 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from reflexiv_spark.datapipe._layout import spread_batch as _spread_batch
 from reflexiv_spark.datapipe.dedup import md5_long, normalize_text
-from reflexiv_spark.plans.layout import spread
-
-
-def _spread_batch(df: DataFrame) -> DataFrame:
-    """spread() for batch inputs, pass-through for streaming ones —
-    the kernel is stateless, so it composes with readStream, but
-    micro-batch partitioning belongs to the source (and ``df.rdd``
-    inside spread() is illegal on a streaming plan). A layout.py
-    change is window-blocked this round; fold this guard into
-    ``plans.layout.spread`` when its consumers next rotate in."""
-    return df if df.isStreaming else spread(df)
 
 
 _POS_BITS = 20
@@ -154,6 +144,142 @@ def winnow_fingerprints(
             # all-integer arithmetic, like quantile.py's `div`)
             F.shiftright("__key", _POS_BITS).cast("bigint").alias("fp"),
         )
+    )
+
+
+def remove_shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Character-level duplicate-span REMOVAL — the operator that
+    COMPLETES the winnow story (``winnow_overlap`` locates shared
+    passages; this excises them): for every fingerprint value, the
+    smallest doc id OWNS it; every other document removes the union of
+    its matched k-gram character intervals from the normalized text →
+    DataFrame[id, n_spans, chars_removed, clean_text].
+
+    This is the winnow-granular form of Lee et al. 2022's ExactSubstr
+    removal (``dedup.dup_spans`` approximates the DETECTION side at
+    word-50-gram granularity; production ExactSubstr removes at
+    character level — the boilerplate/quote-removal shape). Guarantee,
+    the excision mirror of Schleimer Theorem 1: a shared substring of
+    length >= window + k - 1 selects at least one shared fingerprint in
+    EVERY window of ``window`` consecutive grams, so after the matched
+    k-grams are excised from the non-owner, no surviving contiguous
+    piece of that substring is longer than ~window + k - 2 — below the
+    detectability threshold, so re-running detection on the cleaned
+    corpus converges. Residual slivers between selected grams are the
+    documented approximation vs full ExactSubstr (which removes the
+    entire match, at the cost of a suffix-array build no equality-join
+    engine replays).
+
+    Execution shape: the fingerprint kernel is the zero-exchange scan
+    above; ownership is one fp-keyed agg (min id, doc frequency);
+    matched positions flow back as ONE id-keyed sorted array per doc
+    (``collect_set`` bounded by the doc's own fingerprint count); the
+    interval merge AND the substring surgery are single Catalyst
+    ``aggregate`` folds over that array — no Python, no per-char rows.
+    NULL-text docs pass through with NULL clean_text; docs with no
+    matched fp (including every owner-only doc) pass through with the
+    normalized text and n_spans = 0. ``max_df`` drops corpus-ubiquitous
+    fingerprints before ownership (same knob and rationale as
+    :func:`winnow_overlap` — at 100 TB, set it)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_family)
+    own = fps.groupBy("fp").agg(
+        F.min("id").alias("__owner"),
+        F.count_distinct("id").alias("__df"),
+    )
+    if max_df is not None:
+        own = own.where(F.col("__df") <= max_df)
+    starts = (
+        fps.join(own.select("fp", "__owner"), "fp")
+        .where(F.col("id") != F.col("__owner"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalize_text(F.col(text_col)).alias("__t"),
+        F.col(text_col).isNull().alias("__isnull"),
+    ).join(starts, "id", "left")
+
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    ps = F.coalesce(F.col("__starts"), F.array().cast("array<bigint>"))
+    # interval merge: starts are sorted and each covers [p, p+k-1]; a
+    # start adjacent-or-overlapping the last span (p <= last.e + 1)
+    # extends it, else opens a new one. element_at(-1) reads the last.
+    merged = F.aggregate(
+        ps,
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + F.lit(k - 1)
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("bigint").alias("s"),
+                        (p + F.lit(k - 1)).cast("bigint").alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    staged = base.select(
+        "id", "__t", "__isnull", merged.alias("__spans")
+    )
+    sp, t = F.col("__spans"), F.col("__t")
+    # substring surgery: fold (last_end, text_so_far) over the merged
+    # spans, appending the gap before each span, then the tail. `t` is
+    # an attribute (already-computed column), so referencing it inside
+    # the lambda is a read, not a re-evaluation (the HOF let-bind rule).
+    surgery = F.aggregate(
+        sp,
+        F.struct(
+            F.lit(0).cast("bigint").alias("last"), F.lit("").alias("acc")
+        ),
+        lambda a, s: F.struct(
+            s["e"].alias("last"),
+            F.concat(
+                a["acc"],
+                F.substring(
+                    t, (a["last"] + 1).cast("int"), (s["s"] - a["last"] - 1).cast("int")
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, (a["last"] + 1).cast("int"), F.length(t))
+        ),
+    )
+    chars_removed = F.aggregate(
+        sp,
+        F.lit(0).cast("bigint"),
+        lambda a, s: a + (F.least(s["e"], F.length(t).cast("bigint")) - s["s"] + 1),
+    )
+    return staged.select(
+        "id",
+        F.size(sp).cast("bigint").alias("n_spans"),
+        chars_removed.alias("chars_removed"),
+        F.when(F.col("__isnull"), F.lit(None).cast("string"))
+        .otherwise(surgery)
+        .alias("clean_text"),
     )
 
 

@@ -362,3 +362,48 @@ def test_stratified_split_rejects_bad_fractions(spark):
         stratified_split(df, fractions=())
     # the canonical 0.8/0.1/0.1 (float sum 0.9999999999999999) still OK
     stratified_split(df)
+
+
+def test_del1_empty_string_yields_empty_array(spark):
+    """ADVICE r10: sequence(1, 0) is the DESCENDING [1, 0], so an
+    unguarded _del1('') returned ['', ''] — masked by downstream
+    array_distinct but wrong as a stated contract. The guard makes the
+    docstring true: empty string -> empty array, and the depth-0 string
+    itself is still the only variant of ''."""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.editdist import (
+        _del1,
+        deletion_neighborhood,
+    )
+
+    df = spark.createDataFrame([("",), ("ab",)], "s string")
+    got = {
+        r.s: (r.d, r.n)
+        for r in df.select(
+            "s",
+            _del1(F.col("s")).alias("d"),
+            deletion_neighborhood(F.col("s"), 2).alias("n"),
+        ).collect()
+    }
+    assert got[""] == ([], [""])
+    assert sorted(got["ab"][0]) == ["a", "b"]
+    assert sorted(got["ab"][1]) == ["", "a", "ab", "b"]
+
+
+def test_gopher_symbol_ratios_are_separate(spark):
+    """ADVICE r10: Rae et al. App. A states the hash and ellipsis 0.1
+    thresholds SEPARATELY; the old code tested the sum (strictly
+    stricter). A doc with hash ratio 1/15 and ellipsis ratio 1/15 —
+    each under 0.1, sum over — must now keep."""
+    from reflexiv_spark.datapipe.filters import gopher_rules
+
+    text = (
+        "the quick brown fox jumps over that lazy dog with plenty "
+        "and more of words # and ... also"
+    )  # 19 words, 1 hash, 1 ellipsis, no ellipsis-ending line
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_rules(df, min_words=10, min_stop_hits=2).head()
+    assert r.n_hash == 1 and r.n_ellipsis == 1
+    assert 10 * (r.n_hash + r.n_ellipsis) > r.n_words  # old rule rejected
+    assert r.keep is True

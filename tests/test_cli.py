@@ -503,6 +503,13 @@ def test_cli_winnow(spark, tmp_path):
     pairs = {(r.id_a, r.id_b) for r in spark.read.parquet(str(pr_out)).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+    rs_out = tmp_path / "clean"
+    assert main(["winnow", "-i", str(inp), "-o", str(rs_out),
+                 "--remove-spans"]) == 0
+    clean = {r.id: r for r in spark.read.parquet(str(rs_out)).collect()}
+    assert passage in clean[1].clean_text      # owner keeps
+    assert passage not in clean[2].clean_text  # non-owner excised
+    assert clean[2].n_spans > 0 and clean[3].n_spans == 0
 
 
 def test_cli_quality_filter(spark, tmp_path):

@@ -234,3 +234,95 @@ def test_streaming_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch and len(batch) > 0
+
+
+def _ref_remove(rows, k=K, w=W):
+    """Literal Python reference for remove_shared_spans: min-id
+    ownership over the reference fingerprints, per-char excision."""
+    fps = {}
+    for i, text in rows:
+        if text is None:
+            continue
+        fps[i] = _ref_winnow(text, k, w)
+    owner = {}
+    for i, s in fps.items():
+        for _, h in s:
+            owner[h] = min(owner.get(h, i), i)
+    out = {}
+    for i, text in rows:
+        if text is None:
+            out[i] = (0, 0, None)
+            continue
+        t = " ".join(text.lower().strip().split())
+        rm = set()
+        for pos, h in fps.get(i, set()):
+            if owner[h] != i:
+                rm |= set(range(pos, pos + k))  # 1-based chars
+        clean = "".join(
+            c for j, c in enumerate(t, start=1) if j not in rm
+        )
+        spans = sum(1 for j in sorted(rm) if j - 1 not in rm)
+        out[i] = (spans, len(rm), clean)
+    return out
+
+
+def test_remove_shared_spans_reference(spark):
+    """remove_shared_spans matches the literal per-char reference on a
+    planted clone family + NULL/short/unique docs, and the excision
+    guarantee holds: the cleaned non-owner shares no substring of
+    length >= W + K - 1 with the owner."""
+    from reflexiv_spark.datapipe.winnow import remove_shared_spans
+
+    shared = "a long shared boilerplate passage that repeats verbatim"
+    rows = [
+        (1, f"first doc header {shared} first doc tail"),
+        (2, f"second {shared} second tail differs completely"),
+        (3, f"third intro {shared} third outro text"),
+        (4, "wholly unrelated document body with its own words"),
+        (5, None),
+        (6, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_spans, r.chars_removed, r.clean_text)
+        for r in remove_shared_spans(df, k=K, window=W,
+                                     hash_family="md5").collect()
+    }
+    assert got == _ref_remove(rows)
+    # owner keeps, non-owners excised
+    assert shared in got[1][2]
+    assert shared not in got[2][2] and shared not in got[3][2]
+    # excision mirror of the detection guarantee
+    t1 = got[1][2]
+    for doc in (2, 3):
+        t = got[doc][2]
+        lim = W + K - 1
+        for s in range(len(t) - lim + 1):
+            assert t[s : s + lim] not in t1
+
+
+def test_staged_span_removal_parity(spark):
+    """The round-12 STAGED driver pair gated locally this round:
+    q_winnow_span_removal vs _SQL_WINNOW_SPAN_REMOVAL at sf0.01
+    (SURVEY §8 staging protocol)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_winnow_span_removal(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["id", "n_spans", "chars_removed", "clean_text"]
+    got = sorted(
+        tuple(r) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ent._SQL_WINNOW_SPAN_REMOVAL).fetchall()
+    )
+    assert len(got) == 500
+    assert any(r[1] > 0 for r in got)      # the clone families excise
+    assert any(r[1] == 0 for r in got)     # unique docs pass through
+    assert got == want
