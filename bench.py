@@ -55,6 +55,9 @@ HEADLINE = [
     # twins are staged for the round-11 window)
     "edit_join_d1",
     "winnow_overlap_xxh64",
+    # round 11: character-level shared-span removal (the ExactSubstr
+    # shape over winnow fingerprints; capped production family)
+    "winnow_spans_xxh64",
     "text_stats",
     # ann_lsh_gauss, not embedding_topk: the brute-force cosine is the
     # O(n²) correctness baseline; the LSH-bucketed path is the scale
@@ -282,9 +285,21 @@ def _bench_only_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return edit_join(docs, max_dist=1, key_len=16)
 
+    def winnow_spans_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.winnow import remove_shared_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # same max_df rationale as winnow_overlap_xxh64: ownership over
+        # corpus-ubiquitous fps carries no span signal and the matched-
+        # position fan-in is hot-fp-bounded only with the cap
+        return remove_shared_spans(
+            docs, k=8, window=4, hash_family="xxhash64", max_df=50
+        )
+
     return {
         "dsir_select_xxh64": dsir_select_xxh64,
         "winnow_overlap_xxh64": winnow_overlap_xxh64,
+        "winnow_spans_xxh64": winnow_spans_xxh64,
         "edit_join_d1": edit_join_d1,
         "classifier_score_xxh64": classifier_score_xxh64,
         "hll_by_lang_xxh64": hll_by_lang_xxh64,

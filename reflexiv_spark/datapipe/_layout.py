@@ -9,11 +9,15 @@ and only batch inputs get the fan-out.
 
 One shared definition (round-11 ADVICE): the guard was previously
 copy-pasted into winnow.py / editdist.py / filters.py, inviting drift.
-The eventual home is a one-line ``if df.isStreaming: return df`` at the
-top of ``plans.layout.spread`` itself — that edit marks every consumer
-of layout.py window-affected in ``tools/check_window.py``, so it is
-budgeted for a round whose oracle window admits them (SURVEY §8); when
-it lands, this module folds away.
+This module is the PERMANENT home, not a way-station: the once-planned
+fold into ``plans.layout.spread`` itself was sized in round 11 and
+CANCELLED — a semantic layout.py edit marks 64 consumer queries
+window-affected (measured with ``tools/check_window.py -v``), which a
+50-slot oracle window can never admit in one round, and the fold has
+no functional payoff anyway: every non-datapipe ``spread()`` caller
+(kmer counting, mercy, mapping, stitching) is a batch-only pipeline
+that can never receive a streaming plan, while every kernel that DOES
+compose with readStream routes through this guard.
 """
 
 from __future__ import annotations
