@@ -2544,6 +2544,187 @@ _SQL_WINNOW_SPAN_REMOVAL = (
 )
 
 
+def q_winnow_ref_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: cross-corpus span EXCISION — remove from every RAW
+    document (doc_id%10 != 0) the k-gram intervals whose winnow
+    fingerprints appear anywhere in the TARGET shard (doc_id%10 == 0,
+    the bloom_decontam split) — the decontamination that REMEDIATES
+    (excises the leaked passage) instead of flagging. STAGED round 11;
+    registers ROUND 12 (SURVEY §8 window arithmetic). Oracle twin
+    _SQL_WINNOW_REF_REMOVAL; pair gated locally by
+    tests/test_winnow.py::test_staged_ref_removal_parity."""
+    from reflexiv_spark.datapipe.winnow import remove_reference_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_reference_spans(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+        k=8,
+        window=4,
+        hash_family="md5",
+    )
+
+
+# Oracle twin for q_winnow_ref_removal (round-12 registration): the
+# fingerprint CTE over ALL documents, reference fp values from the
+# target shard, matched positions on the raw shard, then the same
+# per-char excision replay as _SQL_WINNOW_SPAN_REMOVAL.
+_SQL_WINNOW_REF_REMOVAL = (
+    r"WITH nn AS (SELECT doc_id, CASE WHEN text IS NOT NULL THEN"
+    r" regexp_replace(lower(trim(text)), '\s+', ' ', 'g') END AS t"
+    " FROM documents), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,"
+    " CAST(('0x' || substr(md5('w|' || substr(t, CAST(i AS INT), 8)),"
+    " 1, 15)) AS BIGINT) % 1099511627776 AS h"
+    " FROM nn, unnest(generate_series(1, least(len(t) - 7, 1048575)))"
+    " AS u(i) WHERE t IS NOT NULL AND len(t) >= 8), "
+    "kk AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key"
+    " FROM g), "
+    "m AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id"
+    " ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,"
+    " count(*) OVER (PARTITION BY doc_id) AS p FROM kk), "
+    "fps AS (SELECT DISTINCT doc_id,"
+    " CAST(1048575 - (wmin % 1048576) AS BIGINT) AS fpos,"
+    " CAST(wmin // 1048576 AS BIGINT) AS fp FROM m"
+    " WHERE pos <= greatest(p - 3, 1)), "
+    "ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0), "
+    "mt AS (SELECT f.doc_id, f.fpos FROM fps f JOIN ref USING (fp)"
+    " WHERE f.doc_id % 10 != 0), "
+    "rd AS (SELECT doc_id, t FROM nn WHERE doc_id % 10 != 0), "
+    "ch AS (SELECT doc_id, CAST(i AS BIGINT) AS i,"
+    " substr(t, CAST(i AS INT), 1) AS c FROM rd,"
+    " unnest(generate_series(1, len(t))) AS u(i) WHERE t IS NOT NULL), "
+    "rm AS (SELECT DISTINCT c.doc_id, c.i FROM ch c JOIN mt"
+    " ON c.doc_id = mt.doc_id AND c.i BETWEEN mt.fpos"
+    " AND mt.fpos + 7), "
+    "isl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM"
+    " (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i)"
+    " AS pi FROM rm) WHERE pi IS NULL OR i > pi + 1 GROUP BY doc_id), "
+    "cr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rm"
+    " GROUP BY doc_id), "
+    "cl AS (SELECT ch.doc_id, coalesce(string_agg(CASE WHEN rm.i IS"
+    " NULL THEN ch.c END, '' ORDER BY ch.i), '') AS txt FROM ch"
+    " LEFT JOIN rm ON ch.doc_id = rm.doc_id AND ch.i = rm.i"
+    " GROUP BY ch.doc_id) "
+    "SELECT rd.doc_id AS id, coalesce(isl.n, 0) AS n_spans,"
+    " coalesce(cr.n, 0) AS chars_removed,"
+    " CASE WHEN rd.t IS NULL THEN NULL"
+    " ELSE coalesce(cl.txt, rd.t) END AS clean_text"
+    " FROM rd LEFT JOIN isl ON rd.doc_id = isl.doc_id"
+    " LEFT JOIN cr ON rd.doc_id = cr.doc_id"
+    " LEFT JOIN cl ON rd.doc_id = cl.doc_id"
+)
+
+
+def q_fineweb_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the FineWeb custom quality heuristics (Penedo et al.
+    2024 §3.6 — terminal-punctuation line density, duplicated-line
+    character fraction, short-line fraction), the third published rule
+    bundle beside Gopher and C4. The corpus is single-line word salad,
+    so the driver query applies the c4_rules rewrite device twice
+    (' table ' and ' data ' each become sentence/line breaks) to
+    create enough line structure that every clause varies. STAGED
+    round 11; registers ROUND 12. Oracle twin _SQL_FINEWEB_RULES;
+    pair gated locally by
+    tests/test_filters.py::test_staged_fineweb_parity."""
+    from reflexiv_spark.datapipe.filters import fineweb_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit(" table "), F.lit(".\n table ")
+            ),
+            F.lit(" data "),
+            F.lit(".\n data "),
+        ).alias("text"),
+    )
+    return fineweb_rules(docs)
+
+
+# Oracle twin for q_fineweb_rules (round-12 registration): the same
+# double rewrite, line split, and the three integer cross-multiplied
+# clauses; dup_chars = total line chars - distinct line chars.
+_SQL_FINEWEB_RULES = (
+    "WITH s AS (SELECT doc_id AS id, coalesce(replace(replace(text,"
+    " ' table ', '.' || chr(10) || ' table '),"
+    " ' data ', '.' || chr(10) || ' data '), '') AS t FROM documents), "
+    "b AS (SELECT id, string_split(t, chr(10)) AS ls FROM s), "
+    "c AS (SELECT id, CAST(len(ls) AS BIGINT) AS n_lines,"
+    " CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l),"
+    " '[.!?\"]$'))) AS BIGINT) AS n_punct_lines,"
+    " CAST(len(list_filter(ls, l -> length(l) < 30)) AS BIGINT)"
+    " AS n_short_lines,"
+    " CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)"
+    " AS BIGINT) AS total_chars,"
+    " CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0)"
+    " - coalesce(list_sum(list_transform(list_distinct(ls),"
+    " l -> length(l))), 0) AS BIGINT) AS dup_chars FROM b) "
+    "SELECT *, (25 * n_punct_lines > 3 * n_lines"
+    " AND 10 * dup_chars < total_chars"
+    " AND 100 * n_short_lines < 67 * n_lines) AS keep FROM c"
+)
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: hashed-bucket KL divergence between the target shard
+    (doc_id%10 == 0) and the raw corpus (the dsir split) — the
+    mixture-calibration companion of dsir_weights: WHICH buckets drive
+    the distributional gap, per-bucket micro-unit contributions in
+    both directions, every column bigint. dim=512, unigrams+bigrams,
+    md5 (the oracle-replayable family). STAGED round 11; registers
+    ROUND 12. Oracle twin _SQL_CORPUS_DIVERGENCE; pair gated locally
+    by tests/test_divergence.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.divergence import corpus_divergence
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return corpus_divergence(
+        target, raw, dim=512, use_bigrams=True, hash_family="md5"
+    )
+
+
+# Oracle twin for q_corpus_divergence (round-12 registration): the
+# dsir feature CTEs (same md5 bucket hashing, A = target shard,
+# B = raw), add-1 smoothed bucket probabilities, and the micro-unit
+# floor of p*(log10 p - log10 q) per direction.
+_SQL_CORPUS_DIVERGENCE = (
+    r"WITH w AS (SELECT doc_id,"
+    r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+    " FROM documents), "
+    "uni AS (SELECT doc_id, 'u|' || ws[CAST(i AS INT)] AS f"
+    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)), "
+    "bi AS (SELECT doc_id, 'b|' || ws[CAST(i AS INT)] || ' ' ||"
+    " ws[CAST(i AS INT) + 1] AS f FROM w,"
+    " unnest(generate_series(1, len(ws) - 1)) AS t(i)"
+    " WHERE len(ws) >= 2), "
+    "f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+    "x AS (SELECT doc_id, (CAST(('0x' || substr(md5(f), 1, 15))"
+    " AS BIGINT) % 512) AS idx FROM f), "
+    "xa AS (SELECT * FROM x WHERE doc_id % 10 = 0), "
+    "xb AS (SELECT * FROM x WHERE doc_id % 10 != 0), "
+    "ca AS (SELECT idx, count(*) AS c FROM xa GROUP BY idx), "
+    "cb AS (SELECT idx, count(*) AS c FROM xb GROUP BY idx), "
+    "ta AS (SELECT count(*) AS t FROM xa), "
+    "tb AS (SELECT count(*) AS t FROM xb), "
+    "bk AS (SELECT CAST(i AS BIGINT) AS idx FROM"
+    " unnest(generate_series(0, 511)) AS u(i)), "
+    "p AS (SELECT bk.idx,"
+    " CAST(coalesce(ca.c, 0) AS BIGINT) AS ca,"
+    " CAST(coalesce(cb.c, 0) AS BIGINT) AS cb,"
+    " CAST(coalesce(ca.c, 0) + 1 AS DOUBLE)"
+    " / CAST(ta.t + 512 AS DOUBLE) AS pa,"
+    " CAST(coalesce(cb.c, 0) + 1 AS DOUBLE)"
+    " / CAST(tb.t + 512 AS DOUBLE) AS pb"
+    " FROM bk LEFT JOIN ca ON bk.idx = ca.idx"
+    " LEFT JOIN cb ON bk.idx = cb.idx, ta, tb) "
+    "SELECT idx, ca, cb,"
+    " CAST(floor(pa * (log10(pa) - log10(pb)) * 1000000) AS BIGINT)"
+    " AS kl_ab_micro,"
+    " CAST(floor(pb * (log10(pb) - log10(pa)) * 1000000) AS BIGINT)"
+    " AS kl_ba_micro FROM p"
+)
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: SEMANTIC decontamination — flag every train vector
     whose nearest eval vector (vec_id%20==0, the benchmark split) has

@@ -391,12 +391,17 @@ def main(argv: list[str] | None = None) -> int:
                      " — excise each non-owner doc's matched k-gram"
                      " spans (character-level ExactSubstr-style removal"
                      " at winnow granularity)")
+    wn_.add_argument("--ref", dest="ref_path", default=None,
+                     help="with --remove-spans: excise spans matching"
+                     " THIS reference corpus's fingerprints instead of"
+                     " within-corpus owners (decontamination surgery)")
 
     qf_ = add("quality-filter", help="datapipe: published quality-rule "
-              "bundles — Gopher (Rae et al. 2021 App. A) or C4 (Raffel "
-              "et al. 2020 §2.2); per-doc integer counts + keep flag "
-              "(+ clean_text for c4)")
-    qf_.add_argument("--ruleset", choices=["gopher", "c4"],
+              "bundles — Gopher (Rae et al. 2021 App. A), C4 (Raffel "
+              "et al. 2020 §2.2), or FineWeb (Penedo et al. 2024 §3.6);"
+              " per-doc integer counts + keep flag (+ clean_text for"
+              " c4)")
+    qf_.add_argument("--ruleset", choices=["gopher", "c4", "fineweb"],
                      default="gopher")
     qf_.add_argument("--text-col", default="text")
     qf_.add_argument("--id-col", default="doc_id")
@@ -406,6 +411,22 @@ def main(argv: list[str] | None = None) -> int:
     qf_.add_argument("--min-sentences", type=int, default=3)
     qf_.add_argument("--keep-only", action="store_true",
                      help="emit only rows with keep = true")
+
+    dv_ = add("divergence", help="datapipe: hashed-bucket KL "
+              "divergence between two corpora (per-bucket micro-unit "
+              "table; --summary for the scalar sums) — the mixture-"
+              "calibration companion of dsir")
+    dv_.add_argument("--other", dest="other_path", required=True,
+                     help="parquet of corpus B (input -i is corpus A)")
+    dv_.add_argument("--text-col", default="text")
+    dv_.add_argument("--id-col", default="doc_id")
+    dv_.add_argument("--dim", type=int, default=4096)
+    dv_.add_argument("--no-bigrams", action="store_true")
+    dv_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+    dv_.add_argument("--summary", action="store_true",
+                     help="emit the one-row scalar sums instead of the"
+                     " per-bucket table")
 
     sd_ = add("semantic-decontam", help="datapipe: embedding-level "
               "decontamination — flag train vectors whose nearest "
@@ -893,7 +914,19 @@ def main(argv: list[str] | None = None) -> int:
             winnow_overlap,
         )
 
-        if args.remove_spans:
+        if args.remove_spans and args.ref_path:
+            from reflexiv_spark.datapipe.winnow import (
+                remove_reference_spans,
+            )
+
+            out = remove_reference_spans(
+                spark.read.parquet(args.input),
+                spark.read.parquet(args.ref_path),
+                id_col=args.id_col, text_col=args.text_col,
+                k=args.k, window=args.window,
+                hash_family=args.hash_family,
+            )
+        elif args.remove_spans:
             out = remove_shared_spans(
                 spark.read.parquet(args.input),
                 id_col=args.id_col, text_col=args.text_col,
@@ -926,6 +959,12 @@ def main(argv: list[str] | None = None) -> int:
                 min_words=args.min_words,
                 min_stop_hits=args.min_stop_hits,
             )
+        elif args.ruleset == "fineweb":
+            from reflexiv_spark.datapipe.filters import fineweb_rules
+
+            out = fineweb_rules(
+                inp, text_col=args.text_col, id_col=args.id_col
+            )
         else:
             out = c4_rules(
                 inp, text_col=args.text_col, id_col=args.id_col,
@@ -936,6 +975,21 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             out = out.where(F.col("keep"))
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "divergence":
+        from reflexiv_spark.datapipe.divergence import (
+            corpus_divergence,
+            divergence_summary,
+        )
+
+        fn = divergence_summary if args.summary else corpus_divergence
+        out = fn(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.other_path),
+            text_col=args.text_col, id_col=args.id_col, dim=args.dim,
+            use_bigrams=not args.no_bigrams,
+            hash_family=args.hash_family,
+        )
         _write(out, args.output, args.outformat)
     elif args.cmd == "semantic-decontam":
         from reflexiv_spark.datapipe.decontam import semantic_decontam

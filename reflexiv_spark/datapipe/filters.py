@@ -147,6 +147,74 @@ def gopher_rules(
     return out.withColumn("keep", keep)
 
 
+def fineweb_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The three FineWeb custom quality heuristics (Penedo et al. 2024,
+    "The FineWeb Datasets", §3.6 — the filters they derived on top of
+    the C4/Gopher base set) → DataFrame[id, n_lines, n_punct_lines,
+    n_short_lines, total_chars, dup_chars, keep].
+
+    Keep is the conjunction of the paper's three REMOVE rules negated,
+    each an exact integer cross-multiplication (module contract):
+
+    - punctuation density: REMOVE when the fraction of lines ending in
+      terminal punctuation (the C4 set ``. ! ? "``) is <= 0.12 —
+      keep iff ``25 * n_punct_lines > 3 * n_lines``.
+    - line-level repetition: REMOVE when the fraction of characters in
+      duplicated lines is >= 0.1 — duplicated characters counted over
+      every occurrence AFTER the first of each distinct line value, so
+      ``dup_chars = Σ len(line) - Σ len(distinct line)`` (two in-row
+      array folds, no per-line relation); keep iff
+      ``10 * dup_chars < total_chars`` (a zero-char doc fails this
+      strict inequality, but it already fails the punctuation clause).
+    - short lines: REMOVE when the fraction of lines shorter than 30
+      characters is >= 0.67 — keep iff
+      ``100 * n_short_lines < 67 * n_lines``.
+
+    NULL text behaves as the empty string (one empty line after the
+    split → fails the punctuation clause → keep = false). Zero-shuffle
+    single projection like the other two bundles (plan-guard test)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    staged = _spread_batch(df).select(
+        F.col(id_col).alias("id"),
+        F.split(t, "\n").alias("__lines"),
+    )
+    lines = F.col("__lines")
+    n_lines = F.size(lines).cast("bigint")
+    n_punct = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike('[.!?"]$'))
+    ).cast("bigint")
+    n_short = F.size(
+        F.filter(lines, lambda l: F.length(l) < 30)
+    ).cast("bigint")
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, l: a + F.length(l)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("bigint"),
+        lambda a, l: a + F.length(l),
+    )
+    out = staged.select(
+        "id",
+        n_lines.alias("n_lines"),
+        n_punct.alias("n_punct_lines"),
+        n_short.alias("n_short_lines"),
+        total_chars.alias("total_chars"),
+        (total_chars - distinct_chars).alias("dup_chars"),
+    )
+    c = F.col
+    keep = (
+        (25 * c("n_punct_lines") > 3 * c("n_lines"))
+        & (10 * c("dup_chars") < c("total_chars"))
+        & (100 * c("n_short_lines") < 67 * c("n_lines"))
+    )
+    return out.withColumn("keep", keep)
+
+
 def c4_rules(
     df: DataFrame,
     text_col: str = "text",

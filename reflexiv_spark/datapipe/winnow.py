@@ -202,6 +202,69 @@ def remove_shared_spans(
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
     )
+    return _excise(df, starts, id_col, text_col, k)
+
+
+def remove_reference_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus span EXCISION — remove from every ``df`` document
+    the k-gram intervals whose winnow fingerprints appear anywhere in
+    the REFERENCE corpus → DataFrame[id, n_spans, chars_removed,
+    clean_text].
+
+    The decontamination counterpart of :func:`remove_shared_spans`:
+    ``bloom_decontam`` / ``decontaminate`` FLAG training documents that
+    overlap an eval benchmark; this SURGICALLY removes the overlapping
+    passages and keeps the document — the remediation production
+    pipelines actually want when a long document contains one quoted
+    benchmark item. Same excision guarantee as remove_shared_spans:
+    any train/eval shared substring of length >= window + k - 1 loses
+    at least one k-gram from every window, so no detectable shared
+    passage survives in the cleaned text.
+
+    Execution shape: the reference fingerprint VALUES are a distinct
+    fp-keyed relation (eval benchmarks are model-sized, so the join is
+    broadcast-able; a big reference degrades to one fp-keyed hash
+    join); the train corpus fingerprints, the matched-position
+    collect, and the two Catalyst `aggregate` folds are identical to
+    remove_shared_spans. No quadratic anywhere — the probe is linear
+    in train fingerprint rows."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_family)
+    ref_fps = (
+        winnow_fingerprints(
+            ref, ref_id_col, ref_text_col, k, window, hash_family
+        )
+        .select("fp")
+        .distinct()
+    )
+    starts = (
+        fps.join(ref_fps, "fp")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("__starts"))
+    )
+    return _excise(df, starts, id_col, text_col, k)
+
+
+def _excise(
+    df: DataFrame,
+    starts: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared surgery tail: merge each doc's sorted matched k-gram
+    start positions into disjoint [s, e] spans and excise them from the
+    normalized text (both as single-pass Catalyst ``aggregate`` folds —
+    no per-char relation, no Python)."""
     base = df.select(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("__t"),
@@ -210,9 +273,6 @@ def remove_shared_spans(
 
     empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
     ps = F.coalesce(F.col("__starts"), F.array().cast("array<bigint>"))
-    # interval merge: starts are sorted and each covers [p, p+k-1]; a
-    # start adjacent-or-overlapping the last span (p <= last.e + 1)
-    # extends it, else opens a new one. element_at(-1) reads the last.
     merged = F.aggregate(
         ps,
         empty_spans,
@@ -242,14 +302,8 @@ def remove_shared_spans(
             )
         ),
     )
-    staged = base.select(
-        "id", "__t", "__isnull", merged.alias("__spans")
-    )
+    staged = base.select("id", "__t", "__isnull", merged.alias("__spans"))
     sp, t = F.col("__spans"), F.col("__t")
-    # substring surgery: fold (last_end, text_so_far) over the merged
-    # spans, appending the gap before each span, then the tail. `t` is
-    # an attribute (already-computed column), so referencing it inside
-    # the lambda is a read, not a re-evaluation (the HOF let-bind rule).
     surgery = F.aggregate(
         sp,
         F.struct(
@@ -260,7 +314,9 @@ def remove_shared_spans(
             F.concat(
                 a["acc"],
                 F.substring(
-                    t, (a["last"] + 1).cast("int"), (s["s"] - a["last"] - 1).cast("int")
+                    t,
+                    (a["last"] + 1).cast("int"),
+                    (s["s"] - a["last"] - 1).cast("int"),
                 ),
             ).alias("acc"),
         ),
@@ -271,7 +327,8 @@ def remove_shared_spans(
     chars_removed = F.aggregate(
         sp,
         F.lit(0).cast("bigint"),
-        lambda a, s: a + (F.least(s["e"], F.length(t).cast("bigint")) - s["s"] + 1),
+        lambda a, s: a
+        + (F.least(s["e"], F.length(t).cast("bigint")) - s["s"] + 1),
     )
     return staged.select(
         "id",

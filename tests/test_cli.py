@@ -554,3 +554,57 @@ def test_cli_semantic_decontam(spark, tmp_path):
                  "-o", str(out), "--threshold", "0.9", "--dim", str(d)]) == 0
     got = [(r.vec_id, r.eval_id) for r in spark.read.parquet(str(out)).collect()]
     assert got == [(1, 100)]
+
+
+def test_cli_divergence_and_fineweb(spark, tmp_path):
+    """divergence subcommand emits the 512-row bucket table (and the
+    1-row --summary); quality-filter --ruleset fineweb keeps the
+    punctuated doc and drops the unpunctuated one; winnow --ref
+    excises reference-matching spans."""
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma delta common words") for i in range(5)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(i, "epsilon zeta eta theta other words") for i in range(5)],
+        "doc_id long, text string")
+    pa, pb = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    a.write.parquet(str(pa)); b.write.parquet(str(pb))
+    out = tmp_path / "div"
+    assert main(["divergence", "-i", str(pa), "--other", str(pb),
+                 "-o", str(out), "--dim", "64"]) == 0
+    t = spark.read.parquet(str(out))
+    assert t.count() == 64
+    sout = tmp_path / "divs"
+    assert main(["divergence", "-i", str(pa), "--other", str(pb),
+                 "-o", str(sout), "--dim", "64", "--summary"]) == 0
+    s = spark.read.parquet(str(sout)).head()
+    assert s.kl_ab_micro > 0 and s.kl_ba_micro > 0
+
+    docs = spark.createDataFrame(
+        [(1, "A good long sentence ends here properly today.\n"
+             "Another fine long sentence also ends with a period.\n"
+             "And one more decent sentence closes out the page."),
+         (2, "no punctuation anywhere on this line\n"
+             "and none on this other line either\n"
+             "nor here at the very end")],
+        "doc_id long, text string")
+    pd_ = tmp_path / "docs.parquet"
+    docs.write.parquet(str(pd_))
+    fout = tmp_path / "fw"
+    assert main(["quality-filter", "-i", str(pd_), "-o", str(fout),
+                 "--ruleset", "fineweb"]) == 0
+    got = {r.id: r.keep for r in spark.read.parquet(str(fout)).collect()}
+    assert got == {1: True, 2: False}
+
+    leaked = "a benchmark passage repeated verbatim in training"
+    tr = spark.createDataFrame(
+        [(1, f"head {leaked} tail")], "doc_id long, text string")
+    rf = spark.createDataFrame(
+        [(9, leaked)], "doc_id long, text string")
+    pt, pr = tmp_path / "tr.parquet", tmp_path / "rf.parquet"
+    tr.write.parquet(str(pt)); rf.write.parquet(str(pr))
+    rout = tmp_path / "ref_clean"
+    assert main(["winnow", "-i", str(pt), "-o", str(rout),
+                 "--remove-spans", "--ref", str(pr)]) == 0
+    r = spark.read.parquet(str(rout)).head()
+    assert leaked not in r.clean_text and r.n_spans > 0

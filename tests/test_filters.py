@@ -124,3 +124,59 @@ def test_staged_c4_parity(spark):
     assert len(got) == 500
     assert any(r[3] > 0 for r in got)    # sentences exist post-rewrite
     assert got == want
+
+
+def test_fineweb_rules_planted(spark):
+    """Each FineWeb clause rejects its planted violator: low terminal-
+    punctuation line density, duplicated-line characters >= 10%, short
+    lines >= 67%; the well-formed doc keeps; NULL is keep=false."""
+    from reflexiv_spark.datapipe.filters import fineweb_rules
+
+    good = (
+        "A first proper sentence that is long enough to pass checks.\n"
+        "A second proper sentence that is also long enough to pass.\n"
+        "A third distinct sentence that rounds out the document body."
+    )
+    rows = [
+        (1, good),
+        (2, "line without punctuation here\nanother unpunctuated line\n"
+            "and one more plain line"),                     # punct density 0
+        (3, good + "\n" + good.splitlines()[0] + "\n"
+            + good.splitlines()[0]),                        # dup-line chars
+        (4, "Tiny line one.\nTiny line two.\nTiny line 3.\n"
+            "A single long line to avoid the punctuation trap here."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in fineweb_rules(df).collect()}
+    assert got[1].keep is True and got[1].dup_chars == 0
+    assert got[2].keep is False and got[2].n_punct_lines == 0
+    assert got[3].keep is False and got[3].dup_chars > 0
+    assert 10 * got[3].dup_chars >= got[3].total_chars
+    assert got[4].keep is False            # 3 of 4 lines < 30 chars
+    assert 100 * got[4].n_short_lines >= 67 * got[4].n_lines
+    assert got[5].keep is False and got[5].total_chars == 0
+
+
+def test_fineweb_zero_shuffle_plan(spark):
+    from reflexiv_spark.datapipe.filters import fineweb_rules
+
+    df = spark.createDataFrame(
+        [(1, "x. y.")], "doc_id long, text string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    plan = fineweb_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_staged_fineweb_parity(spark):
+    """The round-12 STAGED driver pair gated locally this round:
+    q_fineweb_rules vs _SQL_FINEWEB_RULES at sf0.01."""
+    import __spark_entry__ as ent
+
+    sdf = ent.q_fineweb_rules(spark, "/root/testdata/sf0.01")
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in _duck(ent._SQL_FINEWEB_RULES))
+    assert len(got) == 500
+    assert any(r[-1] for r in got)
+    assert not all(r[-1] for r in got)
+    assert got == want

@@ -326,3 +326,68 @@ def test_staged_span_removal_parity(spark):
     assert any(r[1] > 0 for r in got)      # the clone families excise
     assert any(r[1] == 0 for r in got)     # unique docs pass through
     assert got == want
+
+
+def test_remove_reference_spans_planted(spark):
+    """Cross-corpus excision: train docs lose exactly the passages that
+    appear in the reference corpus; reference-only and train-only
+    content is untouched; NULL passes through."""
+    from reflexiv_spark.datapipe.winnow import remove_reference_spans
+
+    leaked = "the exact benchmark question text appears here verbatim"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro {leaked} outro words"),
+            (2, "zebra quokka wombat axolotl gecko iguana newt frog"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, f"benchmark item: {leaked}")], "doc_id long, text string"
+    )
+    got = {
+        r.id: r
+        for r in remove_reference_spans(
+            train, ref, k=K, window=W, hash_family="md5"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}          # reference docs never output
+    assert leaked not in got[1].clean_text
+    assert got[1].n_spans > 0
+    assert got[2].n_spans == 0
+    assert got[2].clean_text == "zebra quokka wombat axolotl gecko iguana newt frog"
+    assert got[3].clean_text is None
+    # excision guarantee vs the reference text
+    t1, tr = got[1].clean_text, " ".join(f"benchmark item: {leaked}".split())
+    lim = W + K - 1
+    for s in range(len(t1) - lim + 1):
+        assert t1[s : s + lim] not in tr
+
+
+def test_staged_ref_removal_parity(spark):
+    """The round-12 STAGED driver pair gated locally this round:
+    q_winnow_ref_removal vs _SQL_WINNOW_REF_REMOVAL at sf0.01."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_winnow_ref_removal(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["id", "n_spans", "chars_removed", "clean_text"]
+    got = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(ent._SQL_WINNOW_REF_REMOVAL).fetchall()
+    )
+    assert len(got) == 450                 # raw shard only
+    assert any(r[1] > 0 for r in got)
+    # the ~20-word synthetic vocabulary makes every raw doc share SOME
+    # 8-gram with the target shard, so n_spans is never 0 here; the
+    # per-doc excision still varies and the planted test covers the
+    # no-overlap case
+    assert len({r[2] for r in got}) > 10   # chars_removed varies
+    assert got == want
