@@ -364,7 +364,11 @@ def main() -> None:
     # ann_ivf/pq_topk, ngram_jaccard for minhash): kept runnable, but
     # split out of the engine total so a full-registry capture measures
     # the engine, not the oracles it is beating (VERDICT r8 #6)
-    BASELINES = {"embedding_topk", "ngram_jaccard"}
+    # winnow_overlap joined the class in round 11 when it registered:
+    # the UNCAPPED md5 driver semantics exist for oracle replay (they
+    # OOM at sf1.0 by design — the hot-fp quadratic max_df guards);
+    # the capped winnow_overlap_xxh64 row above is the production path
+    BASELINES = {"embedding_topk", "ngram_jaccard", "winnow_overlap"}
     engine = {k: v for k, v in timings.items() if k not in BASELINES}
     base = {k: v for k, v in timings.items() if k in BASELINES}
     total = round(sum(v for v in engine.values() if v >= 0), 3)

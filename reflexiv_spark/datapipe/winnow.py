@@ -190,6 +190,10 @@ def remove_shared_spans(
     fingerprints before ownership (same knob and rationale as
     :func:`winnow_overlap` — at 100 TB, set it)."""
     fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_family)
+    # lazy barrier: the ownership agg and the matched-position join both
+    # consume fps — one digest-kernel execution, not two (the
+    # winnow_overlap lesson, same round)
+    fps = fps.localCheckpoint(eager=False)
     own = fps.groupBy("fp").agg(
         F.min("id").alias("__owner"),
         F.count_distinct("id").alias("__df"),
@@ -372,12 +376,15 @@ def winnow_overlap(
     fps = winnow_fingerprints(
         df, id_col, text_col, k, window, hash_family
     ).select("id", "fp").distinct()
+    # lazy barrier (the quantile.py pattern) UNCONDITIONALLY: the two
+    # self-join sides — and, under max_df, the document-frequency agg —
+    # all consume fps, and without the barrier the whole digest kernel
+    # + distinct re-executes once per consumer. Round 10 measured the
+    # capped case (10 exchanges vs 5); round 11 caught the uncapped
+    # driver query paying the same double-execution (22.7 s vs 8.1 s
+    # at sf0.1 — the barrier was previously applied only under max_df).
+    fps = fps.localCheckpoint(eager=False)
     if max_df is not None:
-        # lazy barrier (the quantile.py pattern): the document-frequency
-        # agg AND the join probe both consume fps — without it the whole
-        # fingerprint kernel + distinct re-executes for each consumer
-        # (measured 10 exchanges vs 5)
-        fps = fps.localCheckpoint(eager=False)
         keep = (
             fps.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("__df"))
