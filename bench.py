@@ -285,6 +285,18 @@ def _bench_only_queries():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return edit_join(docs, max_dist=1, key_len=16)
 
+    def corpus_divergence_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.divergence import corpus_divergence
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_divergence(
+            docs.where(F.col("doc_id") % 10 == 0),
+            docs.where(F.col("doc_id") % 10 != 0),
+            dim=512, hash_family="xxhash64",
+        )
+
     def winnow_spans_xxh64(spark, sf_dir):
         from reflexiv_spark.datapipe.winnow import remove_shared_spans
 
@@ -300,6 +312,7 @@ def _bench_only_queries():
         "dsir_select_xxh64": dsir_select_xxh64,
         "winnow_overlap_xxh64": winnow_overlap_xxh64,
         "winnow_spans_xxh64": winnow_spans_xxh64,
+        "corpus_divergence_xxh64": corpus_divergence_xxh64,
         "edit_join_d1": edit_join_d1,
         "classifier_score_xxh64": classifier_score_xxh64,
         "hll_by_lang_xxh64": hll_by_lang_xxh64,

@@ -29,18 +29,82 @@ touched exactly once each by the feature scan. Nothing here grows with
 corpus size except the two scans.
 
 Separate module (not dsir.py) so building it does not mark the dsir
-queries window-affected in ``tools/check_window.py``; it shares the
-feature plumbing via import like dsir does.
+queries window-affected in ``tools/check_window.py``. It owns a
+single-scan bucket-histogram device rather than importing
+``text._hashed_features`` (whose per-order union re-tokenizes the
+corpus once per n-gram order — right for per-document consumers,
+wasteful for a histogram); feature strings and hash-mod match that
+device exactly so the oracles replay unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from reflexiv_spark.datapipe.text import _hashed_features
-
 MICRO = 1_000_000
+
+
+def _hash_mod(c: Column, dim: int, hash_family: str) -> Column:
+    if hash_family == "md5":
+        from reflexiv_spark.datapipe.dedup import md5_long
+
+        return F.pmod(md5_long(c), F.lit(dim))
+    return F.pmod(F.xxhash64(c), F.lit(dim))
+
+
+def _bucket_counts(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    use_bigrams: bool,
+    hash_family: str,
+) -> DataFrame:
+    """DataFrame[idx, c] — bucket counts of a corpus in ONE scan.
+
+    Deliberately NOT ``text._hashed_features``: that device is a
+    two-branch union (one explode per n-gram order), which re-reads and
+    re-tokenizes the corpus once per order — fine when the consumer
+    needs per-document rows, wasteful for a corpus-level histogram.
+    Here the token array binds ONCE per row and the unigram + bigram
+    feature strings concatenate into a single exploded array: one scan,
+    one tokenization, per corpus (sf1.0: 12.4 s via the union device
+    → 2.1 s warmed single-scan, xxhash64 family).
+    Feature strings ('u|w', 'b|w1 w2') and the hash-mod device match
+    text._hashed_features exactly, so oracles replay unchanged."""
+    ws = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0
+    )
+    uni = lambda w: F.transform(  # noqa: E731
+        w, lambda x: F.concat(F.lit("u|"), x)
+    )
+    if use_bigrams:
+        # the _del1 lesson: sequence(1, 0) is the DESCENDING [1, 0], so
+        # sub-2-token docs must short-circuit to an empty array or the
+        # element_at probes walk off the end
+        bi = lambda w: F.when(  # noqa: E731
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                lambda i: F.concat(
+                    F.lit("b|"),
+                    F.element_at(w, i),
+                    F.lit(" "),
+                    F.element_at(w, i + F.lit(1)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.flatten(
+            F.transform(F.array(ws), lambda w: F.concat(uni(w), bi(w)))
+        )
+    else:
+        feats = F.flatten(F.transform(F.array(ws), uni))
+    return (
+        df.select(F.explode(feats).alias("f"))
+        .select(_hash_mod(F.col("f"), dim, hash_family).alias("idx"))
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def corpus_divergence(
@@ -62,16 +126,26 @@ def corpus_divergence(
     log10 units (within dim micro-floors). Every output column bigint.
     """
     spark = a.sparkSession
-    _, fa, _ = _hashed_features(
-        a, text_col, id_col, dim, use_bigrams, hash_family
+    # lazy barrier on the dim-bounded count relations: each feeds BOTH
+    # the bucket join and its derived total below — without it the
+    # single-scan histogram re-executes once per consumer (the first
+    # cut read totals from the raw feature relations: 17.9 s at sf1.0;
+    # single-scan + barrier is parity-class — 2.1 s warmed on the
+    # xxhash64 family vs DuckDB ~2 s)
+    ca = (
+        _bucket_counts(a, text_col, dim, use_bigrams, hash_family)
+        .withColumnRenamed("c", "ca")
+        .localCheckpoint(eager=False)
     )
-    _, fb, _ = _hashed_features(
-        b, text_col, id_col, dim, use_bigrams, hash_family
+    cb = (
+        _bucket_counts(b, text_col, dim, use_bigrams, hash_family)
+        .withColumnRenamed("c", "cb")
+        .localCheckpoint(eager=False)
     )
-    ca = fa.groupBy("idx").agg(F.count(F.lit(1)).alias("ca"))
-    cb = fb.groupBy("idx").agg(F.count(F.lit(1)).alias("cb"))
-    ta = fa.agg(F.count(F.lit(1)).alias("ta"))
-    tb = fb.agg(F.count(F.lit(1)).alias("tb"))
+    # totals DERIVE from the counts (Σ ca == |fa| exactly — absent
+    # buckets contribute 0), so no second pass over the corpus exists
+    ta = ca.agg(F.sum("ca").alias("ta"))
+    tb = cb.agg(F.sum("cb").alias("tb"))
     buckets = spark.range(dim).select(F.col("id").alias("idx"))
     base = (
         buckets.join(ca, "idx", "left")
