@@ -172,6 +172,136 @@ def corpus_divergence(
     )
 
 
+def reference_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+) -> list[int]:
+    """Collect a corpus's bucket histogram as a dense Python list of
+    length ``dim`` (the broadcast-reference input of
+    :func:`windowed_divergence`). Model-sized by construction — the
+    only driver materialization in the family."""
+    rows = _bucket_counts(df, text_col, dim, use_bigrams, hash_family).collect()
+    out = [0] * dim
+    for r in rows:
+        out[int(r["idx"])] = int(r["c"])
+    return out
+
+
+def windowed_divergence(
+    df: DataFrame,
+    ref_counts: list[int],
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    dim: int = 512,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-event-time-window KL drift vs a static reference →
+    DataFrame[win_start, win_end, n_features, kl_wr_micro,
+    kl_rw_micro] — the STREAMING member of the divergence family: a
+    drift monitor that alerts when an hour/day of incoming documents
+    stops looking like the reference corpus (crawl rot, source mix
+    shifts, upstream pipeline bugs).
+
+    Works identically on batch and streaming inputs (the
+    streaming/windows.py contract; the suite pins batch == stream).
+    Streaming plan: ONE chained stateful pair — groupBy(window, idx)
+    count, then groupBy(window) collect of the dim-bounded histogram —
+    with the KL computed IN-ROW against the broadcast reference
+    literal (map lookup + one fold over dim entries; no second pass,
+    no stream-stream join). Append-mode emission on watermark close.
+    ``ref_counts`` is the dense dim-length histogram from
+    :func:`reference_histogram` — model-sized driver state, the
+    eval-pack rule."""
+    if len(ref_counts) != dim:
+        raise ValueError(f"ref_counts must have length dim={dim}")
+    rt = sum(ref_counts)
+    ws = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(r"\w+"), 0
+    )
+    uni = lambda w: F.transform(  # noqa: E731
+        w, lambda x: F.concat(F.lit("u|"), x)
+    )
+    if use_bigrams:
+        bi = lambda w: F.when(  # noqa: E731
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+                lambda i: F.concat(
+                    F.lit("b|"),
+                    F.element_at(w, i),
+                    F.lit(" "),
+                    F.element_at(w, i + F.lit(1)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.flatten(
+            F.transform(F.array(ws), lambda w: F.concat(uni(w), bi(w)))
+        )
+    else:
+        feats = F.flatten(F.transform(F.array(ws), uni))
+    src = df
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    binned = (
+        src.select(F.col(ts_col), F.explode(feats).alias("f"))
+        .select(
+            F.window(ts_col, window).alias("win"),
+            _hash_mod(F.col("f"), dim, hash_family).alias("idx"),
+        )
+        .groupBy("win", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hist = binned.groupBy("win").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("idx", "c"))
+        ).alias("__h"),
+        F.sum("c").alias("__tw"),
+    )
+    ref = F.array(*[F.lit(int(c)).cast("bigint") for c in ref_counts])
+    h, tw = F.col("__h"), F.col("__tw")
+    # in-row KL: one fold over the dim bucket indices; every term uses
+    # the same floor-micro device as corpus_divergence, so the batch
+    # twin (and any oracle replay) agrees bit-for-bit
+    def _contrib(i: Column) -> Column:
+        # element_at on a MAP keys by value (i IS the bucket key); on
+        # the ARRAY it is 1-based positional
+        cw = F.coalesce(F.element_at(h, i.cast("bigint")), F.lit(0))
+        cr = F.element_at(ref, i.cast("int") + F.lit(1))
+        pw = (cw + 1).cast("double") / (tw + dim).cast("double")
+        pr = (cr + 1).cast("double") / (F.lit(rt) + dim).cast("double")
+        return F.struct(
+            F.floor(pw * (F.log10(pw) - F.log10(pr)) * MICRO)
+            .cast("bigint")
+            .alias("wr"),
+            F.floor(pr * (F.log10(pr) - F.log10(pw)) * MICRO)
+            .cast("bigint")
+            .alias("rw"),
+        )
+
+    terms = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _contrib)
+    return hist.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        tw.cast("bigint").alias("n_features"),
+        F.aggregate(
+            terms,
+            F.lit(0).cast("bigint"),
+            lambda a, t: a + t["wr"],
+        ).alias("kl_wr_micro"),
+        F.aggregate(
+            terms,
+            F.lit(0).cast("bigint"),
+            lambda a, t: a + t["rw"],
+        ).alias("kl_rw_micro"),
+    )
+
+
 def divergence_summary(
     a: DataFrame,
     b: DataFrame,

@@ -133,3 +133,112 @@ def test_staged_driver_pair_parity(spark):
     assert len(got) == 512
     assert any(r[3] != 0 for r in got)
     assert got == want
+
+
+def test_windowed_divergence_matches_corpus_divergence(spark):
+    """Batch windowed_divergence over one window == corpus_divergence
+    of (window docs, reference) summed — same floor-micro device."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.divergence import (
+        corpus_divergence,
+        reference_histogram,
+        windowed_divergence,
+    )
+
+    ref_docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    win_docs = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 10, 5), "alpha beta zeta eta"),
+            (2, datetime(2026, 1, 1, 10, 40), "theta iota kappa"),
+            (3, datetime(2026, 1, 1, 11, 10), "alpha alpha alpha beta"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    )
+    dim = 64
+    ref = reference_histogram(ref_docs, dim=dim, hash_family="md5")
+    got = {
+        r.win_start.hour: (r.n_features, r.kl_wr_micro, r.kl_rw_micro)
+        for r in windowed_divergence(
+            win_docs, ref, window="1 hour", dim=dim, hash_family="md5"
+        ).collect()
+    }
+    assert set(got) == {10, 11}
+    # cross-check each window against the batch operator
+    for hour, ids in ((10, (1, 2)), (11, (3,))):
+        wdocs = win_docs.where(F.col("doc_id").isin(*ids)).select(
+            "doc_id", "text"
+        )
+        t = corpus_divergence(
+            wdocs, ref_docs, dim=dim, hash_family="md5"
+        )
+        s = t.agg(
+            F.sum("kl_ab_micro"), F.sum("kl_ba_micro"), F.sum("ca")
+        ).first()
+        assert got[hour] == (s[2], s[0], s[1])
+
+
+def test_windowed_divergence_stream_equals_batch(spark, tmp_path):
+    """The streaming plan (chained stateful aggs + in-row KL fold)
+    emits exactly the batch rows for closed windows."""
+    import shutil
+    from datetime import datetime
+
+    from reflexiv_spark.datapipe.divergence import (
+        reference_histogram,
+        windowed_divergence,
+    )
+
+    ref_docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta common") for i in range(5)],
+        "doc_id long, text string",
+    )
+    dim = 32
+    ref = reference_histogram(ref_docs, dim=dim, hash_family="md5")
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 5), "alpha beta drift words"),
+        (2, datetime(2026, 1, 1, 10, 50), "more drift vocabulary here"),
+        (3, datetime(2026, 1, 1, 12, 10), "late closes the first window"),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).write.parquet(str(src))
+
+    batch = windowed_divergence(
+        spark.read.parquet(str(src)), ref, window="1 hour", dim=dim,
+        hash_family="md5",
+    )
+    want = {tuple(r) for r in batch.collect()}
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    out = windowed_divergence(
+        stream, ref, window="1 hour", watermark="30 minutes", dim=dim,
+        hash_family="md5",
+    )
+    sink = tmp_path / "sink"
+    chk = tmp_path / "chk"
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(sink))
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.read.parquet(str(sink)).collect()}
+    # append mode emits only watermark-CLOSED windows: the hour-12 row
+    # is still open when the source drains, so the emitted set is the
+    # closed subset of the batch result
+    assert got
+    assert got <= want
+    assert {r[0].hour for r in got} == {10}
+    shutil.rmtree(chk, ignore_errors=True)
