@@ -1495,9 +1495,8 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed stage — containment adoption + both-end best-overlap
     extension — is replayed exactly by the SQL oracle."""
     from reflexiv_spark.functions.kmer import canonical_kmer
-    from reflexiv_spark.operators.counter import count_kmers
-    from reflexiv_spark.operators.extension import rank_paths
-    from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
+    from reflexiv_spark.operators.counter_packed import count_kmers_packed
+    from reflexiv_spark.pipelines.assemble import assemble_from_packed_counts
     from reflexiv_spark.pipelines.reassemble import reassemble
 
     k = 15
@@ -1517,12 +1516,19 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seq")
     ).localCheckpoint(eager=False)
-    counts = count_kmers(reads, k, min_coverage=2)
-    pruned = prune_forks(expand_orientations(counts), k)
-    anchored = rank_paths(pruned.select("kmer", "count"), k)
+    # the contig stage rides the fully-packed rank pipeline (round 11;
+    # was string-space count→prune→rank_paths — output-identical,
+    # tests/test_extension.py proves string/packed equality, and the
+    # string kernel's 8 s at sf0.1 was the query's top cost): 2-bit
+    # bigint ids through counting and contraction, one decode at path
+    # assembly. min_error_coverage=None matches the old prune_forks
+    # default; min_contig=k+1 matches the old length filter.
+    pcounts = count_kmers_packed(reads, k, min_coverage=2, decode=False)
+    anchored = assemble_from_packed_counts(
+        pcounts, k, min_contig=k + 1, min_error_coverage=None
+    )
     contigs = (
-        anchored.where(F.length("seq") >= k + 1)
-        .select(canonical_kmer("seq").alias("seq"))
+        anchored.select(canonical_kmer("seq").alias("seq"))
         .distinct()
         .select(F.col("seq").alias("contig_id"), "seq")
     )

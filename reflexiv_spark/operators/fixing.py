@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reflexiv_spark.operators.extension import extend_to_convergence
+from reflexiv_spark.operators.extension import (
+    _double_pointers,
+    _init_pointers,
+)
 
 # Reference fixes junctions with 31-mers regardless of the assembly k.
 DEFAULT_FIX_K = 31
@@ -64,39 +67,77 @@ def fix_junctions(
     """Merge contigs across unique junction fix_k-mers.
 
     Contig A (ending with kmer j) fuses with contig B (starting with j)
-    when j is a unique junction (one such A, one such B) — the fork-free
-    precondition of the contraction kernel, established here by filtering
-    both ends to support == 1 (the reference's fork filters with error
-    correction play the same role). The merge rounds are the shared
-    randomized-contraction loop with overlap = fix_k; the reference runs
-    18 sort+merge rounds (``ReflexivDSDynamicKmerFixing.java:234-245``).
+    when j is a unique junction (one such A, one such B) — established
+    by filtering both ends to support == 1 (the reference's fork
+    filters with error correction play the same role). Under that
+    filter every contig has at most ONE junction-successor and ONE
+    junction-predecessor, so the fusion graph is a disjoint union of
+    simple paths and simple cycles — exactly the fork-free
+    precondition of the DETERMINISTIC pointer-doubling kernel. The
+    merge therefore reuses ``extension._init_pointers`` /
+    ``_double_pointers`` at contig granularity (round 11; previously
+    the shared randomized-contraction loop, whose probabilistic
+    convergence test forces >= 15 rounds of eager barriers even on a
+    two-link chain — 8.8 s of the sf0.1 meta ladder against ~1 s for
+    the rank form; the reference's fixed 18 sort+merge rounds,
+    ``ReflexivDSDynamicKmerFixing.java:234-245``, are the same
+    safety margin paid unconditionally). Chains converge in
+    log2(longest chain) rounds with the mover-probe early exit;
+    junction CYCLES (every member in/out-degree 1) pass through
+    UNFUSED — the anchored-path semantics the meta-ladder oracle's
+    unique-junction walk defines (a walk from in-degree-0 anchors
+    never enters a cycle).
 
     Returns DataFrame[seq] of fixed (possibly fused) contigs.
     """
     support = junction_support(contigs, fix_k, seq_col)
-    # A key may contract only when exactly one contig ends with it and
-    # exactly one starts with it — every group under such a key holds at
-    # most one A-side and one B-side row, so the contraction is safe and
-    # deterministic; all other keys pass through (ambiguous junctions are
-    # left unfused, matching the reference's fork-filtered behavior).
     unique_j = support.where(
         (F.col("n_starts") == 1) & (F.col("n_ends") == 1)
-    ).select(F.col("kmer").alias("key"))
+    ).select(F.col("kmer").alias("__pk"))
 
-    paths = contigs.where(F.length(seq_col) >= fix_k).select(
-        F.col(seq_col).alias("seq"),
-        F.lit(1).alias("left_cover"),
-        F.lit(1).alias("right_cover"),
+    cs = (
+        contigs.where(F.length(seq_col) >= fix_k)
+        .select(F.col(seq_col).alias("kid"))
+        .dropDuplicates(["kid"])
+        .localCheckpoint(eager=False)  # pre, suc, and the pass-through
     )
-    fused = extend_to_convergence(
-        paths,
-        k=fix_k + 1,
-        max_iterations=max_rounds,
-        min_iterations=min(15, max_rounds),
-        overlap=fix_k,
-        allowed_keys=unique_j,
+    # pre: EVERY contig, keyed by its head fix_k-mer (so every contig
+    # appears in the pointer state exactly once); suc: only tails that
+    # are unique junctions — a unique key is the tail of exactly one
+    # contig, so the left join below matches at most one predecessor.
+    pre = cs.select("kid", F.substring("kid", 1, fix_k).alias("__pk"))
+    suc = (
+        cs.select(
+            F.col("kid").alias("__pred"),
+            F.substring("kid", -fix_k, fix_k).alias("__pk"),
+        )
+        .join(F.broadcast(unique_j), "__pk")
+    )
+    state, heads = _init_pointers(pre, suc)
+    state = _double_pointers(state, max_rounds, checkpoint_every=3)
+    done = state.join(heads, "anc", "left_semi")
+    parts = done.groupBy("anc").agg(
+        F.array_sort(F.collect_list(F.struct("off", "kid"))).alias("xs")
+    )
+    rest = F.array_join(
+        F.transform(
+            F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            lambda x: F.substring(x["kid"], fix_k + 1, F.length(x["kid"])),
+        ),
+        "",
+    )
+    fused = parts.select(
+        F.concat(F.col("xs").getItem(0)["kid"], rest).alias("seq")
+    )
+    # cycle members never reach a head — they pass through unfused
+    # (with the head-anchored walk they are exactly the state rows the
+    # semi-join dropped)
+    cycles = state.join(heads, "anc", "left_anti").select(
+        F.col("kid").alias("seq")
     )
     short = contigs.where(F.length(seq_col) < fix_k).select(
         F.col(seq_col).alias("seq")
     )
-    return fused.select("seq").unionByName(short).dropDuplicates()
+    return (
+        fused.unionByName(cycles).unionByName(short).dropDuplicates()
+    )
