@@ -391,3 +391,41 @@ def test_staged_ref_removal_parity(spark):
     # no-overlap case
     assert len({r[2] for r in got}) > 10   # chars_removed varies
     assert got == want
+
+
+def test_remove_shared_spans_random_property(spark):
+    """Randomized property vs the literal per-char reference: plant
+    shared passages at random offsets inside random-word documents and
+    require exact (n_spans, chars_removed, clean_text) agreement. One
+    batched DataFrame (the repo's hypothesis-with-Spark pattern keeps
+    per-example Spark jobs out of the loop)."""
+    import random
+
+    from reflexiv_spark.datapipe.winnow import remove_shared_spans
+
+    rng = random.Random(1107)
+    vocab = [
+        "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+        "theta", "iota", "kappa", "lam", "mu",
+    ]
+
+    def words(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    shared = [words(8), words(12)]
+    rows = []
+    for i in range(40):
+        body = words(rng.randint(0, 25))
+        if rng.random() < 0.5:
+            s = rng.choice(shared)
+            cut = rng.randint(0, max(len(body) - 1, 0))
+            body = body[:cut] + " " + s + " " + body[cut:]
+        rows.append((i, body if rng.random() < 0.95 else None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_spans, r.chars_removed, r.clean_text)
+        for r in remove_shared_spans(
+            df, k=K, window=W, hash_family="md5"
+        ).collect()
+    }
+    assert got == _ref_remove(rows)
