@@ -242,3 +242,33 @@ def test_windowed_divergence_stream_equals_batch(spark, tmp_path):
     assert got <= want
     assert {r[0].hour for r in got} == {10}
     shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_divergence_plan_guard(spark):
+    """100 TB plan shape: downstream of the two dim-bounded histogram
+    checkpoints NOTHING shuffles — the bucket join and both scalar
+    totals attach as broadcasts; no sort-merge join, no Python
+    crossing. (The per-corpus histogram aggregation shuffles inside
+    the checkpoint materialization; this pins that the divergence
+    table itself is exchange-free.)"""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.divergence import corpus_divergence
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = corpus_divergence(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        dim=512,
+        hash_family="md5",
+    )
+    final = (
+        df._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange hashpartitioning" not in final, final
+    assert final.count("BroadcastHashJoin") + final.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 3
+    assert "SortMergeJoin" not in final
+    assert "InPandas" not in final and "EvalPython" not in final
