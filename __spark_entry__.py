@@ -2731,6 +2731,60 @@ _SQL_CORPUS_DIVERGENCE = (
 )
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: CCNet-style reference-model quality split (Wenzek et
+    al. 2020) — score every raw doc's tokens under the hashed-unigram
+    model of the clean TARGET shard (doc_id%10 == 0, the dsir split),
+    then cut each language into exact integer head/middle/tail
+    tertiles by per-token negative log-likelihood. dim=512, md5 (the
+    oracle family). STAGED round 11; registers ROUND 12. Oracle twin
+    _SQL_CCNET_BUCKETS; pair gated locally by
+    tests/test_ccnet.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.ccnet import ccnet_buckets
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return ccnet_buckets(
+        raw, target, dim=512, hash_family="md5"
+    )
+
+
+# Oracle twin for q_ccnet_buckets (round-12 registration): the same
+# md5-bucket unigram model of the target shard (add-1 smoothing,
+# floor-micro NLL per bucket), per-raw-doc integral-division per-token
+# score, and the per-language integer-tertile window.
+_SQL_CCNET_BUCKETS = (
+    r"WITH w AS (SELECT doc_id, lang,"
+    r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
+    " FROM documents), "
+    "tok AS (SELECT doc_id, (CAST(('0x' || substr(md5('u|' ||"
+    " ws[CAST(i AS INT)]), 1, 15)) AS BIGINT) % 512) AS idx"
+    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)), "
+    "rc AS (SELECT idx, count(*) AS c FROM tok"
+    " WHERE doc_id % 10 = 0 GROUP BY idx), "
+    "tt AS (SELECT count(*) AS t FROM tok WHERE doc_id % 10 = 0), "
+    "b AS (SELECT CAST(i AS BIGINT) AS idx FROM"
+    " unnest(generate_series(0, 511)) AS u(i)), "
+    "m AS (SELECT b.idx, CAST(floor(-log10("
+    "CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)"
+    " / CAST(tt.t + 512 AS DOUBLE)) * 1000000) AS BIGINT) AS nll"
+    " FROM b LEFT JOIN rc ON b.idx = rc.idx, tt), "
+    "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    " CAST(sum(m.nll) // count(*) AS BIGINT) AS pt FROM tok"
+    " JOIN m USING (idx) WHERE doc_id % 10 != 0 GROUP BY doc_id), "
+    "base AS (SELECT w.doc_id, w.lang,"
+    " CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens, pd.pt"
+    " FROM w LEFT JOIN pd USING (doc_id) WHERE w.doc_id % 10 != 0), "
+    "rk AS (SELECT *, row_number() OVER (PARTITION BY lang"
+    " ORDER BY pt ASC NULLS LAST, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY lang) AS n FROM base) "
+    "SELECT doc_id, lang, n_tokens, pt AS nll_micro_per_token,"
+    " CASE WHEN pt IS NULL THEN 'tail'"
+    " WHEN 3 * rn <= n THEN 'head'"
+    " WHEN 3 * rn <= 2 * n THEN 'middle'"
+    " ELSE 'tail' END AS bucket FROM rk"
+)
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: SEMANTIC decontamination — flag every train vector
     whose nearest eval vector (vec_id%20==0, the benchmark split) has

@@ -412,6 +412,19 @@ def main(argv: list[str] | None = None) -> int:
     qf_.add_argument("--keep-only", action="store_true",
                      help="emit only rows with keep = true")
 
+    cn_ = add("ccnet-buckets", help="datapipe: CCNet-style quality "
+              "split — score docs under a REFERENCE corpus's "
+              "hashed-unigram model, cut each language into exact "
+              "head/middle/tail tertiles by per-token NLL")
+    cn_.add_argument("--ref", dest="ref_path", required=True,
+                     help="parquet of the clean reference corpus")
+    cn_.add_argument("--text-col", default="text")
+    cn_.add_argument("--id-col", default="doc_id")
+    cn_.add_argument("--lang-col", default="lang")
+    cn_.add_argument("--dim", type=int, default=4096)
+    cn_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+
     dv_ = add("divergence", help="datapipe: hashed-bucket KL "
               "divergence between two corpora (per-bucket micro-unit "
               "table; --summary for the scalar sums) — the mixture-"
@@ -975,6 +988,17 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             out = out.where(F.col("keep"))
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "ccnet-buckets":
+        from reflexiv_spark.datapipe.ccnet import ccnet_buckets
+
+        out = ccnet_buckets(
+            spark.read.parquet(args.input),
+            spark.read.parquet(args.ref_path),
+            text_col=args.text_col, id_col=args.id_col,
+            lang_col=args.lang_col, dim=args.dim,
+            hash_family=args.hash_family,
+        )
         _write(out, args.output, args.outformat)
     elif args.cmd == "divergence":
         from reflexiv_spark.datapipe.divergence import (

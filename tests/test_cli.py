@@ -608,3 +608,22 @@ def test_cli_divergence_and_fineweb(spark, tmp_path):
                  "--remove-spans", "--ref", str(pr)]) == 0
     r = spark.read.parquet(str(rout)).head()
     assert leaked not in r.clean_text and r.n_spans > 0
+
+
+def test_cli_ccnet_buckets(spark, tmp_path):
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the dog sat too " * 2)],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat"),
+         (2, "en", "zzz qqq xxx vvv www uuu"),
+         (3, "en", "the dog sat too on the mat")],
+        "doc_id long, lang string, text string")
+    pr, pd_ = tmp_path / "ref.parquet", tmp_path / "docs.parquet"
+    ref.write.parquet(str(pr)); docs.write.parquet(str(pd_))
+    out = tmp_path / "buckets"
+    assert main(["ccnet-buckets", "-i", str(pd_), "--ref", str(pr),
+                 "-o", str(out)]) == 0
+    got = {r.doc_id: r.bucket for r in spark.read.parquet(str(out)).collect()}
+    assert got[2] == "tail"              # gibberish lands in the tail
+    assert "head" in got.values()
