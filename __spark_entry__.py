@@ -2837,27 +2837,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-11 window
-    # (pre-committed in SURVEY §8; mechanically checkable via
-    # tools/check_window.py): the 42 r9-green queries that sat out the
-    # round-10 window rotate back in MINUS lang_pivot (slots 1-41 —
-    # lang_pivot is the one row the VERDICT r10 #2 protocol displaces;
-    # text.py is untouched, its r9 row stands under the 3-round
-    # rotation policy), then the EIGHT round-10-staged registrations
-    # (slots 42-49: bloom_decontam, incremental_dedup,
-    # token_quantiles_merge, edit_join, winnow_fingerprint,
-    # winnow_overlap, gopher_rules, c4_rules — each already carries a
-    # full local Spark-vs-DuckDB parity gate from round 10), and the
-    # terminal dsir_select diagnostic dsir_keys_full in slot 50.
-    # Round-11 module edits (the _spread_batch hoist into
-    # datapipe/_layout.py, the gopher symbol-ratio split, the _del1
-    # empty-string guard) touch ONLY winnow.py/editdist.py/filters.py —
-    # whose queries are exactly the in-window staged five.  Slots 51+
-    # are r10-green queries whose modules round 11 does not
-    # semantically change — their CORRECTNESS_r10.json rows stand
-    # (plus lang_pivot on its standing r9 row).
+    # The driver oracles the FIRST 50 dict entries.  Round-12 window
+    # (pre-committed in SURVEY §8 round-11 arithmetic; mechanically
+    # checkable via tools/check_window.py):
+    #   slots 1-22  — the text.py closure forced in by the round-12
+    #                 chunk_documents let-binding fix (the 21 queries
+    #                 dry-run-sized in round 11 plus dsir_keys_full,
+    #                 which builds on dsir.py's devices and therefore
+    #                 rides the same closure).  dsir_select and
+    #                 dsir_keys_full are DRIVER-OWNED reds per the
+    #                 terminal VERDICT r11 #1 adjudication (the
+    #                 divergence is the driver environment's evaluation
+    #                 of the inline Gumbel-table oracle, not a repo
+    #                 value) — they appear here ONLY because the window
+    #                 protocol requires touched-module queries in-window;
+    #                 expect exactly those two rows red.
+    #   slots 23-28 — the SIX staged registrations (semantic_decontam
+    #                 staged r10; winnow_span_removal, winnow_ref_removal,
+    #                 fineweb_rules, corpus_divergence, ccnet_buckets
+    #                 staged r11), each carrying a full local
+    #                 Spark-vs-DuckDB parity gate and an sf1.0 scale row.
+    #   slots 29-50 — 22 spares, oldest-standing-row-first per the
+    #                 3-round rotation policy: lang_pivot (r9), then the
+    #                 untouched-module r10-row holders SURVEY §8
+    #                 prioritizes (similarity/ANN/PQ family, knn_graph,
+    #                 semantic_dedup, patch_contigs, pair_merge,
+    #                 error_correct, dup_spans, events_asof, the graph
+    #                 pair, token_quantiles_sketch, pack_sequences,
+    #                 decontaminate).
+    # Slots 51+ hold queries whose modules round 12 does not
+    # semantically change: r11-green rows stand for the round-11 window
+    # members; r10 rows stand for the ~16 remaining holders
+    # (event_transitions, hll_by_lang, kmv pair, dup_clusters,
+    # minhash_near_dup, fasta_wrap, events_range_join, end_extend,
+    # read_mapping, stitch_bridges, kmer_count, contig_dedup,
+    # token_budget_select, reduction) — round 13 must rotate those in
+    # first.
     return {
-        # --- r9-green, sat out the r10 window: rotate back in (1-41) ---
+        # --- text.py closure (chunk_documents let-binding fix) 1-22 ---
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "doc_chunk": q_doc_chunk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "redact_pii": q_redact_pii,
+        "strip_markup": q_strip_markup,
+        "vocab_coverage": q_vocab_coverage,
+        "classifier_score": q_classifier_score,
+        "classifier_train": q_classifier_train,
+        "classifier_predict": q_classifier_predict,
+        "clean_corpus": q_clean_corpus,
+        "cluster_keep_best": q_cluster_keep_best,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "dsir_keys_full": q_dsir_keys_full,
+        "events_sessionize": q_events_sessionize,
+        # --- staged pairs: REGISTER this round (23-28) ---
+        "semantic_decontam": q_semantic_decontam,
+        "winnow_span_removal": q_winnow_span_removal,
+        "winnow_ref_removal": q_winnow_ref_removal,
+        "fineweb_rules": q_fineweb_rules,
+        "corpus_divergence": q_corpus_divergence,
+        "ccnet_buckets": q_ccnet_buckets,
+        # --- spares, oldest-row-first (29-50) ---
+        "lang_pivot": q_lang_pivot,
+        "embedding_quantize": q_embedding_quantize,
+        "kmeans_assign": q_kmeans_assign,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "ann_ivfpq": q_ann_ivfpq,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
+        "patch_contigs": q_patch_contigs,
+        "pair_merge": q_pair_merge,
+        "error_correct": q_error_correct,
+        "dup_spans": q_dup_spans,
+        "events_asof": q_events_asof,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "token_quantiles_sketch": q_token_quantiles_sketch,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        # --- rotated out (slots 51+; modules not semantically changed
+        # in round 12; r11 rows stand for the round-11 window members,
+        # r10 rows for the rest — rotate those in first in round 13) ---
         "events_window": q_events_window,
         "token_quantiles": q_token_quantiles,
         "mercy": q_mercy,
@@ -2878,14 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_join_agg": q_multi_join_agg,
         "events_funnel": q_events_funnel,
         "events_running": q_events_running,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
         "source_rollup": q_source_rollup,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "doc_chunk": q_doc_chunk,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hash_sample": q_hash_sample,
@@ -2899,7 +2964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rc_expand": q_rc_expand,
         "prune_forks": q_prune_forks,
         "assemble_paths": q_assemble_paths,
-        # --- round-10-staged pairs: REGISTER this round (42-49) ---
         "bloom_decontam": q_bloom_decontam,
         "incremental_dedup": q_incremental_dedup,
         "token_quantiles_merge": q_token_quantiles_merge,
@@ -2908,62 +2972,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
-        # --- terminal dsir_select diagnostic (VERDICT r10 #2) (50) ---
-        "dsir_keys_full": q_dsir_keys_full,
-        # --- r10-green, rotated out (slots 51+; modules not
-        # semantically changed in round 11; CORRECTNESS_r10.json rows
-        # stand — lang_pivot stands on its r9 row, 3-round policy) ---
-        "lang_pivot": q_lang_pivot,
-        "unigram_logprob": q_unigram_logprob,
-        "redact_pii": q_redact_pii,
-        "embedding_quantize": q_embedding_quantize,
-        "kmeans_assign": q_kmeans_assign,
-        "doc_fingerprint": q_doc_fingerprint,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "patch_contigs": q_patch_contigs,
-        "pair_merge": q_pair_merge,
-        "error_correct": q_error_correct,
-        "dup_spans": q_dup_spans,
-        "vocab_coverage": q_vocab_coverage,
         "event_transitions": q_event_transitions,
-        "bigram_logprob": q_bigram_logprob,
         "hll_by_lang": q_hll_by_lang,
-        "classifier_score": q_classifier_score,
-        "strip_markup": q_strip_markup,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "events_asof": q_events_asof,
-        "cluster_keep_best": q_cluster_keep_best,
         "kmv_distinct": q_kmv_distinct,
         "kmv_by_lang": q_kmv_by_lang,
         "dup_clusters": q_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "fasta_wrap": q_fasta_wrap,
-        "clean_corpus": q_clean_corpus,
         "events_range_join": q_events_range_join,
         "end_extend": q_end_extend,
         "read_mapping": q_read_mapping,
-        "graph_pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
         "stitch_bridges": q_stitch_bridges,
         "kmer_count": q_kmer_count,
         "contig_dedup": q_contig_dedup,
         "token_budget_select": q_token_budget_select,
         "reduction": q_reduction,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "semantic_dedup": q_semantic_dedup,
-        "knn_graph": q_knn_graph,
-        "token_quantiles_sketch": q_token_quantiles_sketch,
-        "ann_ivfpq": q_ann_ivfpq,
-        "classifier_train": q_classifier_train,
-        "classifier_predict": q_classifier_predict,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -4566,4 +4589,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, adc_sqdist FROM sc"
             " ORDER BY adc_sqdist, vec_id LIMIT 20"
         ),
+        # --- round-12 registrations (staged r10/r11, gated locally) ---
+        "semantic_decontam": _SQL_SEMANTIC_DECONTAM,
+        "winnow_span_removal": _SQL_WINNOW_SPAN_REMOVAL,
+        "winnow_ref_removal": _SQL_WINNOW_REF_REMOVAL,
+        "fineweb_rules": _SQL_FINEWEB_RULES,
+        "corpus_divergence": _SQL_CORPUS_DIVERGENCE,
+        "ccnet_buckets": _SQL_CCNET_BUCKETS,
     }

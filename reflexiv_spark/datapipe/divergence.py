@@ -143,9 +143,13 @@ def corpus_divergence(
         .localCheckpoint(eager=False)
     )
     # totals DERIVE from the counts (Σ ca == |fa| exactly — absent
-    # buckets contribute 0), so no second pass over the corpus exists
-    ta = ca.agg(F.sum("ca").alias("ta"))
-    tb = cb.agg(F.sum("cb").alias("tb"))
+    # buckets contribute 0), so no second pass over the corpus exists.
+    # coalesce(…, 0): an EMPTY side sums to NULL, which would silently
+    # NULL every divergence column — with 0 the add-1 smoothing mass is
+    # the whole distribution (uniform 1/dim), the honest degenerate
+    # case (round-12 ADVICE).
+    ta = ca.agg(F.coalesce(F.sum("ca"), F.lit(0)).alias("ta"))
+    tb = cb.agg(F.coalesce(F.sum("cb"), F.lit(0)).alias("tb"))
     buckets = spark.range(dim).select(F.col("id").alias("idx"))
     base = (
         buckets.join(ca, "idx", "left")
@@ -285,20 +289,34 @@ def windowed_divergence(
         )
 
     terms = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _contrib)
+    # fold ONCE into a (wr, rw) struct accumulator — two sibling
+    # F.aggregate calls would embed the dim-length _contrib fold twice,
+    # doubling per-row KL compute and plan size (round-12 ADVICE); the
+    # two sums project out of the single fold in a SECOND select, which
+    # CollapseProject keeps separate (HOF aggregates are non-cheap and
+    # referenced twice).
+    acc = F.aggregate(
+        terms,
+        F.struct(
+            F.lit(0).cast("bigint").alias("wr"),
+            F.lit(0).cast("bigint").alias("rw"),
+        ),
+        lambda a, t: F.struct(
+            (a["wr"] + t["wr"]).alias("wr"),
+            (a["rw"] + t["rw"]).alias("rw"),
+        ),
+    )
     return hist.select(
         F.col("win.start").alias("win_start"),
         F.col("win.end").alias("win_end"),
         tw.cast("bigint").alias("n_features"),
-        F.aggregate(
-            terms,
-            F.lit(0).cast("bigint"),
-            lambda a, t: a + t["wr"],
-        ).alias("kl_wr_micro"),
-        F.aggregate(
-            terms,
-            F.lit(0).cast("bigint"),
-            lambda a, t: a + t["rw"],
-        ).alias("kl_rw_micro"),
+        acc.alias("__acc"),
+    ).select(
+        "win_start",
+        "win_end",
+        "n_features",
+        F.col("__acc.wr").alias("kl_wr_micro"),
+        F.col("__acc.rw").alias("kl_rw_micro"),
     )
 
 

@@ -156,17 +156,30 @@ def chunk_documents(
     """
     t = F.col(text_col)
     step = max(chunk_tokens - overlap_tokens, 1)
-    toks = F.split(F.trim(t), r"\s+")
-    n = F.size(toks)
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)), F.lit(0)),
-    )
-    chunks = F.transform(
-        starts,
-        lambda b: F.array_join(
-            F.slice(toks, b * step + 1, chunk_tokens), " "
-        ),
+    # The token array enters the per-chunk lambda as a LAMBDA VARIABLE
+    # (1-element outer transform), not inline: HOF lambdas re-evaluate
+    # their body per element, so an inlined ``toks`` re-runs the
+    # whitespace split once per chunk (the winnow.py round-10 lesson;
+    # same fix as decontam.word_ngrams).
+    chunks = F.flatten(
+        F.transform(
+            F.array(F.split(F.trim(t), r"\s+")),
+            lambda toks: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(
+                            (F.size(toks) - F.lit(chunk_tokens))
+                            / F.lit(step)
+                        ),
+                        F.lit(0),
+                    ),
+                ),
+                lambda b: F.array_join(
+                    F.slice(toks, b * step + 1, chunk_tokens), " "
+                ),
+            ),
+        )
     )
     out = df.where(F.length(F.trim(t)) > 0).select(
         F.col(id_col),
