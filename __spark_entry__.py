@@ -2733,50 +2733,74 @@ _SQL_CORPUS_DIVERGENCE = (
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: CCNet-style reference-model quality split (Wenzek et
-    al. 2020) — score every raw doc's tokens under the hashed-unigram
-    model of the clean TARGET shard (doc_id%10 == 0, the dsir split),
-    then cut each language into exact integer head/middle/tail
-    tertiles by per-token negative log-likelihood. dim=512, md5 (the
-    oracle family). STAGED round 11; registers ROUND 12. Oracle twin
+    al. 2020) — score every raw doc's tokens under the hashed
+    unigram+BIGRAM interpolated model of the clean TARGET shard
+    (doc_id%10 == 0, the dsir split; λ=0.5 in micro-units — the
+    round-12 fluency upgrade, VERDICT r11 #4), then cut each language
+    into exact integer head/middle/tail tertiles over the SCORED
+    population by per-token negative log-likelihood. dim=512, md5 (the
+    oracle family). STAGED round 11; registered ROUND 12. Oracle twin
     _SQL_CCNET_BUCKETS; pair gated locally by
     tests/test_ccnet.py::test_staged_driver_pair_parity."""
     from reflexiv_spark.datapipe.ccnet import ccnet_buckets
 
     raw, target = _dsir_split(spark, sf_dir)
     return ccnet_buckets(
-        raw, target, dim=512, hash_family="md5"
+        raw, target, dim=512, hash_family="md5",
+        bigram_lambda_micro=500_000,
     )
 
 
 # Oracle twin for q_ccnet_buckets (round-12 registration): the same
-# md5-bucket unigram model of the target shard (add-1 smoothing,
-# floor-micro NLL per bucket), per-raw-doc integral-division per-token
-# score, and the per-language integer-tertile window.
+# md5-bucket unigram + bigram models of the target shard (add-1
+# smoothing per kind, floor-micro NLL per bucket), per-raw-doc
+# integral-division per-token scores blended by integral div
+# (λ=500000 micro), and the per-language integer-tertile window over
+# scored documents (count(pt) skips NULL-scored docs).
 _SQL_CCNET_BUCKETS = (
     r"WITH w AS (SELECT doc_id, lang,"
     r" regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ws"
     " FROM documents), "
-    "tok AS (SELECT doc_id, (CAST(('0x' || substr(md5('u|' ||"
+    "tok AS ("
+    "SELECT doc_id, 'u' AS kind, (CAST(('0x' || substr(md5('u|' ||"
     " ws[CAST(i AS INT)]), 1, 15)) AS BIGINT) % 512) AS idx"
-    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)), "
-    "rc AS (SELECT idx, count(*) AS c FROM tok"
-    " WHERE doc_id % 10 = 0 GROUP BY idx), "
-    "tt AS (SELECT count(*) AS t FROM tok WHERE doc_id % 10 = 0), "
-    "b AS (SELECT CAST(i AS BIGINT) AS idx FROM"
+    " FROM w, unnest(generate_series(1, len(ws))) AS t(i)"
+    " UNION ALL "
+    "SELECT doc_id, 'b' AS kind, (CAST(('0x' || substr(md5('b|' ||"
+    " ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]), 1, 15))"
+    " AS BIGINT) % 512) AS idx"
+    " FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)"
+    " WHERE len(ws) >= 2), "
+    "rc AS (SELECT kind, idx, count(*) AS c FROM tok"
+    " WHERE doc_id % 10 = 0 GROUP BY kind, idx), "
+    "tt AS (SELECT kind, count(*) AS t FROM tok"
+    " WHERE doc_id % 10 = 0 GROUP BY kind), "
+    "b AS (SELECT k.kind, CAST(i AS BIGINT) AS idx FROM"
+    " (VALUES ('u'), ('b')) AS k(kind),"
     " unnest(generate_series(0, 511)) AS u(i)), "
-    "m AS (SELECT b.idx, CAST(floor(-log10("
+    "m AS (SELECT b.kind, b.idx, CAST(floor(-log10("
     "CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)"
-    " / CAST(tt.t + 512 AS DOUBLE)) * 1000000) AS BIGINT) AS nll"
-    " FROM b LEFT JOIN rc ON b.idx = rc.idx, tt), "
-    "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
-    " CAST(sum(m.nll) // count(*) AS BIGINT) AS pt FROM tok"
-    " JOIN m USING (idx) WHERE doc_id % 10 != 0 GROUP BY doc_id), "
+    " / CAST(coalesce(tt.t, 0) + 512 AS DOUBLE)) * 1000000)"
+    " AS BIGINT) AS nll"
+    " FROM b LEFT JOIN rc ON b.kind = rc.kind AND b.idx = rc.idx"
+    " LEFT JOIN tt ON b.kind = tt.kind), "
+    "pd AS (SELECT doc_id,"
+    " CAST(sum(CASE WHEN tok.kind = 'u' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_tokens,"
+    " sum(CASE WHEN tok.kind = 'u' THEN m.nll ELSE 0 END) AS su,"
+    " sum(CASE WHEN tok.kind = 'b' THEN m.nll ELSE 0 END) AS sb"
+    " FROM tok JOIN m ON tok.kind = m.kind AND tok.idx = m.idx"
+    " WHERE doc_id % 10 != 0 GROUP BY doc_id), "
+    "ps AS (SELECT doc_id, n_tokens, CAST(CASE WHEN n_tokens >= 2"
+    " THEN (500000 * (su // n_tokens)"
+    " + 500000 * (sb // (n_tokens - 1))) // 1000000"
+    " ELSE su // n_tokens END AS BIGINT) AS pt FROM pd), "
     "base AS (SELECT w.doc_id, w.lang,"
-    " CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens, pd.pt"
-    " FROM w LEFT JOIN pd USING (doc_id) WHERE w.doc_id % 10 != 0), "
+    " CAST(coalesce(ps.n_tokens, 0) AS BIGINT) AS n_tokens, ps.pt"
+    " FROM w LEFT JOIN ps USING (doc_id) WHERE w.doc_id % 10 != 0), "
     "rk AS (SELECT *, row_number() OVER (PARTITION BY lang"
     " ORDER BY pt ASC NULLS LAST, doc_id) AS rn,"
-    " count(*) OVER (PARTITION BY lang) AS n FROM base) "
+    " count(pt) OVER (PARTITION BY lang) AS n FROM base) "
     "SELECT doc_id, lang, n_tokens, pt AS nll_micro_per_token,"
     " CASE WHEN pt IS NULL THEN 'tail'"
     " WHEN 3 * rn <= n THEN 'head'"

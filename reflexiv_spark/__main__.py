@@ -927,6 +927,15 @@ def main(argv: list[str] | None = None) -> int:
             winnow_overlap,
         )
 
+        # argument-combination guards (round-12 ADVICE): silently
+        # dropping a flag the user passed misleads worse than erroring
+        if args.ref_path and not args.remove_spans:
+            p.error("--ref requires --remove-spans (reference "
+                    "fingerprints only drive span excision)")
+        if args.max_df is not None and args.remove_spans and args.ref_path:
+            p.error("--max-df does not apply to --remove-spans --ref "
+                    "(the reference fp probe has no hot-fp cap); drop "
+                    "--max-df or use within-corpus --remove-spans")
         if args.remove_spans and args.ref_path:
             from reflexiv_spark.datapipe.winnow import (
                 remove_reference_spans,

@@ -512,6 +512,28 @@ def test_cli_winnow(spark, tmp_path):
     assert clean[2].n_spans > 0 and clean[3].n_spans == 0
 
 
+def test_cli_winnow_argument_guards(spark, tmp_path):
+    """Round-12 ADVICE: --ref without --remove-spans and --max-df with
+    --remove-spans --ref are argparse errors, not silently-ignored
+    flags."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string")
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    ref = tmp_path / "ref.parquet"
+    docs.write.parquet(str(ref))
+    with _pytest.raises(SystemExit) as ei:
+        main(["winnow", "-i", str(inp), "-o", str(tmp_path / "o1"),
+              "--ref", str(ref)])
+    assert ei.value.code == 2
+    with _pytest.raises(SystemExit) as ei:
+        main(["winnow", "-i", str(inp), "-o", str(tmp_path / "o2"),
+              "--remove-spans", "--ref", str(ref), "--max-df", "5"])
+    assert ei.value.code == 2
+
+
 def test_cli_quality_filter(spark, tmp_path):
     """quality-filter subcommand: gopher flags the short doc, c4 with
     --keep-only emits only the punctuated multi-sentence doc."""

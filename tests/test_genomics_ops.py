@@ -177,3 +177,39 @@ class TestFixing:
         assert up1 not in out and down1 not in out
         # ambiguous junction left untouched
         assert {up2, down2a, down2b} <= out
+
+    def test_junction_cycle_passes_through_unfused(self, spark):
+        """Round-12 ADVICE regression pin: a junction CYCLE (every
+        member in/out-degree 1, no in-degree-0 anchor) passes through
+        UNFUSED under the round-11 pointer-doubling kernel — the
+        anchored-walk semantics the meta-ladder oracle defines (the
+        old randomized contraction loop could fuse cycle members).
+        Covers both a 2-contig and a 3-contig cycle, plus a normal
+        chain in the same frame to pin that anchored paths still
+        fuse."""
+        j1, j2 = random_genome(31, seed=41), random_genome(31, seed=42)
+        mid2 = random_genome(40, seed=43)
+        # 2-cycle: A = j1 … j2, B = j2 … j1 (A's tail is B's head and
+        # vice versa; both junctions unique)
+        cyc_a = j1 + mid2 + j2
+        cyc_b = j2 + random_genome(40, seed=44) + j1
+        # 3-cycle on fresh junction kmers
+        k1, k2, k3 = (random_genome(31, seed=s) for s in (45, 46, 47))
+        cyc_c = k1 + random_genome(40, seed=48) + k2
+        cyc_d = k2 + random_genome(40, seed=49) + k3
+        cyc_e = k3 + random_genome(40, seed=50) + k1
+        # anchored chain sharing the frame: up → down over junction j3
+        j3 = random_genome(31, seed=51)
+        up = random_genome(60, seed=52) + j3
+        down = j3 + random_genome(60, seed=53)
+        df = spark.createDataFrame(
+            [(s,) for s in (cyc_a, cyc_b, cyc_c, cyc_d, cyc_e, up, down)],
+            "seq string",
+        )
+        out = {r.seq for r in fix_junctions(df, max_rounds=12).collect()}
+        # cycle members pass through verbatim, no fused concatenation
+        assert {cyc_a, cyc_b, cyc_c, cyc_d, cyc_e} <= out
+        fused = up + down[31:]
+        assert fused in out and up not in out and down not in out
+        # nothing beyond the expected survivors (no duplicated fusions)
+        assert out == {cyc_a, cyc_b, cyc_c, cyc_d, cyc_e, fused}
