@@ -2850,6 +2850,68 @@ _SQL_SEMANTIC_DECONTAM = (
 )
 
 
+def q_winnow_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: winnow fingerprint STORE probe — persist the clean
+    target shard's (doc_id%10 == 0) winnowed fingerprint values and
+    probe every raw-shard document against it: (id, n_fps, n_hits,
+    flagged = n_hits >= 100) — cross-batch span-level boilerplate
+    detection, the winnowing member of the incremental-store family
+    (VERDICT r11 #5). k=8, window=4, md5 (the oracle family);
+    min_shared=100 because the synthetic corpus's shared vocabulary
+    makes every doc share a few 8-grams — the driver threshold is
+    chosen to make `flagged` discriminate (187/263 at sf0.01). STAGED
+    round 12; registers ROUND 13. Oracle twin _SQL_WINNOW_STORE_PROBE;
+    pair gated locally by
+    tests/test_winnow_store.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.winnow_store import (
+        probe_winnow_store,
+        winnow_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    store = winnow_store(target, k=8, window=4, hash_family="md5")
+    return probe_winnow_store(
+        raw, store, k=8, window=4, min_shared=100, hash_family="md5"
+    )
+
+
+# Oracle twin for q_winnow_store_probe (round-13 registration): the
+# _SQL_WINNOW_FINGERPRINT CTE chain over ALL documents, split into the
+# target-shard fp store and the raw-shard per-doc distinct fp sets,
+# then the store semi-join + per-doc counts and the min_shared flag.
+_SQL_WINNOW_STORE_PROBE = (
+    r"WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)),"
+    r" '\s+', ' ', 'g') AS t FROM documents WHERE text IS NOT NULL), "
+    "g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,"
+    " CAST(('0x' || substr(md5('w|' || substr(t, CAST(i AS INT), 8)),"
+    " 1, 15)) AS BIGINT) % 1099511627776 AS h"
+    " FROM n, unnest(generate_series(1, least(len(t) - 7, 1048575)))"
+    " AS u(i) WHERE len(t) >= 8), "
+    "k AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key"
+    " FROM g), "
+    "m AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id"
+    " ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,"
+    " count(*) OVER (PARTITION BY doc_id) AS p FROM k), "
+    "s AS (SELECT DISTINCT doc_id, wmin FROM m"
+    " WHERE pos <= greatest(p - 3, 1)), "
+    "f AS (SELECT DISTINCT doc_id AS id,"
+    " CAST(wmin // 1048576 AS BIGINT) AS fp FROM s), "
+    "st AS (SELECT DISTINCT fp FROM f WHERE id % 10 = 0), "
+    "bf AS (SELECT id, fp FROM f WHERE id % 10 != 0), "
+    "h2 AS (SELECT bf.id, count(*) AS n_hits FROM bf"
+    " JOIN st USING (fp) GROUP BY bf.id), "
+    "nf AS (SELECT id, count(*) AS n_fps FROM bf GROUP BY id) "
+    "SELECT d.doc_id AS id,"
+    " CAST(coalesce(nf.n_fps, 0) AS BIGINT) AS n_fps,"
+    " CAST(coalesce(h2.n_hits, 0) AS BIGINT) AS n_hits,"
+    " coalesce(h2.n_hits, 0) >= 100 AS flagged"
+    " FROM documents d LEFT JOIN nf ON d.doc_id = nf.id"
+    " LEFT JOIN h2 ON d.doc_id = h2.id WHERE d.doc_id % 10 != 0"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -336,6 +336,23 @@ def main(argv: list[str] | None = None) -> int:
     ic_.add_argument("--hash-family", default="xxhash64",
                      choices=["xxhash64", "md5"])
 
+    wp_ = add("winnow-probe", help="datapipe: probe a batch against a "
+              "persisted winnow fingerprint store — per-doc (n_fps, "
+              "n_hits, flagged) span-level boilerplate detection "
+              "across batches; optionally write the updated store")
+    wp_.add_argument("--store", default=None,
+                     help="parquet of seen winnow fingerprints (fp "
+                     "bigint); omit for an empty store (first batch)")
+    wp_.add_argument("--emit-store", default=None,
+                     help="write the UPDATED fingerprint store here")
+    wp_.add_argument("--text-col", default="text")
+    wp_.add_argument("--id-col", default="doc_id")
+    wp_.add_argument("-k", type=int, default=8)
+    wp_.add_argument("--window", type=int, default=4)
+    wp_.add_argument("--min-shared", type=int, default=2)
+    wp_.add_argument("--hash-family", default="xxhash64",
+                     choices=["xxhash64", "md5"])
+
     bf_ = add("bloom-decontam", help="sketch: Bloom membership "
               "pre-screen — build a bit filter over --target's words, "
               "probe every input doc map-side (no corpus shuffle); "
@@ -889,6 +906,34 @@ def main(argv: list[str] | None = None) -> int:
                     hash_family=args.hash_family,
                 )
             ).distinct()
+            updated.write.mode("overwrite").parquet(args.emit_store)
+    elif args.cmd == "winnow-probe":
+        from reflexiv_spark.datapipe.winnow_store import (
+            probe_winnow_store,
+            update_winnow_store,
+            winnow_store,
+        )
+
+        batch = spark.read.parquet(args.input)
+        if args.store is not None:
+            seen = spark.read.parquet(args.store)
+        else:
+            seen = spark.createDataFrame([], "fp bigint")
+        report = probe_winnow_store(
+            batch, seen, id_col=args.id_col, text_col=args.text_col,
+            k=args.k, window=args.window, min_shared=args.min_shared,
+            hash_family=args.hash_family,
+        )
+        _write(report, args.output, args.outformat)
+        if args.emit_store is not None:
+            updated = update_winnow_store(
+                seen,
+                winnow_store(
+                    batch, id_col=args.id_col, text_col=args.text_col,
+                    k=args.k, window=args.window,
+                    hash_family=args.hash_family,
+                ),
+            )
             updated.write.mode("overwrite").parquet(args.emit_store)
     elif args.cmd == "bloom-decontam":
         from reflexiv_spark.datapipe.bloom import bloom_decontaminate

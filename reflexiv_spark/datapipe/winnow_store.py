@@ -1,0 +1,118 @@
+"""Winnow fingerprint STORE — cross-batch span-level boilerplate
+detection (the winnowing member of the incremental-store family).
+
+``datapipe/incremental.py`` persists two stores already: exact
+md5-60bit document fingerprints (whole-document dedup) and MinHash LSH
+band keys (near-dup candidates). Winnow fingerprints (Schleimer et
+al., SIGMOD 2003 — ``datapipe/winnow.py``) are the third,
+overlap-LOCATING store: persisting a corpus's winnowed fingerprint
+VALUES lets every nightly batch be probed for SHARED PASSAGES against
+everything already ingested — license blocks, templated boilerplate,
+syndicated articles — which whole-document and near-dup stores both
+miss when the duplication is a span inside an otherwise-novel
+document. Detection guarantee inherited from winnowing: any shared
+substring of length >= window + k - 1 shares at least one fingerprint.
+
+Store size: O(distinct fingerprints) bigints — roughly one per
+``window`` characters of distinct text, append-only, mergeable across
+shards by union-distinct (the incremental.py contract).
+
+Scale shape: the batch is scanned ONCE by the zero-exchange winnow
+kernel; the probe is a single fp-keyed equi-join against the store
+(broadcast when the store is small, bucket the store table on ``fp``
+for co-located reads at 100 TB — the incremental.py note applies
+verbatim) followed by one id-keyed aggregate. The corpus-sized side
+never shuffles by anything but its own doc id.
+
+Own module (imports winnow.py, is not imported by it) so building and
+evolving the store does not mark the standing winnow queries
+window-affected in ``tools/check_window.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+
+
+def winnow_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The persistable store rows for a corpus → DataFrame[fp: bigint]
+    (distinct winnowed fingerprint VALUES; positions dropped — the
+    store answers "has this passage been seen", not "where")."""
+    return (
+        winnow_fingerprints(
+            df, id_col=id_col, text_col=text_col, k=k, window=window,
+            hash_family=hash_family,
+        )
+        .select("fp")
+        .distinct()
+    )
+
+
+def probe_winnow_store(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Probe a batch against a persisted fingerprint store →
+    DataFrame[id, n_fps, n_hits, flagged]: per batch document, the
+    count of its distinct winnow fingerprints (``n_fps``), how many of
+    those appear in the store (``n_hits``), and
+    ``flagged = n_hits >= min_shared`` — the MOSS overlap rule
+    (``winnow_overlap``'s ``min_shared``) applied batch-vs-store
+    instead of pairwise. Documents with no fingerprints (NULL or
+    sub-k text) report (0, 0, false) — they cannot share a passage.
+
+    ``store`` is a DataFrame with an ``fp`` column (from
+    :func:`winnow_store`, SAME k/window/hash_family — fingerprints
+    from different parameters never match). Flagged documents are
+    candidates for :func:`winnow.remove_reference_spans` surgery
+    against the originating corpus, or for plain dropping.
+    """
+    fps = (
+        winnow_fingerprints(
+            batch, id_col=id_col, text_col=text_col, k=k, window=window,
+            hash_family=hash_family,
+        )
+        .select("id", "fp")
+        .distinct()
+    )
+    hit = fps.join(
+        store.select("fp").distinct(), "fp", "left_semi"
+    ).groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
+    per_doc = (
+        fps.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .join(hit, "id", "left")
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_shared).alias("flagged"),
+        )
+    )
+
+
+def update_winnow_store(store: DataFrame, new_fps: DataFrame) -> DataFrame:
+    """Append-only store update → the union-distinct of the existing
+    store and a batch's fingerprints (from :func:`winnow_store` over
+    the ADMITTED batch rows). Mergeable across shards; idempotent."""
+    return store.select("fp").unionByName(new_fps.select("fp")).distinct()

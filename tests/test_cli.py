@@ -512,6 +512,31 @@ def test_cli_winnow(spark, tmp_path):
     assert clean[2].n_spans > 0 and clean[3].n_spans == 0
 
 
+def test_cli_winnow_probe_store_round_trip(spark, tmp_path):
+    """winnow-probe subcommand: first batch with --emit-store builds
+    the store; the second batch probes it and flags the doc repeating
+    the first batch's passage."""
+    passage = "a long shared boilerplate sentence repeated verbatim"
+    day1 = spark.createDataFrame(
+        [(1, "intro " + passage + " outro")], "doc_id long, text string")
+    day2 = spark.createDataFrame(
+        [(2, "fresh words then " + passage + " again"),
+         (3, "nothing in common zzz qqq vvv")],
+        "doc_id long, text string")
+    d1, d2 = tmp_path / "d1.parquet", tmp_path / "d2.parquet"
+    day1.write.parquet(str(d1))
+    day2.write.parquet(str(d2))
+    store = tmp_path / "store"
+    assert main(["winnow-probe", "-i", str(d1),
+                 "-o", str(tmp_path / "r1"), "--emit-store",
+                 str(store)]) == 0
+    assert main(["winnow-probe", "-i", str(d2),
+                 "-o", str(tmp_path / "r2"), "--store", str(store)]) == 0
+    rep = {r.id: r for r in spark.read.parquet(str(tmp_path / "r2")).collect()}
+    assert rep[2].flagged and rep[2].n_hits >= 2
+    assert not rep[3].flagged
+
+
 def test_cli_winnow_argument_guards(spark, tmp_path):
     """Round-12 ADVICE: --ref without --remove-spans and --max-df with
     --remove-spans --ref are argparse errors, not silently-ignored
