@@ -131,6 +131,17 @@ HEADLINE = [
     "knn_graph",
     "token_quantiles_sketch",
     "ann_ivfpq",
+    # round 12: the six newly registered pairs' production shapes —
+    # xxhash64 families for the hash-parameterized ones (the md5 twins
+    # stay oracle entries); fineweb_rules and semantic_decontam are
+    # all-integer, production IS the oracled path — plus the staged
+    # winnow fingerprint store probe
+    "corpus_divergence_xxh64",
+    "winnow_ref_removal_xxh64",
+    "ccnet_buckets_xxh64",
+    "fineweb_rules",
+    "semantic_decontam",
+    "winnow_store_probe_xxh64",
 ]
 
 
@@ -308,8 +319,54 @@ def _bench_only_queries():
             docs, k=8, window=4, hash_family="xxhash64", max_df=50
         )
 
+    def winnow_ref_removal_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.winnow import remove_reference_spans
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return remove_reference_spans(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0),
+            k=8, window=4, hash_family="xxhash64",
+        )
+
+    def ccnet_buckets_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.ccnet import ccnet_buckets
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return ccnet_buckets(
+            docs.where(F.col("doc_id") % 10 != 0),
+            docs.where(F.col("doc_id") % 10 == 0),
+            dim=512, hash_family="xxhash64",
+            bigram_lambda_micro=500_000,
+        )
+
+    def winnow_store_probe_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.winnow_store import (
+            probe_winnow_store,
+            winnow_store,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        store = winnow_store(
+            docs.where(F.col("doc_id") % 10 == 0), k=8, window=4,
+            hash_family="xxhash64",
+        )
+        return probe_winnow_store(
+            docs.where(F.col("doc_id") % 10 != 0), store, k=8, window=4,
+            min_shared=100, hash_family="xxhash64",
+        )
+
     return {
         "dsir_select_xxh64": dsir_select_xxh64,
+        "winnow_ref_removal_xxh64": winnow_ref_removal_xxh64,
+        "ccnet_buckets_xxh64": ccnet_buckets_xxh64,
+        "winnow_store_probe_xxh64": winnow_store_probe_xxh64,
         "winnow_overlap_xxh64": winnow_overlap_xxh64,
         "winnow_spans_xxh64": winnow_spans_xxh64,
         "corpus_divergence_xxh64": corpus_divergence_xxh64,
