@@ -91,13 +91,20 @@ def probe_winnow_store(
         .select("id", "fp")
         .distinct()
     )
-    hit = fps.join(
-        store.select("fp").distinct(), "fp", "left_semi"
-    ).groupBy("id").agg(F.count(F.lit(1)).alias("n_hits"))
-    per_doc = (
-        fps.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_fps"))
-        .join(hit, "id", "left")
+    # ONE batch-sized aggregate: left-join the DISTINCT store (distinct
+    # is required for join correctness — a duplicated store fp would
+    # fan out batch rows — and costs only a store-sized exchange), mark
+    # hits, count both in the same id-keyed groupBy. The two-aggregate
+    # form (semi-join n_hits + separate n_fps + id join) costs two
+    # extra batch-sized exchanges for the same answer.
+    marked = fps.join(
+        store.select("fp").distinct().withColumn("__h", F.lit(1)),
+        "fp",
+        "left",
+    )
+    per_doc = marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.count("__h").alias("n_hits"),
     )
     return (
         batch.select(F.col(id_col).alias("id"))
