@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reflexiv_spark.datapipe._layout import spread_batch
 from reflexiv_spark.datapipe.dedup import exact_dedup, minhash_dedup
-from reflexiv_spark.datapipe.text import language_id, quality_score
+from reflexiv_spark.datapipe.text import _pred_lang, quality_score
 
 
 def clean_corpus(
@@ -55,13 +56,18 @@ def clean_corpus(
     exchange of surviving rows; MinHash adds one shingle aggregation and
     a banded id-only candidate join. Nothing is all-pairs.
     """
-    qual = quality_score(docs, text_col, id_col)
-    lang = language_id(docs, text_col, id_col).select(id_col, "pred_lang")
-    scored = (
-        docs.select(id_col, text_col)
-        .join(qual, id_col)
-        .join(lang, id_col)
-    )
+    # quality AND language ride ONE projection over ONE corpus scan —
+    # both are pure Catalyst expressions, so the per-operator
+    # DataFrame + id-join composition (round-11 form) re-scanned the
+    # corpus twice and paid two id-keyed shuffles of the FULL text
+    # column for nothing — the dominant cost at 100 TB. Rewrite is
+    # output-identical, same oracle. spread_batch: the projection is
+    # CPU-bound (~34 regex extractions per row), so a few-file local
+    # input must fan out to the session's cores first; a many-file
+    # scan passes through untouched (the winnow kernel's pattern).
+    scored = quality_score(
+        spread_batch(docs), text_col, id_col, keep_text=True
+    ).withColumn("pred_lang", _pred_lang(F.col(text_col)))
     kept = scored.where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)

@@ -73,6 +73,24 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _pred_lang(t: Column) -> Column:
+    """The language-ID argmax as a pure column expression (fixed
+    precedence en > de > fr > es on ties) — composable into other
+    single-scan projections (``pipeline.clean_corpus`` scores quality
+    and language in ONE pass; a per-operator DataFrame + id join would
+    re-scan the corpus and shuffle for nothing)."""
+    scores = {
+        lang: _stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    s_en, s_de, s_fr, s_es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    return (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID via stopword-hit scoring.
 
@@ -82,20 +100,13 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     scores = {
         lang: _stopword_hits(t, words) for lang, words in LANG_STOPWORDS.items()
     }
-    s_en, s_de, s_fr, s_es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    pred = (
-        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
-        .when((s_de >= s_fr) & (s_de >= s_es), "de")
-        .when(s_fr >= s_es, "fr")
-        .otherwise("es")
-    )
     return df.select(
         F.col(id_col),
-        s_en.alias("s_en"),
-        s_de.alias("s_de"),
-        s_fr.alias("s_fr"),
-        s_es.alias("s_es"),
-        pred.alias("pred_lang"),
+        scores["en"].alias("s_en"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        scores["es"].alias("s_es"),
+        _pred_lang(t).alias("pred_lang"),
     )
 
 
