@@ -322,6 +322,16 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
 
+    we_ = add("warc-extract", help="sources: WARC (Common Crawl) → "
+              "documents-shaped table (doc_id, url, warc_date, "
+              "content_type, http_status, text) — keeps HTTP 200 "
+              "responses by default; the ingestion step every datapipe "
+              "operator consumes")
+    we_.add_argument("--split-size", type=int, default=64 << 20)
+    we_.add_argument("--keep-all", action="store_true",
+                     help="keep every record type/status (text NULL "
+                     "when the payload is not an HTTP message)")
+
     ic_ = add("dedup-incremental", help="datapipe: dedup a batch "
               "against a persisted fingerprint store (anti-join + "
               "within-batch keep-first); optionally write the updated "
@@ -880,6 +890,28 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input),
             k=args.k, m=args.m, ksub=args.ksub,
             id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "warc-extract":
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.sources.warc import read_warc
+
+        recs = read_warc(spark, args.input, split_size=args.split_size)
+        if not args.keep_all:
+            recs = recs.where(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+            )
+        out = recs.select(
+            # deterministic 63-bit id from the (globally unique) WARC
+            # record id — stable across re-runs and file orderings
+            F.pmod(F.xxhash64("record_id"), F.lit(1 << 62)).alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            "warc_date",
+            "content_type",
+            "http_status",
+            F.col("http_body").cast("string").alias("text"),
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "dedup-incremental":

@@ -99,7 +99,35 @@ class _FastaReader(_RangeReaderBase):
             yield rid, seq.decode("ascii", "replace").upper()
 
 
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc")`` → one row per WARC record (the
+    Common Crawl ingestion format; schema in
+    :mod:`reflexiv_spark.sources.warc`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        from reflexiv_spark.sources.warc import WARC_SCHEMA
+
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
+
+
+class _WarcReader(_RangeReaderBase):
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        from reflexiv_spark.sources.warc import _parse_warc_range
+
+        yield from _parse_warc_range(
+            partition.file, partition.start, partition.length
+        )
+
+
 def register(spark) -> None:
-    """Register both formats on a session (idempotent)."""
+    """Register all formats on a session (idempotent)."""
     spark.dataSource.register(FastqDataSource)
     spark.dataSource.register(FastaDataSource)
+    spark.dataSource.register(WarcDataSource)

@@ -120,6 +120,16 @@ class _RangeReader:
                     return line
                 return None
 
+    def read_bytes(self, n: int) -> bytes:
+        """Exactly ``n`` bytes from the cursor (short only at EOF) —
+        length-prefixed payloads (WARC Content-Length) read past the
+        range end the same way next_line() does."""
+        while len(self.buf) - self.pos < n and self._fill():
+            pass
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
     def close(self) -> None:
         self.fh.close()
 
