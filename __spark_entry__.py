@@ -2912,6 +2912,104 @@ _SQL_WINNOW_STORE_PROBE = (
 )
 
 
+def _with_synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URLs over the documents table (the
+    driver corpus carries no URL column): host = [www.]<source>-site.com
+    (www on ids divisible by 3 — two hosts per domain; id%2 is constant per source), path extension cycling
+    html//pdf/js on id%4. The same literal construction exists in the
+    oracle twins, so the URL family is fully replayable."""
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.pmod("doc_id", 3) == 0, F.lit("www.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"),
+            F.lit("-site.com/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.pmod("doc_id", 4) == 0, F.lit(".html"))
+            .when(F.pmod("doc_id", 4) == 1, F.lit(""))
+            .when(F.pmod("doc_id", 4) == 2, F.lit(".pdf"))
+            .otherwise(F.lit(".js")),
+        ),
+    )
+
+
+_SQL_SYNTH_URLS = (
+    "u AS (SELECT *, 'https://'"
+    " || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
+    " || source || '-site.com/page/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 4 = 0 THEN '.html'"
+    " WHEN doc_id % 4 = 1 THEN '' WHEN doc_id % 4 = 2 THEN '.pdf'"
+    " ELSE '.js' END AS url FROM documents), "
+    "pu AS (SELECT doc_id, n_chars, lower(url) AS lu FROM u), "
+    "pp AS (SELECT doc_id, n_chars,"
+    r" regexp_extract(lu, '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',"
+    " 1) AS host,"
+    r" regexp_extract(lu, '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)"
+    " AS path FROM pu), "
+    "pe AS (SELECT doc_id, n_chars, host,"
+    r" regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,"
+    " lower(regexp_extract(list_extract(string_split(path, '/'), -1),"
+    r" '\.([a-zA-Z0-9]{1,8})$', 1)) AS ext FROM pp)"
+)
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: URL-level curation verdict (the C4/FineWeb/UT1
+    blocklist + extension stage) over deterministic synthetic URLs —
+    per doc (host, domain, ext, ext_ok, domain_ok, kept); blocklist
+    hits two domains and one exact www host. STAGED round 12; registers
+    ROUND 13. Oracle twin _SQL_URL_FILTER; pair gated locally by
+    tests/test_urls.py::test_staged_url_filter_parity."""
+    from reflexiv_spark.datapipe.urls import url_filter
+
+    docs = _with_synth_urls(_t(spark, sf_dir, "documents"))
+    blocked = spark.createDataFrame(
+        [("src1-site.com",), ("src7-site.com",), ("www.src5-site.com",)],
+        "domain string",
+    )
+    return url_filter(docs, blocked)
+
+
+_SQL_URL_FILTER = (
+    f"WITH {_SQL_SYNTH_URLS}, "
+    "b AS (SELECT unnest(['src1-site.com', 'src7-site.com',"
+    " 'www.src5-site.com']) AS bad) "
+    "SELECT doc_id, host, domain, ext,"
+    " ext IN ('', 'html', 'htm', 'php', 'asp', 'aspx', 'jsp', 'txt',"
+    " 'md') AS ext_ok,"
+    " domain NOT IN (SELECT bad FROM b)"
+    " AND host NOT IN (SELECT bad FROM b) AS domain_ok,"
+    " ext IN ('', 'html', 'htm', 'php', 'asp', 'aspx', 'jsp', 'txt',"
+    " 'md') AND domain NOT IN (SELECT bad FROM b)"
+    " AND host NOT IN (SELECT bad FROM b) AS kept FROM pe"
+)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: per-registered-domain corpus statistics (crawl-mix /
+    per-domain-dedup planning) over the same synthetic URLs —
+    (domain, n_docs, n_hosts, total_chars). STAGED round 12; registers
+    ROUND 13. Oracle twin _SQL_DOMAIN_STATS; pair gated locally by
+    tests/test_urls.py::test_staged_domain_stats_parity."""
+    from reflexiv_spark.datapipe.urls import domain_stats
+
+    return domain_stats(_with_synth_urls(_t(spark, sf_dir, "documents")))
+
+
+_SQL_DOMAIN_STATS = (
+    f"WITH {_SQL_SYNTH_URLS}, "
+    "t AS (SELECT pe.domain, pe.host, pe.doc_id,"
+    " length(coalesce(d.text, '')) AS c FROM pe"
+    " JOIN documents d USING (doc_id)) "
+    "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,"
+    " CAST(sum(c) AS BIGINT) AS total_chars FROM t GROUP BY domain"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

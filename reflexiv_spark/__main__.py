@@ -322,6 +322,20 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
 
+    uf_ = add("url-filter", help="datapipe: URL-level curation — "
+              "parse host/domain/path/ext, extension allowlist + "
+              "UT1-style domain/host blocklist verdict per doc; "
+              "--stats emits per-domain statistics instead")
+    uf_.add_argument("--url-col", default="url")
+    uf_.add_argument("--id-col", default="doc_id")
+    uf_.add_argument("--blocklist", default=None,
+                     help="parquet with a 'domain' column (domains or "
+                     "exact hosts to drop)")
+    uf_.add_argument("--keep-only", action="store_true",
+                     help="emit only kept rows (verdict columns dropped)")
+    uf_.add_argument("--stats", action="store_true",
+                     help="per-domain (n_docs, n_hosts, total_chars)")
+
     we_ = add("warc-extract", help="sources: WARC (Common Crawl) → "
               "documents-shaped table (doc_id, url, warc_date, "
               "content_type, http_status, text) — keeps HTTP 200 "
@@ -891,6 +905,27 @@ def main(argv: list[str] | None = None) -> int:
             k=args.k, m=args.m, ksub=args.ksub,
             id_col=args.id_col, vec_col=args.vec_col,
         )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "url-filter":
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.urls import domain_stats, url_filter
+
+        docs = spark.read.parquet(args.input)
+        if args.stats:
+            out = domain_stats(docs, url_col=args.url_col,
+                               id_col=args.id_col)
+        else:
+            blocked = (
+                spark.read.parquet(args.blocklist)
+                if args.blocklist is not None else None
+            )
+            out = url_filter(docs, blocked, url_col=args.url_col,
+                             id_col=args.id_col)
+            if args.keep_only:
+                out = out.where(F.col("kept")).select(
+                    args.id_col, "host", "domain", "ext"
+                )
         _write(out, args.output, args.outformat)
     elif args.cmd == "warc-extract":
         from pyspark.sql import functions as F
