@@ -345,6 +345,9 @@ def main(argv: list[str] | None = None) -> int:
     we_.add_argument("--keep-all", action="store_true",
                      help="keep every record type/status (text NULL "
                      "when the payload is not an HTTP message)")
+    we_.add_argument("--wet", action="store_true",
+                     help="input is WET (extracted text): keep "
+                     "'conversion' records, text = raw payload")
 
     ic_ = add("dedup-incremental", help="datapipe: dedup a batch "
               "against a persisted fingerprint store (anti-join + "
@@ -933,11 +936,17 @@ def main(argv: list[str] | None = None) -> int:
         from reflexiv_spark.sources.warc import read_warc
 
         recs = read_warc(spark, args.input, split_size=args.split_size)
-        if not args.keep_all:
-            recs = recs.where(
-                (F.col("warc_type") == "response")
-                & (F.col("http_status") == 200)
-            )
+        if args.wet:
+            # WET: the payload IS the extracted text (no HTTP message)
+            recs = recs.where(F.col("warc_type") == "conversion")
+            text = F.col("payload").cast("string")
+        else:
+            if not args.keep_all:
+                recs = recs.where(
+                    (F.col("warc_type") == "response")
+                    & (F.col("http_status") == 200)
+                )
+            text = F.col("http_body").cast("string")
         out = recs.select(
             # deterministic 63-bit id from the (globally unique) WARC
             # record id — stable across re-runs and file orderings
@@ -946,7 +955,7 @@ def main(argv: list[str] | None = None) -> int:
             "warc_date",
             "content_type",
             "http_status",
-            F.col("http_body").cast("string").alias("text"),
+            text.alias("text"),
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "dedup-incremental":

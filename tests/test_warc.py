@@ -161,6 +161,28 @@ def test_cli_warc_extract(spark, tmp_path):
     )
 
 
+def test_cli_wet_extract(spark, tmp_path):
+    """--wet: 'conversion' records' raw payloads become the text
+    column (the Common Crawl WET shape)."""
+    from reflexiv_spark.__main__ import main
+
+    recs = b"".join(
+        _record(f"wet-{i}", wtype="conversion",
+                uri=f"http://example.com/{i}",
+                payload=f"extracted text of page {i}\nsecond line".encode())
+        for i in range(4)
+    ) + _record("info", wtype="warcinfo", uri=None, payload=b"x: y\r\n")
+    p = tmp_path / "h.warc"
+    p.write_bytes(recs)
+    out = tmp_path / "wet"
+    assert main(["warc-extract", "-i", str(p), "-o", str(out),
+                 "--wet"]) == 0
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == 4  # warcinfo excluded
+    assert all(r.text.startswith("extracted text of page ") for r in rows)
+    assert all(r.http_status is None for r in rows)
+
+
 def test_truncated_final_record_dropped(spark, tmp_path):
     """A record cut off mid-payload is dropped, never mis-framed."""
     full = _corpus(3)
