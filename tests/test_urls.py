@@ -106,6 +106,45 @@ def test_domain_stats(spark):
     assert got["b.org"] == (1, 1, 3)
 
 
+def test_streaming_equals_batch(spark, tmp_path):
+    """url_filter is a stateless projection + stream-static broadcast
+    blocklist join, so readStream composes: streaming output over a
+    file source equals the batch output on the same rows."""
+    from reflexiv_spark.datapipe.urls import url_filter
+
+    rows = [
+        (1, "https://www.good.com/page.html"),
+        (2, "https://spam.bad.com/x.exe"),
+        (3, None),
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, url string").write.parquet(
+        str(src)
+    )
+    blocked = spark.createDataFrame([("bad.com",)], "domain string")
+    batch = sorted(
+        tuple(r)
+        for r in url_filter(spark.read.parquet(str(src)), blocked).collect()
+    )
+    stream = spark.readStream.schema("doc_id long, url string").parquet(
+        str(src)
+    )
+    q = (
+        url_filter(stream, blocked)
+        .writeStream.format("memory")
+        .queryName("urlf_eq")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("select * from urlf_eq").collect()
+        )
+    finally:
+        q.stop()
+    assert got == batch and len(batch) == 3
+
+
 def test_cli_url_filter(spark, tmp_path):
     from reflexiv_spark.__main__ import main
 
