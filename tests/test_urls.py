@@ -106,6 +106,56 @@ def test_domain_stats(spark):
     assert got["b.org"] == (1, 1, 3)
 
 
+def test_cross_engine_regex_parity_random_corpus(spark):
+    """The parsing contract is 'same answer under java.util.regex, RE2
+    (DuckDB), and Python re' — hammer it with a seeded random corpus of
+    URL-ish and garbage strings across all three engines."""
+    import random
+
+    import duckdb
+
+    from reflexiv_spark.datapipe.urls import parse_urls
+
+    rng = random.Random(42)
+    alphabet = "abcXYZ019.:/?#@%-_~()[]{}\\ \t"
+    schemes = ["https://", "http://", "ftp://", "x+y-z.9://", "://", ""]
+    rows = []
+    for i in range(500):
+        s = rng.choice(schemes) + "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 60))
+        )
+        rows.append((i, s))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.host, r.domain, r.path, r.ext)
+        for r in parse_urls(df).collect()
+    }
+    want = {i: _ref_parse(u) for i, u in rows}
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        i: (h, d, p, e)
+        for i, h, d, p, e in con.execute(
+            "SELECT doc_id,"
+            r" regexp_extract(lower(coalesce(url, '')),"
+            r" '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),"
+            r" regexp_extract(regexp_extract(lower(coalesce(url, '')),"
+            r" '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),"
+            r" '([^.]+\.[^.]+)$', 1),"
+            r" regexp_extract(lower(coalesce(url, '')),"
+            r" '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1),"
+            r" lower(regexp_extract(list_extract(string_split("
+            r"regexp_extract(lower(coalesce(url, '')),"
+            r" '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/'), -1),"
+            r" '\.([a-zA-Z0-9]{1,8})$', 1))"
+            " FROM t"
+        ).fetchall()
+    }
+    assert duck == want
+
+
 def test_streaming_equals_batch(spark, tmp_path):
     """url_filter is a stateless projection + stream-static broadcast
     blocklist join, so readStream composes: streaming output over a
