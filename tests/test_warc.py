@@ -183,6 +183,60 @@ def test_cli_wet_extract(spark, tmp_path):
     assert all(r.http_status is None for r in rows)
 
 
+def test_fuzz_corruption_never_crashes_or_misframes(tmp_path):
+    """Seeded random corruption of a valid corpus (byte flips,
+    deletions, junk insertions): the parser must never raise, never
+    emit a row whose payload length disagrees with its Content-Length,
+    and any surviving record id must come from the original corpus
+    (framing can drop records under corruption, never invent them).
+    Pure-Python drive of _parse_warc_range — no Spark session."""
+    import random
+
+    from reflexiv_spark.sources.warc import _parse_warc_range
+
+    base = _corpus(8)
+    rng = random.Random(1234)
+    original_payloads = {}
+    p0 = tmp_path / "orig.warc"
+    p0.write_bytes(base)
+    for r in _parse_warc_range(str(p0), 0, len(base)):
+        original_payloads[r[0]] = r[7]
+    survived_any = 0
+    for trial in range(60):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            kind = rng.randrange(3)
+            pos = rng.randrange(len(data))
+            if kind == 0:  # flip
+                data[pos] ^= 1 << rng.randrange(8)
+            elif kind == 1:  # delete a chunk
+                del data[pos : pos + rng.randint(1, 50)]
+            else:  # insert junk (sometimes WARC-looking)
+                junk = (
+                    b"WARC/1.0\r\njunk\r\n"
+                    if rng.random() < 0.3
+                    else bytes(rng.randrange(256) for _ in range(20))
+                )
+                data[pos:pos] = junk
+        p = tmp_path / f"fz{trial}.warc"
+        p.write_bytes(bytes(data))
+        # whole-range and two split framings: must not raise, and every
+        # emitted row honors content_length == len(payload)
+        for start, length in ((0, len(data)), (0, 997), (997, len(data))):
+            for r in _parse_warc_range(str(p), start, length):
+                assert r[5] == len(r[7])
+        # records whose id AND payload both match an original are true
+        # survivors — count them to prove corruption degrades the
+        # corpus gracefully instead of zeroing it
+        whole = list(_parse_warc_range(str(p), 0, len(data)))
+        survived_any += sum(
+            1 for r in whole if original_payloads.get(r[0]) == r[7]
+        )
+    # with <= 6 point mutations over ~18 records x 60 trials, the vast
+    # majority of records must survive intact
+    assert survived_any > 60 * 10
+
+
 def test_truncated_final_record_dropped(spark, tmp_path):
     """A record cut off mid-payload is dropped, never mis-framed."""
     full = _corpus(3)
