@@ -3010,6 +3010,52 @@ _SQL_DOMAIN_STATS = (
 )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the per-language data-card summary (doc/token/empty
+    counts, exact rank-based median document length, exact-duplicate
+    membership via md5-60bit normalized-text fingerprints, source
+    spread) — the corpus statistics table dataset releases publish.
+    STAGED round 12; registers ROUND 13. Oracle twin
+    _SQL_CORPUS_REPORT; pair gated locally by
+    tests/test_report.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.report import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+_SQL_CORPUS_REPORT = (
+    r"WITH pd AS (SELECT doc_id, lang, source,"
+    r" CAST(len(list_filter(string_split_regex(coalesce(text, ''),"
+    r" '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,"
+    r" length(trim(coalesce(text, ''))) = 0 AS empty,"
+    r" CASE WHEN text IS NOT NULL THEN CAST(('0x' || substr(md5("
+    r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))"
+    " AS BIGINT) END AS fp FROM documents), "
+    "dg AS (SELECT lang, fp, count(*) AS grp FROM pd"
+    " WHERE fp IS NOT NULL GROUP BY lang, fp), "
+    "ds AS (SELECT lang,"
+    " CAST(sum(CASE WHEN grp > 1 THEN grp ELSE 0 END) AS BIGINT)"
+    " AS n_dup_docs,"
+    " CAST(count(*) AS BIGINT) AS n_distinct_texts FROM dg"
+    " GROUP BY lang), "
+    "rk AS (SELECT lang, n_tokens, row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY lang) AS n FROM pd), "
+    "md AS (SELECT lang, n_tokens AS median_tokens FROM rk"
+    " WHERE rn = (n + 1) // 2), "
+    "b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_empty, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+    " CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM pd"
+    " GROUP BY lang) "
+    "SELECT b.lang, n_docs, n_empty, total_tokens, median_tokens,"
+    " CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,"
+    " CAST(coalesce(ds.n_distinct_texts, 0) AS BIGINT)"
+    " AS n_distinct_texts, n_sources"
+    " FROM b JOIN md USING (lang) LEFT JOIN ds USING (lang)"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -322,6 +322,14 @@ def main(argv: list[str] | None = None) -> int:
     ps_.add_argument("-m", type=int, default=8)
     ps_.add_argument("--ksub", type=int, default=16)
 
+    cr_ = add("corpus-report", help="datapipe: per-language data-card "
+              "summary — doc/token/empty counts, exact median doc "
+              "length, exact-duplicate membership, source spread")
+    cr_.add_argument("--text-col", default="text")
+    cr_.add_argument("--id-col", default="doc_id")
+    cr_.add_argument("--lang-col", default="lang")
+    cr_.add_argument("--source-col", default="source")
+
     uf_ = add("url-filter", help="datapipe: URL-level curation — "
               "parse host/domain/path/ext, extension allowlist + "
               "UT1-style domain/host blocklist verdict per doc; "
@@ -907,6 +915,15 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.input),
             k=args.k, m=args.m, ksub=args.ksub,
             id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "corpus-report":
+        from reflexiv_spark.datapipe.report import corpus_report
+
+        out = corpus_report(
+            spark.read.parquet(args.input), text_col=args.text_col,
+            id_col=args.id_col, lang_col=args.lang_col,
+            source_col=args.source_col,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "url-filter":
