@@ -3010,6 +3010,40 @@ _SQL_DOMAIN_STATS = (
 )
 
 
+def q_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: near-dup candidate screening vs a persisted LSH
+    band-key store — the `incremental_dedup` pattern one level up:
+    persist the clean target shard's (doc_id%10 == 0) MinHash band
+    keys, flag every raw-shard doc whose bands collide →
+    (doc_id, n_band_hits). md5 family (the oracle device shared with
+    minhash_near_dup). STAGED round 12; registers ROUND 13. Oracle
+    twin _SQL_INCREMENTAL_CANDIDATES; pair gated locally by
+    tests/test_incremental.py::test_staged_candidates_parity."""
+    from reflexiv_spark.datapipe.incremental import (
+        band_fingerprints,
+        incremental_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    store = band_fingerprints(
+        docs.where(F.col("doc_id") % 10 == 0), hash_family="md5"
+    )
+    return incremental_candidates(
+        docs.where(F.col("doc_id") % 10 != 0), store, hash_family="md5"
+    )
+
+
+_SQL_INCREMENTAL_CANDIDATES = (
+    f"WITH {_sql_minhash_pairs_ctes()}, "
+    "st AS (SELECT DISTINCT band_idx, band_key FROM bnd"
+    " WHERE id % 10 = 0), "
+    "bt AS (SELECT id, band_idx, band_key FROM bnd WHERE id % 10 != 0), "
+    "h2 AS (SELECT bt.id, count(*) AS n FROM bt"
+    " JOIN st USING (band_idx, band_key) GROUP BY bt.id) "
+    "SELECT id AS doc_id, CAST(n AS BIGINT) AS n_band_hits FROM h2"
+)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: the per-language data-card summary (doc/token/empty
     counts, exact rank-based median document length, exact-duplicate

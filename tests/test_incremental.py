@@ -105,3 +105,28 @@ def test_staged_driver_pair_parity(spark):
     # the store split really filtered something: every kept id is from
     # the batch partition
     assert all(i % 3 != 0 for i in srows)
+
+
+def test_staged_candidates_parity(spark):
+    """The round-13 STAGED driver pair gated locally this round:
+    q_incremental_candidates vs _SQL_INCREMENTAL_CANDIDATES at
+    sf0.01 (md5 family — the minhash_near_dup oracle device)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_incremental_candidates(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["doc_id", "n_band_hits"]
+    got = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(ent._SQL_INCREMENTAL_CANDIDATES).fetchall()
+    )
+    assert 0 < len(got) < 450       # some raw docs collide, not all
+    assert all(1 <= r[1] <= 8 for r in got)  # at most bands=8 hits
+    assert got == want
