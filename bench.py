@@ -142,6 +142,7 @@ HEADLINE = [
     "fineweb_rules",
     "semantic_decontam",
     "winnow_store_probe_xxh64",
+    "incremental_candidates_xxh64",
 ]
 
 
@@ -319,6 +320,23 @@ def _bench_only_queries():
             docs, k=8, window=4, hash_family="xxhash64", max_df=50
         )
 
+    def incremental_candidates_xxh64(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from reflexiv_spark.datapipe.incremental import (
+            band_fingerprints,
+            incremental_candidates,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        store = band_fingerprints(
+            docs.where(F.col("doc_id") % 10 == 0), hash_family="xxhash64"
+        )
+        return incremental_candidates(
+            docs.where(F.col("doc_id") % 10 != 0), store,
+            hash_family="xxhash64",
+        )
+
     def winnow_ref_removal_xxh64(spark, sf_dir):
         from pyspark.sql import functions as F
 
@@ -367,6 +385,7 @@ def _bench_only_queries():
         "winnow_ref_removal_xxh64": winnow_ref_removal_xxh64,
         "ccnet_buckets_xxh64": ccnet_buckets_xxh64,
         "winnow_store_probe_xxh64": winnow_store_probe_xxh64,
+        "incremental_candidates_xxh64": incremental_candidates_xxh64,
         "winnow_overlap_xxh64": winnow_overlap_xxh64,
         "winnow_spans_xxh64": winnow_spans_xxh64,
         "corpus_divergence_xxh64": corpus_divergence_xxh64,
