@@ -8,7 +8,9 @@ counts are exact ``\\S+`` run counts (the ``text_stats`` device), the
 median is the value at rank ``(n+1) div 2`` ordering by
 ``(n_tokens, doc_id)`` — a pure function of the multiset, replayable
 by an ANSI window — and duplicate counts come from md5-60bit
-fingerprints of the normalized text (the ``exact_dedup`` device).
+fingerprints of the normalized text (the ``exact_dedup`` device; a
+60-bit collision would merge two distinct texts — ~1e-18 per pair,
+the dedup family's accepted odds).
 
 Scale shape: one corpus scan computes every per-document column; the
 aggregation is one fingerprint-keyed count (dedup groups) + one
