@@ -2853,7 +2853,7 @@ _SQL_SEMANTIC_DECONTAM = (
 def q_winnow_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: winnow fingerprint STORE probe — persist the clean
     target shard's (doc_id%10 == 0) winnowed fingerprint values and
-    probe every raw-shard document against it: (id, n_fps, n_hits,
+    probe every raw-shard document against it: (doc_id, n_fps, n_hits,
     flagged = n_hits >= 100) — cross-batch span-level boilerplate
     detection, the winnowing member of the incremental-store family
     (VERDICT r11 #5). k=8, window=4, md5 (the oracle family);
@@ -2903,7 +2903,7 @@ _SQL_WINNOW_STORE_PROBE = (
     "h2 AS (SELECT bf.id, count(*) AS n_hits FROM bf"
     " JOIN st USING (fp) GROUP BY bf.id), "
     "nf AS (SELECT id, count(*) AS n_fps FROM bf GROUP BY id) "
-    "SELECT d.doc_id AS id,"
+    "SELECT d.doc_id AS doc_id,"
     " CAST(coalesce(nf.n_fps, 0) AS BIGINT) AS n_fps,"
     " CAST(coalesce(h2.n_hits, 0) AS BIGINT) AS n_hits,"
     " coalesce(h2.n_hits, 0) >= 100 AS flagged"
@@ -3086,7 +3086,8 @@ _SQL_CORPUS_REPORT = (
     " CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,"
     " CAST(coalesce(ds.n_distinct_texts, 0) AS BIGINT)"
     " AS n_distinct_texts, n_sources"
-    " FROM b JOIN md USING (lang) LEFT JOIN ds USING (lang)"
+    " FROM b JOIN md ON b.lang IS NOT DISTINCT FROM md.lang"
+    " LEFT JOIN ds ON b.lang IS NOT DISTINCT FROM ds.lang"
 )
 
 

@@ -345,10 +345,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="per-domain (n_docs, n_hosts, total_chars)")
 
     we_ = add("warc-extract", help="sources: WARC (Common Crawl) → "
-              "documents-shaped table (doc_id, url, warc_date, "
-              "content_type, http_status, text) — keeps HTTP 200 "
-              "responses by default; the ingestion step every datapipe "
-              "operator consumes")
+              "documents-shaped table (doc_id, record_id, url, "
+              "warc_date, content_type, http_status, text) — keeps "
+              "HTTP 200 responses by default; the ingestion step every "
+              "datapipe operator consumes. doc_id is a 62-bit hash of "
+              "the WARC record id (~1 expected colliding pair per ~3B "
+              "records); record_id rides along so collisions are "
+              "recoverable")
     we_.add_argument("--split-size", type=int, default=64 << 20)
     we_.add_argument("--keep-all", action="store_true",
                      help="keep every record type/status (text NULL "
@@ -952,6 +955,12 @@ def main(argv: list[str] | None = None) -> int:
 
         from reflexiv_spark.sources.warc import read_warc
 
+        # argument-combination guard (round-13 ADVICE): --wet always
+        # filters to 'conversion' records, so --keep-all would be
+        # silently ignored — error instead of misleading
+        if args.wet and args.keep_all:
+            p.error("--keep-all has no effect with --wet (WET files "
+                    "hold only 'conversion' records); drop one flag")
         recs = read_warc(spark, args.input, split_size=args.split_size)
         if args.wet:
             # WET: the payload IS the extracted text (no HTTP message)
@@ -965,9 +974,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             text = F.col("http_body").cast("string")
         out = recs.select(
-            # deterministic 63-bit id from the (globally unique) WARC
-            # record id — stable across re-runs and file orderings
+            # deterministic 62-bit id from the (globally unique) WARC
+            # record id — stable across re-runs and file orderings.
+            # 62 bits ⇒ ~1 expected colliding pair per ~3B records
+            # (birthday bound n^2/2^63); record_id rides along so a
+            # collision is always recoverable downstream.
             F.pmod(F.xxhash64("record_id"), F.lit(1 << 62)).alias("doc_id"),
+            "record_id",
             F.col("target_uri").alias("url"),
             "warc_date",
             "content_type",

@@ -95,9 +95,22 @@ def corpus_report(
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.count_distinct("src").cast("bigint").alias("n_sources"),
     )
+    # eqNullSafe joins (round-13 ADVICE): groupBy and the windows both
+    # produce a NULL-lang group, but a plain equi-join rejects NULL
+    # keys — NULL-lang documents would appear in NO output row, and a
+    # data card must account for every document. The NULL-lang group
+    # survives as its own row.
+    med = med.withColumnRenamed("lang", "__lang_m")
+    dup_stats = dup_stats.withColumnRenamed("lang", "__lang_d")
     return (
-        base.join(med, "lang")
-        .join(dup_stats, "lang", "left")
+        base.join(med, F.col("lang").eqNullSafe(F.col("__lang_m")))
+        .drop("__lang_m")
+        .join(
+            dup_stats,
+            F.col("lang").eqNullSafe(F.col("__lang_d")),
+            "left",
+        )
+        .drop("__lang_d")
         .select(
             "lang",
             "n_docs",

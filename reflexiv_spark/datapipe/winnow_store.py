@@ -69,7 +69,9 @@ def probe_winnow_store(
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Probe a batch against a persisted fingerprint store →
-    DataFrame[id, n_fps, n_hits, flagged]: per batch document, the
+    DataFrame[<id_col>, n_fps, n_hits, flagged] (the id column keeps
+    the caller's name, like ``incremental_candidates`` — round-13
+    ADVICE): per batch document, the
     count of its distinct winnow fingerprints (``n_fps``), how many of
     those appear in the store (``n_hits``), and
     ``flagged = n_hits >= min_shared`` — the MOSS overlap rule
@@ -110,7 +112,7 @@ def probe_winnow_store(
         batch.select(F.col(id_col).alias("id"))
         .join(per_doc, "id", "left")
         .select(
-            "id",
+            F.col("id").alias(id_col),
             F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) >= min_shared).alias("flagged"),

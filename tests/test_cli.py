@@ -532,7 +532,10 @@ def test_cli_winnow_probe_store_round_trip(spark, tmp_path):
                  str(store)]) == 0
     assert main(["winnow-probe", "-i", str(d2),
                  "-o", str(tmp_path / "r2"), "--store", str(store)]) == 0
-    rep = {r.id: r for r in spark.read.parquet(str(tmp_path / "r2")).collect()}
+    rep = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "r2")).collect()
+    }
     assert rep[2].flagged and rep[2].n_hits >= 2
     assert not rep[3].flagged
 

@@ -39,6 +39,28 @@ def test_planted_corpus_values(spark):
     assert de["n_sources"] == 2
 
 
+def test_null_lang_group_accounted(spark):
+    """Round-13 ADVICE fix: NULL-lang documents must appear in their
+    own output row (null-safe joins) — a data card accounts for every
+    document; previously the inner equi-join on lang dropped them."""
+    from reflexiv_spark.datapipe.report import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "s1", "a b"),
+            (2, None, "s1", "a b"),
+            (3, "en", "s2", "x"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    got = {r.lang: r.asDict() for r in corpus_report(df).collect()}
+    assert None in got and got[None]["n_docs"] == 2
+    assert got[None]["n_dup_docs"] == 2
+    assert got[None]["median_tokens"] == 2
+    assert got["en"]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in got.values()) == 3
+
+
 def test_missing_source_column(spark):
     from reflexiv_spark.datapipe.report import corpus_report
 

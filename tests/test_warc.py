@@ -139,7 +139,8 @@ def test_datasource_path_matches_reader(spark, tmp_path):
 
 def test_cli_warc_extract(spark, tmp_path):
     """warc-extract subcommand: WARC → documents-shaped parquet, HTTP
-    200 responses only by default, stable 63-bit doc ids."""
+    200 responses only by default, stable 62-bit doc ids with the
+    source record_id riding along (collision recoverability)."""
     from reflexiv_spark.__main__ import main
 
     p = tmp_path / "g.warc"
@@ -153,6 +154,8 @@ def test_cli_warc_extract(spark, tmp_path):
     assert all(r.url == "http://example.com/a" for r in rows)
     assert all(r.text.startswith("<html>doc ") for r in rows)
     assert len({r.doc_id for r in rows}) == len(rows)  # ids distinct
+    # record_id present and unique — the collision-recovery column
+    assert len({r.record_id for r in rows}) == len(rows)
     # re-run → identical ids (determinism)
     out2 = tmp_path / "docs2"
     assert main(["warc-extract", "-i", str(p), "-o", str(out2)]) == 0
@@ -181,6 +184,13 @@ def test_cli_wet_extract(spark, tmp_path):
     assert len(rows) == 4  # warcinfo excluded
     assert all(r.text.startswith("extracted text of page ") for r in rows)
     assert all(r.http_status is None for r in rows)
+    # --keep-all with --wet is a contradiction: erroring beats silently
+    # ignoring the flag (round-13 ADVICE guard)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["warc-extract", "-i", str(p), "-o", str(tmp_path / "x"),
+              "--wet", "--keep-all"])
 
 
 def test_fuzz_corruption_never_crashes_or_misframes(tmp_path):

@@ -29,7 +29,7 @@ def test_probe_flags_cross_batch_shared_passage(spark):
     )
     store = winnow_store(corpus)
     got = {
-        r.id: (r.n_fps, r.n_hits, r.flagged)
+        r.doc_id: (r.n_fps, r.n_hits, r.flagged)
         for r in probe_winnow_store(batch, store, min_shared=2).collect()
     }
     assert set(got) == {10, 11, 12, 13}
@@ -90,7 +90,7 @@ def test_staged_driver_pair_parity(spark):
     import __spark_entry__ as ent
 
     sdf = ent.q_winnow_store_probe(spark, "/root/testdata/sf0.01")
-    assert sdf.columns == ["id", "n_fps", "n_hits", "flagged"]
+    assert sdf.columns == ["doc_id", "n_fps", "n_hits", "flagged"]
     got = sorted(tuple(r) for r in sdf.collect())
     con = duckdb.connect()
     con.execute(
