@@ -339,6 +339,11 @@ def main(argv: list[str] | None = None) -> int:
     uf_.add_argument("--blocklist", default=None,
                      help="parquet with a 'domain' column (domains or "
                      "exact hosts to drop)")
+    uf_.add_argument("--psl", default=None,
+                     help="parquet public-suffix list (column "
+                     "'suffix'): registered domains via longest-"
+                     "suffix match instead of the last-two-label "
+                     "heuristic")
     uf_.add_argument("--keep-only", action="store_true",
                      help="emit only kept rows (verdict columns dropped)")
     uf_.add_argument("--stats", action="store_true",
@@ -935,16 +940,20 @@ def main(argv: list[str] | None = None) -> int:
         from reflexiv_spark.datapipe.urls import domain_stats, url_filter
 
         docs = spark.read.parquet(args.input)
+        psl = (
+            spark.read.parquet(args.psl)
+            if args.psl is not None else None
+        )
         if args.stats:
             out = domain_stats(docs, url_col=args.url_col,
-                               id_col=args.id_col)
+                               id_col=args.id_col, psl=psl)
         else:
             blocked = (
                 spark.read.parquet(args.blocklist)
                 if args.blocklist is not None else None
             )
             out = url_filter(docs, blocked, url_col=args.url_col,
-                             id_col=args.id_col)
+                             id_col=args.id_col, psl=psl)
             if args.keep_only:
                 out = out.where(F.col("kept")).select(
                     args.id_col, "host", "domain", "ext"

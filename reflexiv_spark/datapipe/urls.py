@@ -11,9 +11,11 @@ DuckDB, so the SQL oracles replay each column bit-for-bit (the
 ``redact_pii``/``strip_markup`` determinism contract). Columns:
 
 - ``host``: lower-cased authority, port and credentials stripped;
-- ``domain``: the last two dot-labels of the host (the pragmatic
-  registered-domain heuristic — a public-suffix list is a data file,
-  not an algorithm, and slots in as a broadcast join when provided);
+- ``domain``: the registered domain — by default the last two
+  dot-labels of the host (a pragmatic heuristic, wrong for multi-label
+  public suffixes: ``example.co.uk`` → ``co.uk``); pass a public-
+  suffix list (``psl=``, round 13) to get the true registrable domain
+  via longest-suffix-match broadcast joins;
 - ``path``: from the first ``/`` after the authority to ``?``/``#``;
 - ``ext``: lower-cased extension of the last path segment ('' when
   none).
@@ -41,22 +43,91 @@ def _host(url: Column) -> Column:
     return F.regexp_extract(F.lower(url), _HOST_RE, 1)
 
 
+# Longest public suffix the PSL matcher considers. The real PSL's
+# longest entries are 4 labels (a handful of 5-label historic entries
+# exist; callers who need them can raise this — each step is one more
+# model-sized broadcast join).
+_PSL_MAX_LABELS = 4
+
+
 def parse_urls(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame[id, host, domain, path, ext] — '' for components a
     malformed URL lacks (never NULL: '' composes with the filters and
-    group-bys without NULL-key special cases)."""
+    group-bys without NULL-key special cases).
+
+    ``psl`` (round 13): an optional public-suffix list — a DataFrame
+    with a ``suffix`` column of plain dotted suffixes (``co.uk``,
+    ``com.au``, ``uk`` …) — fixing the registered-domain column for
+    multi-label suffixes (``shop.example.co.uk`` → ``example.co.uk``,
+    not ``co.uk``). Matching is LONGEST-suffix-wins over at most
+    ``_PSL_MAX_LABELS`` labels, executed as one model-sized broadcast
+    left join per label count — the corpus never shuffles. Unlisted
+    TLDs fall back to the PSL's implicit ``*`` rule (the last label is
+    the suffix ⇒ domain = last two labels, the same answer as the
+    default heuristic); a host that IS a public suffix has no
+    registrable domain → ``''``. Wildcard (``*.ck``) and exception
+    (``!www.ck``) PSL rules are data-prep: expand them to plain
+    suffixes before passing the frame. ``psl=None`` (default) keeps
+    the last-two-label heuristic — and the oracle replay — unchanged."""
     u = F.coalesce(F.col(url_col), F.lit(""))
     host = _host(u)
     path = F.regexp_extract(F.lower(u), _PATH_RE, 1)
     last_seg = F.element_at(F.split(path, "/"), -1)
-    return df.select(
+    ext = F.lower(F.regexp_extract(last_seg, _EXT_RE, 1))
+    if psl is None:
+        return df.select(
+            F.col(id_col),
+            host.alias("host"),
+            F.regexp_extract(host, _DOMAIN_RE, 1).alias("domain"),
+            path.alias("path"),
+            ext.alias("ext"),
+        )
+    base = df.select(
         F.col(id_col),
         host.alias("host"),
-        F.regexp_extract(host, _DOMAIN_RE, 1).alias("domain"),
         path.alias("path"),
-        F.lower(F.regexp_extract(last_seg, _EXT_RE, 1)).alias("ext"),
+        ext.alias("ext"),
+        F.split(host, r"\.").alias("__labels"),
+    )
+    sfx = psl.select(F.lower(F.col("suffix")).alias("__sfx")).distinct()
+    cur = base
+    for m in range(_PSL_MAX_LABELS, 0, -1):
+        blm = F.broadcast(
+            sfx.where(
+                F.size(F.split(F.col("__sfx"), r"\.")) == m
+            ).withColumnRenamed("__sfx", f"__sfx{m}")
+        )
+        cand = F.when(
+            F.size("__labels") >= m,
+            F.array_join(F.slice("__labels", -m, m), "."),
+        )
+        cur = cur.join(blm, cand == F.col(f"__sfx{m}"), "left")
+    # longest match wins; no match → the implicit '*' rule (1 label)
+    nsfx = F.coalesce(
+        *[
+            F.when(F.col(f"__sfx{m}").isNotNull(), F.lit(m))
+            for m in range(_PSL_MAX_LABELS, 0, -1)
+        ],
+        F.lit(1),
+    )
+    nlab = F.size("__labels")
+    domain = F.when(
+        nlab > nsfx,
+        F.array_join(
+            F.slice("__labels", -(nsfx + F.lit(1)), nsfx + F.lit(1)), "."
+        ),
+    ).otherwise(F.lit(""))
+    return cur.select(
+        F.col(id_col),
+        "host",
+        domain.alias("domain"),
+        "path",
+        "ext",
     )
 
 
@@ -71,6 +142,7 @@ def url_filter(
     url_col: str = "url",
     id_col: str = "doc_id",
     allowed_exts: tuple[str, ...] = TEXT_EXTS,
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document URL curation verdict →
     DataFrame[id, host, domain, ext, ext_ok, domain_ok, kept].
@@ -81,8 +153,10 @@ def url_filter(
     probe is one broadcast left join; pass None to skip).
     ``kept = ext_ok AND domain_ok``. Keeps every row with its verdict
     so callers can audit drop reasons; filter on ``kept`` to curate.
+    ``psl`` forwards to :func:`parse_urls` so blocklist entries like
+    ``example.co.uk`` match at the true registered domain.
     """
-    parsed = parse_urls(df, url_col, id_col)
+    parsed = parse_urls(df, url_col, id_col, psl=psl)
     ext_ok = F.col("ext").isin(*allowed_exts)
     if blocked_domains is None:
         out = parsed.select(
@@ -117,13 +191,15 @@ def domain_stats(
     url_col: str = "url",
     id_col: str = "doc_id",
     text_col: str | None = "text",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
     """Per-registered-domain corpus statistics →
     DataFrame[domain, n_docs, n_hosts, total_chars] — the crawl-mix /
     per-domain-dedup planning table. One hash aggregate keyed by
     domain; ``total_chars`` is 0-filled when ``text_col`` is None or
-    missing."""
-    parsed = parse_urls(df, url_col, id_col)
+    missing. ``psl`` forwards to :func:`parse_urls` (without it every
+    ccTLD host aggregates under its public suffix, e.g. ``co.uk``)."""
+    parsed = parse_urls(df, url_col, id_col, psl=psl)
     if text_col is not None and text_col in df.columns:
         chars = df.select(
             F.col(id_col),

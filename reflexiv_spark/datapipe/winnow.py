@@ -61,34 +61,25 @@ def _gram_hash(gram: Column, hash_family: str) -> Column:
     return F.pmod(h, F.lit(_HASH_MOD))
 
 
-def winnow_fingerprints(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
-    window: int = 4,
-    hash_family: str = "xxhash64",
-) -> DataFrame:
-    """The winnowed fingerprint set per document →
-    DataFrame[id, pos, fp]: ``pos`` the 1-based k-gram position in the
-    normalized text, ``fp`` its 40-bit hash. NULL texts and texts
-    shorter than ``k`` produce no rows. Documents shorter than
-    ``window + k - 1`` still fingerprint (one window over what exists),
-    so every non-trivial document is represented."""
-    if window < 1 or k < 1:
-        raise ValueError("k and window must be >= 1")
-    t = normalize_text(F.col(text_col))
-    p = F.least(F.length(t) - F.lit(k - 1), F.lit(_POS_CAP))
+def _selected_keys(
+    t: Column, k: int, window: int, hash_family: str
+) -> Column:
+    """The per-row winnow KERNEL: distinct selected keys
+    (``h * 2^20 + (2^20 - 1 - pos)``) of a NORMALIZED text column, as
+    one Catalyst array expression — shared by the exploding
+    :func:`winnow_fingerprints` and the in-row
+    :func:`fingerprint_array` (the streaming probe's form).
 
-    # LET-BINDING, load-bearing, TWICE: higher-order-function lambdas
-    # re-evaluate their body per element, so every expensive expression
-    # consumed inside a per-element lambda must enter as a LAMBDA
-    # VARIABLE (bound once per row via a 1-element outer transform),
-    # never inline. Both levels were measured: an inlined key array
-    # recomputes all P gram hashes per window (O(P^2) digests — 19 min
-    # vs 4 s on the sf0.01 gate), and an inlined normalize_text
-    # re-runs the regexp per GRAM (~9.5 us/gram vs ~0.5 us with the
-    # binding). `tt` = the normalized text, `ks` = the key array.
+    LET-BINDING, load-bearing, TWICE: higher-order-function lambdas
+    re-evaluate their body per element, so every expensive expression
+    consumed inside a per-element lambda must enter as a LAMBDA
+    VARIABLE (bound once per row via a 1-element outer transform),
+    never inline. Both levels were measured: an inlined key array
+    recomputes all P gram hashes per window (O(P^2) digests — 19 min
+    vs 4 s on the sf0.01 gate), and an inlined normalize_text
+    re-runs the regexp per GRAM (~9.5 us/gram vs ~0.5 us with the
+    binding). ``tt`` = the normalized text, ``ks`` = the key array."""
+
     def _keys_of(tt: Column) -> Column:
         pp = F.least(F.length(tt) - F.lit(k - 1), F.lit(_POS_CAP))
         return F.transform(
@@ -114,18 +105,65 @@ def winnow_fingerprints(
             F.array(F.array_min(ks))
         )
 
-    sel = F.array_distinct(
+    return F.array_distinct(
         F.flatten(
             F.transform(
                 F.array(t),
                 lambda tt: F.flatten(
-                    F.transform(
-                        F.array(_keys_of(tt)), _window_mins
-                    )
+                    F.transform(F.array(_keys_of(tt)), _window_mins)
                 ),
             )
         )
     )
+
+
+def fingerprint_array(
+    text: Column,
+    k: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Per-ROW distinct winnowed fingerprint VALUES as
+    ``array<bigint>`` — the in-row form of the kernel, for stateless
+    stream probes (``probe_winnow_stream``) and any caller that wants
+    fingerprints without exploding. NULL and sub-``k`` texts yield an
+    EMPTY array (they produce no rows under :func:`winnow_fingerprints`
+    — same documents, same fingerprint VALUES, different shape).
+    Zero shuffles, zero Python — legal in a streaming projection."""
+    if window < 1 or k < 1:
+        raise ValueError("k and window must be >= 1")
+    t = normalize_text(text)
+    fps = F.array_distinct(
+        F.transform(
+            _selected_keys(t, k, window, hash_family),
+            lambda kk: F.shiftright(kk, _POS_BITS).cast("bigint"),
+        )
+    )
+    return F.when(
+        text.isNotNull() & (F.length(t) >= k), fps
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The winnowed fingerprint set per document →
+    DataFrame[id, pos, fp]: ``pos`` the 1-based k-gram position in the
+    normalized text, ``fp`` its 40-bit hash. NULL texts and texts
+    shorter than ``k`` produce no rows. Documents shorter than
+    ``window + k - 1`` still fingerprint (one window over what exists),
+    so every non-trivial document is represented."""
+    if window < 1 or k < 1:
+        raise ValueError("k and window must be >= 1")
+    t = normalize_text(F.col(text_col))
+    p = F.least(F.length(t) - F.lit(k - 1), F.lit(_POS_CAP))
+
+    sel = _selected_keys(t, k, window, hash_family)
     key = F.explode(sel).alias("__key")
     # spread(): the kernel is CPU-bound (one digest per gram), so a
     # few-file local input must fan out to the session's cores before

@@ -27,6 +27,14 @@ never shuffles by anything but its own doc id.
 Own module (imports winnow.py, is not imported by it) so building and
 evolving the store does not mark the standing winnow queries
 window-affected in ``tools/check_window.py``.
+
+The STREAMING member (:func:`probe_winnow_stream`, round 13) probes a
+continuous document stream against the same store with the whole
+computation in-row — the winnow kernel as an array column,
+``array_intersect`` against the broadcast store literal, stateless
+append output (the ``windowed_divergence`` eval-pack shape). Batch and
+stream produce identical rows; the suite pins stream == batch ==
+``probe_winnow_store`` per document.
 """
 
 from __future__ import annotations
@@ -34,7 +42,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from reflexiv_spark.datapipe.winnow import winnow_fingerprints
+from reflexiv_spark.datapipe.winnow import (
+    fingerprint_array,
+    winnow_fingerprints,
+)
 
 
 def winnow_store(
@@ -118,6 +129,71 @@ def probe_winnow_store(
             (F.coalesce("n_hits", F.lit(0)) >= min_shared).alias("flagged"),
         )
     )
+
+
+def store_fingerprint_list(store: DataFrame) -> list[int]:
+    """Collect a fingerprint store to a sorted Python list — the
+    broadcast-reference input of :func:`probe_winnow_stream`.
+    Model-sized driver state (the eval-pack rule: the store is
+    O(distinct fps) bigints); enforced with a hard cap so a
+    corpus-sized relation can never be collected by accident."""
+    rows = store.select("fp").distinct().collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            f"store has {len(rows)} fingerprints — too large for the "
+            "in-row streaming probe; use probe_winnow_store's fp-keyed "
+            "join instead"
+        )
+    return sorted(int(r["fp"]) for r in rows)
+
+
+def probe_winnow_stream(
+    df: DataFrame,
+    store_fps: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """STREAMING twin of :func:`probe_winnow_store` — per document
+    (id_col, n_fps, n_hits, flagged), computed entirely IN-ROW: the
+    winnow kernel emits the doc's distinct fingerprint array, hits are
+    ``array_intersect`` against the broadcast store literal, and the
+    result is a stateless append projection (no state store, no
+    watermark, no shuffle — the ``windowed_divergence`` eval-pack
+    shape). Works identically on batch and streaming inputs; the suite
+    pins stream == batch == ``probe_winnow_store`` per document.
+
+    ``store_fps`` is the collected model-sized fingerprint list from
+    :func:`store_fingerprint_list` (SAME k/window/hash_family as the
+    store build — fingerprints from different parameters never match).
+    Scale note: the store literal rides the serialized plan to every
+    task (the broadcast-literal contract) — right for the monitoring /
+    nightly-gate sizes this exists for; a corpus-sized store belongs in
+    the batch probe's fp-keyed join."""
+    store_arr = (
+        F.array(*[F.lit(int(v)).cast("bigint") for v in sorted(set(store_fps))])
+        if store_fps
+        else F.array().cast("array<bigint>")
+    )
+    # two-step select: __fps materializes as a named column so both
+    # consumers reference it (CollapseProject keeps non-cheap HOF
+    # expressions referenced twice un-inlined — the divergence.py rule)
+    staged = df.select(
+        F.col(id_col),
+        fingerprint_array(
+            F.col(text_col), k=k, window=window, hash_family=hash_family
+        ).alias("__fps"),
+    )
+    return staged.select(
+        id_col,
+        F.size("__fps").cast("bigint").alias("n_fps"),
+        F.size(F.array_intersect("__fps", store_arr))
+        .cast("bigint")
+        .alias("n_hits"),
+    ).withColumn("flagged", F.col("n_hits") >= min_shared)
 
 
 def update_winnow_store(store: DataFrame, new_fps: DataFrame) -> DataFrame:

@@ -262,3 +262,94 @@ def test_staged_domain_stats_parity(spark):
     assert len(got) == 20  # one row per source
     assert all(r[1] == 25 and r[2] == 2 for r in got)  # 25 docs, 2 hosts
     assert got == want
+
+
+def test_psl_registered_domains(spark):
+    """Round-13 PSL support: multi-label public suffixes resolve to the
+    true registrable domain; unlisted TLDs fall back to the implicit
+    '*' rule (== the last-two-label heuristic); a host that IS a public
+    suffix has no registrable domain."""
+    from reflexiv_spark.datapipe.urls import parse_urls
+
+    psl = spark.createDataFrame(
+        [("co.uk",), ("uk",), ("com.au",), ("au",), ("com",),
+         ("pvt.k12.ma.us",)],  # a real 4-label PSL entry
+        "suffix string",
+    )
+    urls = [
+        (1, "https://shop.example.co.uk/x.html"),     # 2-label suffix
+        (2, "https://www.library.com.au/y"),          # 2-label suffix
+        (3, "https://www.example.com/z"),             # 1-label suffix
+        (4, "https://deep.a.b.school.pvt.k12.ma.us/") ,  # 4-label suffix
+        (5, "https://example.co.uk"),                 # registrable, no www
+        (6, "https://co.uk/"),                        # host IS a suffix
+        (7, "https://foo.bar.unlistedtld/p"),         # implicit '*' rule
+        (8, "https://single/x"),                      # one-label host
+        (9, None),                                    # NULL url
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: r.domain
+        for r in parse_urls(df, psl=psl).collect()
+    }
+    assert got[1] == "example.co.uk"
+    assert got[2] == "library.com.au"
+    assert got[3] == "example.com"
+    assert got[4] == "school.pvt.k12.ma.us"
+    assert got[5] == "example.co.uk"
+    assert got[6] == ""            # no registrable domain
+    assert got[7] == "bar.unlistedtld"
+    assert got[8] == ""            # one label, nothing registrable
+    assert got[9] == ""            # NULL url → '' components
+    # the non-domain columns are untouched by the PSL path
+    heur = parse_urls(df)
+    pairs = {
+        (r.doc_id): (r.host, r.path, r.ext) for r in heur.collect()
+    }
+    for r in parse_urls(df, psl=psl).collect():
+        assert (r.host, r.path, r.ext) == pairs[r.doc_id]
+
+
+def test_psl_flows_through_filter_and_stats(spark):
+    """url_filter blocklist entries match at the PSL registered domain,
+    and domain_stats aggregates by it."""
+    from reflexiv_spark.datapipe.urls import domain_stats, url_filter
+
+    psl = spark.createDataFrame([("co.uk",), ("com",)], "suffix string")
+    df = spark.createDataFrame(
+        [(1, "https://a.bad.co.uk/x.html", "t1"),
+         (2, "https://b.bad.co.uk/y.html", "t22"),
+         (3, "https://good.com/z.html", "t333")],
+        "doc_id long, url string, text string",
+    )
+    blocked = spark.createDataFrame([("bad.co.uk",)], "domain string")
+    kept = {
+        r.doc_id: r.kept
+        for r in url_filter(df, blocked, psl=psl).collect()
+    }
+    assert kept == {1: False, 2: False, 3: True}
+    stats = {
+        r.domain: (r.n_docs, r.n_hosts, r.total_chars)
+        for r in domain_stats(df, psl=psl).collect()
+    }
+    assert stats["bad.co.uk"] == (2, 2, 2 + 3)
+    assert stats["good.com"] == (1, 1, 4)
+
+
+def test_cli_psl_flag(spark, tmp_path):
+    """--psl: the CLI wires a parquet suffix list through url-filter."""
+    from reflexiv_spark.__main__ import main
+
+    df = spark.createDataFrame(
+        [(1, "https://shop.example.co.uk/x.html")],
+        "doc_id long, url string",
+    )
+    psl = spark.createDataFrame([("co.uk",)], "suffix string")
+    inp, pslp = tmp_path / "in.parquet", tmp_path / "psl.parquet"
+    df.write.parquet(str(inp))
+    psl.write.parquet(str(pslp))
+    out = tmp_path / "out"
+    assert main(["url-filter", "-i", str(inp), "-o", str(out),
+                 "--psl", str(pslp)]) == 0
+    r = spark.read.parquet(str(out)).collect()[0]
+    assert r.domain == "example.co.uk"

@@ -82,6 +82,124 @@ def test_parameter_mismatch_yields_no_hits(spark):
     assert rep.n_hits == 0 and not rep.flagged
 
 
+def test_fingerprint_array_matches_exploded_kernel(spark):
+    """The in-row kernel form (fingerprint_array, round-13 refactor)
+    yields exactly the distinct fp VALUES winnow_fingerprints explodes
+    — per document, over real corpus text, both hash families."""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.winnow import (
+        fingerprint_array,
+        winnow_fingerprints,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(40)
+    )
+    for fam in ("xxhash64", "md5"):
+        inrow = {
+            r.doc_id: sorted(r.fps)
+            for r in docs.select(
+                "doc_id",
+                fingerprint_array(
+                    F.col("text"), k=8, window=4, hash_family=fam
+                ).alias("fps"),
+            ).collect()
+        }
+        exploded = {}
+        for r in (
+            winnow_fingerprints(docs, k=8, window=4, hash_family=fam)
+            .select("id", "fp")
+            .distinct()
+            .collect()
+        ):
+            exploded.setdefault(r.id, []).append(r.fp)
+        for did, fps in exploded.items():
+            assert inrow[did] == sorted(fps), did
+        # docs absent from the exploded form (NULL/sub-k) → empty array
+        for did, fps in inrow.items():
+            if did not in exploded:
+                assert fps == []
+
+
+def test_stream_probe_equals_batch_probe(spark, tmp_path):
+    """probe_winnow_stream == probe_winnow_store == the same function
+    run on a real stream, per document (the SURVEY §8 round-13
+    pre-commit): file-source stream → in-row probe → append memory
+    sink, no state, no watermark."""
+    import json
+
+    from reflexiv_spark.datapipe.winnow_store import (
+        probe_winnow_store,
+        probe_winnow_stream,
+        store_fingerprint_list,
+        winnow_store,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "intro text " + PASSAGE + " outro text"),
+         (2, "unrelated reference material qqq vvv www zzz")],
+        "doc_id long, text string",
+    )
+    batch_rows = [
+        {"doc_id": 10, "text": "fresh novel words then " + PASSAGE},
+        {"doc_id": 11, "text": "entirely new material nothing shared"},
+        {"doc_id": 12, "text": None},
+        {"doc_id": 13, "text": "ab"},
+    ]
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in batch_rows],
+        "doc_id long, text string",
+    )
+    store = winnow_store(corpus)
+    fps = store_fingerprint_list(store)
+    assert fps == sorted(set(fps))
+
+    want = {
+        r.doc_id: (r.n_fps, r.n_hits, r.flagged)
+        for r in probe_winnow_store(batch, store, min_shared=2).collect()
+    }
+    got_batch = {
+        r.doc_id: (r.n_fps, r.n_hits, r.flagged)
+        for r in probe_winnow_stream(batch, fps, min_shared=2).collect()
+    }
+    assert got_batch == want
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    with open(d / "b1.json", "w") as f:
+        for r in batch_rows:
+            f.write(json.dumps(r) + "\n")
+    from reflexiv_spark.streaming.windows import stream_from_files
+
+    stream = stream_from_files(
+        spark, str(d), "doc_id long, text string"
+    )
+    out = probe_winnow_stream(stream, fps, min_shared=2)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winnow_probe_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = {
+        r.doc_id: (r.n_fps, r.n_hits, r.flagged)
+        for r in spark.sql("SELECT * FROM winnow_probe_out").collect()
+    }
+    assert got_stream == want
+    # empty store: nothing flags, n_fps still counted
+    empty = {
+        r.doc_id: (r.n_fps, r.n_hits, r.flagged)
+        for r in probe_winnow_stream(batch, [], min_shared=2).collect()
+    }
+    assert all(h == 0 and not fl for _, h, fl in empty.values())
+    assert empty[10][0] == want[10][0]
+
+
 def test_staged_driver_pair_parity(spark):
     """The round-13 STAGED driver pair gated locally this round:
     q_winnow_store_probe vs _SQL_WINNOW_STORE_PROBE at sf0.01."""
