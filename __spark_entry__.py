@@ -3102,99 +3102,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-12 window
-    # (pre-committed in SURVEY §8 round-11 arithmetic; mechanically
+    # The driver oracles the FIRST 50 dict entries.  Round-13 window
+    # (pre-committed in SURVEY §8 round-12 arithmetic; mechanically
     # checkable via tools/check_window.py):
-    #   slots 1-22  — the text.py closure forced in by the round-12
-    #                 chunk_documents let-binding fix (the 21 queries
-    #                 dry-run-sized in round 11 plus dsir_keys_full,
-    #                 which builds on dsir.py's devices and therefore
-    #                 rides the same closure).  dsir_select and
-    #                 dsir_keys_full are DRIVER-OWNED reds per the
-    #                 terminal VERDICT r11 #1 adjudication (the
-    #                 divergence is the driver environment's evaluation
-    #                 of the inline Gumbel-table oracle, not a repo
-    #                 value) — they appear here ONLY because the window
-    #                 protocol requires touched-module queries in-window;
-    #                 expect exactly those two rows red.
-    #   slots 23-28 — the SIX staged registrations (semantic_decontam
-    #                 staged r10; winnow_span_removal, winnow_ref_removal,
-    #                 fineweb_rules, corpus_divergence, ccnet_buckets
-    #                 staged r11), each carrying a full local
-    #                 Spark-vs-DuckDB parity gate and an sf1.0 scale row.
-    #   slots 29-50 — 22 spares, oldest-standing-row-first per the
-    #                 3-round rotation policy: lang_pivot (r9), then the
-    #                 untouched-module r10-row holders SURVEY §8
-    #                 prioritizes (similarity/ANN/PQ family, knn_graph,
-    #                 semantic_dedup, patch_contigs, pair_merge,
-    #                 error_correct, dup_spans, events_asof, the graph
-    #                 pair, token_quantiles_sketch, pack_sequences,
-    #                 decontaminate).
-    # Slots 51+ hold queries whose modules round 12 does not
-    # semantically change: r11-green rows stand for the round-11 window
-    # members; r10 rows stand for the ~16 remaining holders
-    # (event_transitions, hll_by_lang, kmv pair, dup_clusters,
-    # minhash_near_dup, fasta_wrap, events_range_join, end_extend,
-    # read_mapping, stitch_bridges, kmer_count, contig_dedup,
-    # token_budget_select, reduction) — round 13 must rotate those in
-    # first.
+    #   slots 1-15  — the 15 r10-row holders whose standing rows turn
+    #                 3 rounds old this round (the rotation policy's
+    #                 hard boundary): kmer_count, reduction,
+    #                 contig_dedup, fasta_wrap, end_extend,
+    #                 read_mapping, stitch_bridges, token_budget_select,
+    #                 event_transitions, hll_by_lang, kmv_distinct,
+    #                 kmv_by_lang, dup_clusters, minhash_near_dup,
+    #                 events_range_join.
+    #   slots 16-20 — the FIVE round-12-staged registrations
+    #                 (winnow_store_probe, url_filter, domain_stats,
+    #                 corpus_report, incremental_candidates), each
+    #                 carrying a local Spark-vs-DuckDB parity gate and
+    #                 an sf1.0 scale row in BASELINE.md.
+    #   slots 21-24 — the winnow.py closure forced in by the round-13
+    #                 kernel refactor (_selected_keys extraction +
+    #                 fingerprint_array): winnow_fingerprint,
+    #                 winnow_overlap, winnow_span_removal,
+    #                 winnow_ref_removal — all re-gated locally at the
+    #                 refactored HEAD.
+    #   slots 25-50 — 26 spares from the 40 remaining r11-row holders
+    #                 (all equally 2 rounds old; the cheap/flat members
+    #                 rotate now, deferring the expensive genomics
+    #                 pipelines — assemble_blocks/paths, meta_assemble,
+    #                 reassemble & co — to the r14 obligated set, which
+    #                 has capacity: 14 holders + the staged web_curate).
+    # Slots 51+ hold queries whose modules round 13 does not
+    # semantically change: the 22-query text.py closure, the six r12
+    # registrations minus the winnow pair, and the ANN/graph/text
+    # spares all hold r12-green rows (1 round old); the 14 deferred
+    # r11 rows are 2 rounds old and MUST rotate in round 14.
+    # dsir_select/dsir_keys_full hold the terminal driver-owned red
+    # disposition (SURVEY §8); dsir.py/text.py are untouched this
+    # round so they stay out of the window with no new information.
     return {
-        # --- text.py closure (chunk_documents let-binding fix) 1-22 ---
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "doc_chunk": q_doc_chunk,
-        "doc_fingerprint": q_doc_fingerprint,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "redact_pii": q_redact_pii,
-        "strip_markup": q_strip_markup,
-        "vocab_coverage": q_vocab_coverage,
-        "classifier_score": q_classifier_score,
-        "classifier_train": q_classifier_train,
-        "classifier_predict": q_classifier_predict,
-        "clean_corpus": q_clean_corpus,
-        "cluster_keep_best": q_cluster_keep_best,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "dsir_keys_full": q_dsir_keys_full,
-        "events_sessionize": q_events_sessionize,
-        # --- staged pairs: REGISTER this round (23-28) ---
-        "semantic_decontam": q_semantic_decontam,
+        # --- r10-row holders at the 3-round boundary (1-15) ---
+        "kmer_count": q_kmer_count,
+        "reduction": q_reduction,
+        "contig_dedup": q_contig_dedup,
+        "fasta_wrap": q_fasta_wrap,
+        "end_extend": q_end_extend,
+        "read_mapping": q_read_mapping,
+        "stitch_bridges": q_stitch_bridges,
+        "token_budget_select": q_token_budget_select,
+        "event_transitions": q_event_transitions,
+        "hll_by_lang": q_hll_by_lang,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_by_lang": q_kmv_by_lang,
+        "dup_clusters": q_dup_clusters,
+        "minhash_near_dup": q_minhash_near_dup,
+        "events_range_join": q_events_range_join,
+        # --- staged pairs: REGISTER this round (16-20) ---
+        "winnow_store_probe": q_winnow_store_probe,
+        "url_filter": q_url_filter,
+        "domain_stats": q_domain_stats,
+        "corpus_report": q_corpus_report,
+        "incremental_candidates": q_incremental_candidates,
+        # --- winnow.py closure (round-13 kernel refactor) (21-24) ---
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_overlap": q_winnow_overlap,
         "winnow_span_removal": q_winnow_span_removal,
         "winnow_ref_removal": q_winnow_ref_removal,
-        "fineweb_rules": q_fineweb_rules,
-        "corpus_divergence": q_corpus_divergence,
-        "ccnet_buckets": q_ccnet_buckets,
-        # --- spares, oldest-row-first (29-50) ---
-        "lang_pivot": q_lang_pivot,
-        "embedding_quantize": q_embedding_quantize,
-        "kmeans_assign": q_kmeans_assign,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "ann_ivfpq": q_ann_ivfpq,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "knn_graph": q_knn_graph,
-        "semantic_dedup": q_semantic_dedup,
-        "patch_contigs": q_patch_contigs,
-        "pair_merge": q_pair_merge,
-        "error_correct": q_error_correct,
-        "dup_spans": q_dup_spans,
-        "events_asof": q_events_asof,
-        "graph_pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "token_quantiles_sketch": q_token_quantiles_sketch,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        # --- rotated out (slots 51+; modules not semantically changed
-        # in round 12; r11 rows stand for the round-11 window members,
-        # r10 rows for the rest — rotate those in first in round 13) ---
+        # --- spares: r11-row holders, 26 of 40 (25-50) ---
         "events_window": q_events_window,
         "token_quantiles": q_token_quantiles,
         "mercy": q_mercy,
@@ -3221,6 +3193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "stratified_split": q_stratified_split,
+        # --- rotated out (slots 51+; modules not semantically changed
+        # in round 13; r12 rows stand for the round-12 window members;
+        # the 14 deferred r11 rows rotate FIRST in round 14) ---
         "assemble_blocks": q_assemble_blocks,
         "meta_assemble": q_meta_assemble,
         "bm25_rank": q_bm25_rank,
@@ -3233,25 +3208,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "token_quantiles_merge": q_token_quantiles_merge,
         "edit_join": q_edit_join,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "winnow_overlap": q_winnow_overlap,
         "gopher_rules": q_gopher_rules,
         "c4_rules": q_c4_rules,
-        "event_transitions": q_event_transitions,
-        "hll_by_lang": q_hll_by_lang,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_by_lang": q_kmv_by_lang,
-        "dup_clusters": q_dup_clusters,
-        "minhash_near_dup": q_minhash_near_dup,
-        "fasta_wrap": q_fasta_wrap,
-        "events_range_join": q_events_range_join,
-        "end_extend": q_end_extend,
-        "read_mapping": q_read_mapping,
-        "stitch_bridges": q_stitch_bridges,
-        "kmer_count": q_kmer_count,
-        "contig_dedup": q_contig_dedup,
-        "token_budget_select": q_token_budget_select,
-        "reduction": q_reduction,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
+        "doc_chunk": q_doc_chunk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "unigram_logprob": q_unigram_logprob,
+        "bigram_logprob": q_bigram_logprob,
+        "redact_pii": q_redact_pii,
+        "strip_markup": q_strip_markup,
+        "vocab_coverage": q_vocab_coverage,
+        "classifier_score": q_classifier_score,
+        "classifier_train": q_classifier_train,
+        "classifier_predict": q_classifier_predict,
+        "clean_corpus": q_clean_corpus,
+        "cluster_keep_best": q_cluster_keep_best,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "dsir_keys_full": q_dsir_keys_full,
+        "events_sessionize": q_events_sessionize,
+        "semantic_decontam": q_semantic_decontam,
+        "fineweb_rules": q_fineweb_rules,
+        "corpus_divergence": q_corpus_divergence,
+        "ccnet_buckets": q_ccnet_buckets,
+        "lang_pivot": q_lang_pivot,
+        "embedding_quantize": q_embedding_quantize,
+        "kmeans_assign": q_kmeans_assign,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "ann_ivfpq": q_ann_ivfpq,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "knn_graph": q_knn_graph,
+        "semantic_dedup": q_semantic_dedup,
+        "patch_contigs": q_patch_contigs,
+        "pair_merge": q_pair_merge,
+        "error_correct": q_error_correct,
+        "dup_spans": q_dup_spans,
+        "events_asof": q_events_asof,
+        "graph_pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "token_quantiles_sketch": q_token_quantiles_sketch,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -4861,4 +4867,10 @@ def oracle_sql() -> dict[str, str]:
         "fineweb_rules": _SQL_FINEWEB_RULES,
         "corpus_divergence": _SQL_CORPUS_DIVERGENCE,
         "ccnet_buckets": _SQL_CCNET_BUCKETS,
+        # --- round-13 registrations (staged r12, gated locally) ---
+        "winnow_store_probe": _SQL_WINNOW_STORE_PROBE,
+        "url_filter": _SQL_URL_FILTER,
+        "domain_stats": _SQL_DOMAIN_STATS,
+        "corpus_report": _SQL_CORPUS_REPORT,
+        "incremental_candidates": _SQL_INCREMENTAL_CANDIDATES,
     }
