@@ -3091,6 +3091,124 @@ _SQL_CORPUS_REPORT = (
 )
 
 
+def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the composed WET-side curation pipeline (strip_markup
+    → gopher_rules → exact_dedup on the CLEAN text → corpus_report) as
+    ONE hash-verifiable operator — a wiring bug between stages cannot
+    hide behind the stages' own green rows. The synthetic corpus
+    carries no markup, so the driver query wraps every text in
+    deterministic HTML with a hash-spam <script> block: the strip
+    stage is LOAD-BEARING (unstripped, 15 '#' symbols fail Gopher's
+    10*n_hash <= n_words rule for every document and the output
+    collapses to empty). Gopher thresholds 30/100000/1 — the
+    q_gopher_rules settings that discriminate on this corpus. STAGED
+    round 13; registers ROUND 14. Oracle twin _SQL_WEB_CURATE (the
+    chained CTEs of the four stages' own oracle twins); pair gated
+    locally by tests/test_webcurate.py::test_staged_driver_pair_parity.
+    """
+    from reflexiv_spark.datapipe.webcurate import web_curate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p><script>### ### ### ### ###</script>"),
+        ).alias("text"),
+    )
+    return web_curate(docs, min_words=30, min_stop_hits=1)
+
+
+# Oracle twin for q_web_curate (round-14 registration): the strip chain
+# (strip_markup oracle) over the markup-wrapped text, the Gopher counts
+# + keep conjunction (_SQL_GOPHER_RULES, thresholds 30/100000/1), the
+# exact-dedup row_number window on the normalized CLEAN text, then the
+# corpus_report chain (_SQL_CORPUS_REPORT) reading the curated rows.
+_SQL_WEB_CURATE = (
+    "WITH wc0 AS (SELECT doc_id, lang, source,"
+    " '<p>' || text || '</p><script>### ### ### ### ###</script>'"
+    " AS t0 FROM documents), "
+    "wc1 AS (SELECT doc_id, lang, source, coalesce(t0, '') AS t"
+    " FROM wc0), "
+    "wc2 AS (SELECT doc_id, lang, source,"
+    " regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,"
+    " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g'),"
+    " '<[^>]+>', ' ', 'g') AS u FROM wc1), "
+    "wc3 AS (SELECT doc_id, lang, source,"
+    " replace(replace(replace(replace(replace(replace(u,"
+    " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', ''''), '&amp;', '&') AS u FROM wc2), "
+    r"st AS (SELECT doc_id, lang, source, trim(regexp_replace(u,"
+    r" '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text FROM wc3), "
+    r"gb AS (SELECT doc_id, lang, source, text,"
+    r" regexp_extract_all(text, '\S+') AS ws,"
+    " string_split(text, chr(10)) AS ls,"
+    r" CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,"
+    r" CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)"
+    " AS n_ellipsis FROM st), "
+    "gc AS (SELECT doc_id, lang, source, text,"
+    " CAST(len(ws) AS BIGINT) AS n_words,"
+    " CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)"
+    " AS BIGINT) AS word_chars,"
+    " CAST(len(list_filter(ws, w -> regexp_matches(lower(w),"
+    " '[a-z]'))) AS BIGINT) AS n_alpha_words,"
+    " n_hash, n_ellipsis,"
+    " CAST(len(ls) AS BIGINT) AS n_lines,"
+    r" CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l),"
+    r" '^[•\-\*]'))) AS BIGINT) AS n_bullet_lines,"
+    " CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...'))"
+    " AS BIGINT) AS n_ellipsis_lines,"
+    " CAST(len(list_intersect(list_transform(ws, w -> lower(w)),"
+    " ['the','be','to','of','and','that','have','with']))"
+    " AS BIGINT) AS n_stop_hits FROM gb), "
+    "gk AS (SELECT doc_id, lang, source, text FROM gc"
+    " WHERE n_words >= 30 AND n_words <= 100000"
+    " AND 3*n_words <= word_chars AND word_chars <= 10*n_words"
+    " AND 10*n_hash <= n_words AND 10*n_ellipsis <= n_words"
+    " AND 10*n_bullet_lines <= 9*n_lines"
+    " AND 10*n_ellipsis_lines <= 3*n_lines"
+    " AND 5*n_alpha_words >= 4*n_words AND n_stop_hits >= 1), "
+    "dd AS (SELECT doc_id, lang, source, text FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY"
+    r" regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+    " ORDER BY doc_id) AS rn FROM gk) WHERE rn = 1), "
+    r"pd AS (SELECT doc_id, lang, source,"
+    r" CAST(len(list_filter(string_split_regex(coalesce(text, ''),"
+    r" '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,"
+    r" length(trim(coalesce(text, ''))) = 0 AS empty,"
+    r" CASE WHEN text IS NOT NULL THEN CAST(('0x' || substr(md5("
+    r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))"
+    " AS BIGINT) END AS fp FROM dd), "
+    "dg AS (SELECT lang, fp, count(*) AS grp FROM pd"
+    " WHERE fp IS NOT NULL GROUP BY lang, fp), "
+    "ds AS (SELECT lang,"
+    " CAST(sum(CASE WHEN grp > 1 THEN grp ELSE 0 END) AS BIGINT)"
+    " AS n_dup_docs,"
+    " CAST(count(*) AS BIGINT) AS n_distinct_texts FROM dg"
+    " GROUP BY lang), "
+    "rk AS (SELECT lang, n_tokens, row_number() OVER ("
+    "PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,"
+    " count(*) OVER (PARTITION BY lang) AS n FROM pd), "
+    "md AS (SELECT lang, n_tokens AS median_tokens FROM rk"
+    " WHERE rn = (n + 1) // 2), "
+    "b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_empty, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,"
+    " CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM pd"
+    " GROUP BY lang) "
+    "SELECT b.lang, n_docs, n_empty, total_tokens, median_tokens,"
+    " CAST(coalesce(ds.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,"
+    " CAST(coalesce(ds.n_distinct_texts, 0) AS BIGINT)"
+    " AS n_distinct_texts, n_sources"
+    " FROM b JOIN md ON b.lang IS NOT DISTINCT FROM md.lang"
+    " LEFT JOIN ds ON b.lang IS NOT DISTINCT FROM ds.lang"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
