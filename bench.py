@@ -434,13 +434,34 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
-    # Best-of-2 per query (round 7; was single-run). The box is
-    # tenant-shared and single-run rows repeatedly recorded contention
-    # artifacts as regressions (r5: events_window/multi_join_agg/
-    # prune_forks/text_stats; r6: contig_dedup 1.47->2.16 on unchanged
-    # code — all reversed on idle re-runs). min-of-2 measures the plan,
-    # not the neighbor; the runs/agg fields make the change explicit.
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Best-of-N per query (round 7: best-of-2, was single-run; round
+    # 13: default 3). The box is tenant-shared and single-run rows
+    # repeatedly recorded contention artifacts as regressions (r5:
+    # events_window/multi_join_agg/prune_forks/text_stats; r6:
+    # contig_dedup 1.47->2.16 on unchanged code; r12: a whole-capture
+    # +26% that took a judge session to adjudicate as box contention).
+    # min-of-N measures the plan, not the neighbor; the runs/agg
+    # fields make the change explicit.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # Contention sentinel (round 13, VERDICT r12 next-round #6): a
+    # fixed tiny control query timed best-of-3 immediately after
+    # warmup and again after the capture. Idle envelope, measured
+    # best-of-3 on this box: ~0.10-0.25 s. The capture is marked
+    # contention-suspect when either control read exceeds 3x the idle
+    # ceiling (0.75 s — the whole capture ran loaded) or the two reads
+    # spread by more than 1.5x (load arrived or left mid-capture), so
+    # a slow artifact carries its own adjudication evidence.
+    _CONTROL = "top_orders"
+    _CONTROL_ABS_SEC = 0.75
+    _CONTROL_SPREAD = 1.5
+
+    def control_wall() -> float:
+        return round(
+            min(run(_CONTROL, "/root/testdata/sf0.001") for _ in range(3)), 3
+        )
+
+    control_first = control_wall()
     timings: dict[str, float] = {}
     for n in names:
         try:
@@ -461,6 +482,16 @@ def main() -> None:
     engine = {k: v for k, v in timings.items() if k not in BASELINES}
     base = {k: v for k, v in timings.items() if k in BASELINES}
     total = round(sum(v for v in engine.values() if v >= 0), 3)
+    control_last = control_wall()
+    spread = round(
+        max(control_first, control_last)
+        / max(min(control_first, control_last), 1e-9),
+        3,
+    )
+    contended = (
+        max(control_first, control_last) > _CONTROL_ABS_SEC
+        or spread > _CONTROL_SPREAD
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -472,6 +503,11 @@ def main() -> None:
         "scope": "full_registry"
         if os.environ.get("SPARK_GRAFT_BENCH_ALL")
         else "headline",
+        "control_query": _CONTROL,
+        "control_first_sec": control_first,
+        "control_last_sec": control_last,
+        "control_spread": spread,
+        "contention_suspect": contended,
     }
     if base:
         out["exactness_baselines"] = base
