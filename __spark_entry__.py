@@ -4295,17 +4295,30 @@ def oracle_sql() -> dict[str, str]:
             " md5(text) AS digest FROM documents"
         ),
         "read_mapping": (
+            # round 13: gram-equality formulation of the SAME relation
+            # — every read is exactly 24 chars (substr(seq,5,24) of a
+            # >=28-char seq), so "rseq occurs in t.seq at offset o" is
+            # by definition "the 24-gram of t.seq at o equals rseq";
+            # enumerating all target 24-grams and equi-joining replaces
+            # the reads x targets x offsets nested loop that made this
+            # oracle quadratic-by-design (sf1.0-intractable, the
+            # standing EXCLUDE_DUCK row). Exhaustive by construction:
+            # the gram CTE enumerates EVERY offset of EVERY target, so
+            # no occurrence can be missed. Same rows at every SF; the
+            # sf0.01 gate re-verified on the rewrite, and sf1.0 now
+            # carries a full-oracle row (BASELINE.md round-13) instead
+            # of the exclusion.
             "WITH dnam AS (SELECT doc_id,"
             " regexp_replace(upper(text), '[^ACGT]', '', 'g') AS seq"
             " FROM documents), "
             "r AS (SELECT doc_id AS read_id, substr(seq, 5, 24) AS rseq"
-            " FROM dnam WHERE length(seq) >= 28 AND length(substr(seq, 5, 24)) >= 15), "
-            "t AS (SELECT doc_id AS target_id, seq FROM dnam"
-            " WHERE length(seq) >= 15) "
-            "SELECT r.read_id, t.target_id, CAST(o AS BIGINT) AS offset"
-            " FROM r, t, unnest(generate_series(1,"
-            " length(t.seq) - length(r.rseq) + 1)) AS u(o)"
-            " WHERE substr(t.seq, CAST(o AS INT), length(r.rseq)) = r.rseq"
+            " FROM dnam WHERE length(seq) >= 28), "
+            "g AS (SELECT doc_id AS target_id, CAST(o AS BIGINT) AS o,"
+            " substr(seq, CAST(o AS INT), 24) AS gram FROM dnam,"
+            " unnest(generate_series(1, length(seq) - 23)) AS u(o)"
+            " WHERE length(seq) >= 24) "
+            "SELECT r.read_id, g.target_id, g.o AS offset"
+            " FROM r JOIN g ON g.gram = r.rseq"
         ),
         "end_extend": (
             # replay of extend_contigs_with_reads: seed equi-join mapping

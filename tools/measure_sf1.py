@@ -25,9 +25,12 @@ TABLES = (
 )
 # quadratic-by-design verification oracles — intractable at sf1.0;
 # the two clustering rows' recursive min-label closure oracles spill
-# >70 GB of DuckDB temp before erroring at this scale (measured twice)
+# >70 GB of DuckDB temp before erroring at this scale (measured twice).
+# read_mapping left the list in round 13 (its oracle was rewritten as
+# an exhaustive gram-equality join — full sf1.0 row in BASELINE.md);
+# contig_dedup / contained_dedup / ngram_jaccard now also carry
+# SAMPLED sf1.0 value rows via tools/sample_oracle_sf1.py.
 EXCLUDE_DUCK = {
-    "read_mapping",
     "contig_dedup",
     "contained_dedup",
     "dup_clusters",
