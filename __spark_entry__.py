@@ -3209,6 +3209,153 @@ _SQL_WEB_CURATE = (
 )
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: training-shard export plan — the corpus laid out as
+    document-contiguous ~2000-token shards (shard_id = token-prefix-sum
+    DIV target, document-atomic; the Megatron/WebDataset approximate-
+    shard rule) summarized per shard as (shard_id, n_docs, n_tokens,
+    first_id, last_id). The plan rides the same two-phase distributed
+    prefix sum as pack_sequences (range shuffle + per-partition totals
+    — never one global window task). STAGED round 13; registers ROUND
+    14. Oracle twin _SQL_SHARD_MANIFEST; pair gated locally by
+    tests/test_shards.py::test_staged_shard_manifest_parity."""
+    from reflexiv_spark.datapipe.shards import plan_shards, shard_manifest
+
+    return shard_manifest(
+        plan_shards(_t(spark, sf_dir, "documents"), target_tokens=2000)
+    )
+
+
+_SQL_SHARD_MANIFEST = (
+    r"WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all("
+    r"lower(coalesce(text, '')), '\w+')) AS BIGINT) AS n_tokens"
+    " FROM documents), "
+    "c AS (SELECT doc_id, n_tokens,"
+    " sum(n_tokens) OVER (ORDER BY doc_id) AS cum FROM t), "
+    "p AS (SELECT doc_id, n_tokens,"
+    " CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c) "
+    "SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_tokens) AS BIGINT) AS n_tokens,"
+    " min(doc_id) AS first_id, max(doc_id) AS last_id"
+    " FROM p GROUP BY shard_id"
+)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: temperature-scaled multi-source sampling (XLM/mT5
+    rebalancing: q_i ∝ t_i^0.5 under a 0.5·Σt token budget) — kept
+    docs with their source's computed rate_ppm. Rates are derived from
+    data (per-source token masses), powered masses are quantized to
+    integer millis before normalization so no order-dependent float
+    sum exists, and α=0.5 makes the power IEEE-exact sqrt — the whole
+    relation is bit-replayable cross-engine. STAGED round 13;
+    registers ROUND 14. Oracle twin _SQL_TEMPERATURE_MIX; pair gated
+    locally by tests/test_shards.py::test_staged_temperature_mix_parity."""
+    from reflexiv_spark.datapipe.sampling import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.5, budget_frac=0.5
+    )
+
+
+_SQL_TEMPERATURE_MIX = (
+    r"WITH w AS (SELECT doc_id, source, CAST(length(regexp_extract_all("
+    r"lower(coalesce(text, '')), '\w+')) AS BIGINT) AS n_tokens"
+    " FROM documents), "
+    "m AS (SELECT source, sum(n_tokens) AS t FROM w GROUP BY source), "
+    "mp AS (SELECT source, t,"
+    " CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000.0) AS BIGINT) AS p"
+    " FROM m), "
+    "tt AS (SELECT sum(t) AS tt, sum(p) AS pp FROM mp), "
+    "r AS (SELECT source, CASE WHEN t <= 0 THEN 0 ELSE"
+    " LEAST(1000000, CAST(floor(1e6 * (0.5 * CAST(tt AS DOUBLE))"
+    " * CAST(p AS DOUBLE) / CAST(pp AS DOUBLE) / CAST(t AS DOUBLE))"
+    " AS BIGINT)) END AS rate_ppm FROM mp, tt) "
+    "SELECT w.doc_id, w.source, w.n_tokens, r.rate_ppm"
+    " FROM w JOIN r ON w.source = r.source"
+    " WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|temp'),"
+    " 1, 15) AS BIGINT) % 1000000 < r.rate_ppm"
+)
+
+
+def _with_psl_urls(docs: DataFrame) -> DataFrame:
+    """Synthetic URLs exercising the PSL matcher's three branches:
+    doc_id%4==0 hosts end in the 2-label public suffix co.uk, %4 in
+    (1,2) in the listed 1-label com, %4==3 in the UNLISTED org
+    (implicit '*' fallback); doc_id%89==0 is the bare public suffix
+    itself (no registrable domain). The same literal construction
+    exists in the oracle twin."""
+    host = F.when(F.pmod("doc_id", 89) == 0, F.lit("co.uk")).otherwise(
+        F.concat(
+            F.when(F.pmod("doc_id", 3) == 0, F.lit("www.")).otherwise(
+                F.lit("")
+            ),
+            F.col("source"),
+            F.when(F.pmod("doc_id", 4) == 0, F.lit("-site.co.uk"))
+            .when(F.pmod("doc_id", 4) == 3, F.lit("-site.org"))
+            .otherwise(F.lit("-site.com")),
+        )
+    )
+    return docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            host,
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+
+
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: per-registered-domain statistics with a PUBLIC-SUFFIX
+    LIST wired through the parser (round-13 PSL support under the
+    oracle): suffixes {uk, co.uk, com} resolve x-site.co.uk hosts to
+    their true 3-label registrable domain, unlisted .org falls back to
+    the implicit '*' rule, and a host that IS a public suffix gets no
+    domain (''). Longest-suffix-match runs as one model-sized
+    broadcast join per label count — the corpus never shuffles.
+    STAGED round 13; registers ROUND 14. Oracle twin
+    _SQL_DOMAIN_STATS_PSL; pair gated locally by
+    tests/test_urls.py::test_staged_domain_stats_psl_parity."""
+    from reflexiv_spark.datapipe.urls import domain_stats
+
+    psl = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("com",)], "suffix string"
+    )
+    return domain_stats(
+        _with_psl_urls(_t(spark, sf_dir, "documents")), psl=psl
+    )
+
+
+_SQL_DOMAIN_STATS_PSL = (
+    "WITH u AS (SELECT *,"
+    " CASE WHEN doc_id % 89 = 0 THEN 'co.uk' ELSE"
+    " CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END || source ||"
+    " CASE WHEN doc_id % 4 = 0 THEN '-site.co.uk'"
+    " WHEN doc_id % 4 = 3 THEN '-site.org'"
+    " ELSE '-site.com' END END AS host FROM documents), "
+    # the general longest-suffix matcher over the literal PSL
+    # {uk, co.uk, com}: last-m-label candidates for m=2,1 (no listed
+    # suffix has more labels), no match -> the implicit '*' rule (1)
+    "lb AS (SELECT doc_id, host, string_split(host, '.') AS ls,"
+    " len(string_split(host, '.')) AS nl FROM u), "
+    "ns AS (SELECT doc_id, host, ls, nl,"
+    " CASE WHEN nl >= 2 AND array_to_string(list_slice(ls, nl - 1, nl),"
+    " '.') IN ('co.uk') THEN 2"
+    " WHEN ls[nl] IN ('uk', 'com') THEN 1 ELSE 1 END AS m FROM lb), "
+    "pe AS (SELECT doc_id, host, CASE WHEN nl > m THEN"
+    " array_to_string(list_slice(ls, nl - m, nl), '.') ELSE '' END"
+    " AS domain FROM ns), "
+    "t AS (SELECT pe.domain, pe.host, pe.doc_id,"
+    " length(coalesce(d.text, '')) AS c FROM pe"
+    " JOIN documents d USING (doc_id)) "
+    "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,"
+    " CAST(sum(c) AS BIGINT) AS total_chars FROM t GROUP BY domain"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------

@@ -349,6 +349,37 @@ def main(argv: list[str] | None = None) -> int:
     uf_.add_argument("--stats", action="store_true",
                      help="per-domain (n_docs, n_hosts, total_chars)")
 
+    es_ = add("export-shards", help="datapipe: materialize the corpus "
+              "as contiguous ~N-token training shards "
+              "(path/shard_id=K/ of JSONL or parquet) and write the "
+              "per-shard manifest — the loader-facing export step")
+    es_.add_argument("--target-tokens", type=int, default=100_000_000,
+                     help="approximate tokens per shard (±1 document)")
+    es_.add_argument("--id-col", default="doc_id")
+    es_.add_argument("--text-col", default="text")
+    es_.add_argument("--token-col", default=None,
+                     help="precomputed token-count column (default: "
+                     r"count \w+ words of --text-col)")
+    es_.add_argument("--shard-format", choices=("jsonl", "parquet"),
+                     default="jsonl")
+    es_.add_argument("--manifest", default=None,
+                     help="also write the (shard_id, n_docs, n_tokens, "
+                     "first_id, last_id) manifest parquet here")
+
+    tm_ = add("text-mix", help="datapipe: temperature-scaled "
+              "multi-source sampling (XLM q_i ∝ t_i^alpha under a "
+              "token budget) — deterministic hash-gated, "
+              "reproducible under any partitioning")
+    tm_.add_argument("--alpha", type=float, default=0.5)
+    tm_.add_argument("--budget-frac", type=float, default=0.5)
+    tm_.add_argument("--source-col", default="source")
+    tm_.add_argument("--id-col", default="doc_id")
+    tm_.add_argument("--text-col", default="text")
+    tm_.add_argument("--token-col", default=None)
+    tm_.add_argument("--salt", default="temp")
+    tm_.add_argument("--hash-family", choices=("md5", "xxhash64"),
+                     default="md5")
+
     we_ = add("warc-extract", help="sources: WARC (Common Crawl) → "
               "documents-shaped table (doc_id, record_id, url, "
               "warc_date, content_type, http_status, text) — keeps "
@@ -958,6 +989,36 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.where(F.col("kept")).select(
                     args.id_col, "host", "domain", "ext"
                 )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "export-shards":
+        from reflexiv_spark.datapipe.shards import write_shards
+
+        docs = spark.read.parquet(args.input)
+        manifest = write_shards(
+            docs,
+            args.output,
+            target_tokens=args.target_tokens,
+            id_col=args.id_col,
+            tokens_col=args.token_col,
+            text_col=args.text_col,
+            fmt=args.shard_format,
+        )
+        if args.manifest is not None:
+            manifest.write.mode("overwrite").parquet(args.manifest)
+    elif args.cmd == "text-mix":
+        from reflexiv_spark.datapipe.sampling import temperature_mix
+
+        out = temperature_mix(
+            spark.read.parquet(args.input),
+            alpha=args.alpha,
+            budget_frac=args.budget_frac,
+            source_col=args.source_col,
+            id_col=args.id_col,
+            token_col=args.token_col,
+            text_col=args.text_col,
+            salt=args.salt,
+            hash_family=args.hash_family,
+        )
         _write(out, args.output, args.outformat)
     elif args.cmd == "warc-extract":
         from pyspark.sql import functions as F

@@ -320,3 +320,108 @@ def token_budget_select(
         .where(F.col("cum_tokens") - F.col("n_tokens") < budget)
         .select(group_col, id_col, "n_tokens", "cum_tokens")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    text_col: str = "text",
+    salt: str = "temp",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Temperature-scaled multi-source sampling → the kept documents
+    with their source's computed ``rate_ppm``.
+
+    The multilingual/multi-source rebalancing rule of XLM (Conneau &
+    Lample, NeurIPS 2019 §3.1) and mT5/GPT-3 data mixtures: source
+    ``i`` with token mass ``t_i`` is drawn with probability
+    ``q_i ∝ t_i^alpha`` (``alpha < 1`` up-weights small sources;
+    ``alpha = 1`` is proportional = no rebalancing), under a total
+    token budget ``budget_frac · Σt``. The per-source keep-rate is
+    ``min(1, budget · q_i / t_i)``, quantized to ppm, and applied as
+    the same deterministic 1e6-ring hash gate as :func:`hash_sample`
+    — so the sample is reproducible under any partitioning and, with
+    the md5 family, bit-replayable by an ANSI-SQL oracle.
+
+    Scale shape: one map-side-combined aggregate to the O(sources)
+    mass table, one broadcast join back, a filter. The corpus never
+    shuffles. Cross-engine determinism: the powered masses are
+    QUANTIZED to integer millis (``p = floor(pow(t, alpha)·1000)``)
+    before normalization, so ``Σp`` is an exact integer sum — never an
+    order-dependent float sum — and the rate is a fixed left-assoc
+    chain of correctly-rounded IEEE mul/div over exact-integer
+    operands, hence bit-identical in any engine and under any
+    partitioning. With ``alpha = 0.5`` the power is ``sqrt``
+    (correctly rounded per IEEE 754 everywhere) and the whole pipeline
+    is exactly replayable by an ANSI-SQL oracle; other alphas ride
+    libm ``pow`` — fine in production, avoided in the oracle pair.
+    """
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError("budget_frac must be in (0, 1]")
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    if token_col is None:
+        tokens = F.size(
+            F.expr(
+                rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+            )
+        ).cast("bigint")
+    else:
+        tokens = F.col(token_col).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(source_col).alias("__src"), tokens.alias("__w")
+    )
+    mass = base.groupBy("__src").agg(F.sum("__w").alias("__t"))
+    pw = (
+        F.sqrt(F.col("__t").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__t").cast("double"), F.lit(float(alpha)))
+    )
+    mass = mass.withColumn("__p", F.floor(pw * F.lit(1000.0)).cast("bigint"))
+    tot = mass.agg(
+        F.sum("__t").alias("__tt"), F.sum("__p").alias("__pp")
+    )
+    # rate = budget · (p_i/Σp) / t_i, as a FIXED left-assoc chain of
+    # IEEE-exact ops over exact-integer operands, mirrored verbatim by
+    # the SQL twin: floor(1e6 * (frac*tt) * p / pp / t)
+    rates = (
+        mass.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate_ppm",
+            F.when(F.col("__t") <= 0, F.lit(0).cast("bigint")).otherwise(
+                F.least(
+                    F.lit(1_000_000).cast("bigint"),
+                    F.floor(
+                        F.lit(1e6)
+                        * (
+                            F.lit(float(budget_frac))
+                            * F.col("__tt").cast("double")
+                        )
+                        * F.col("__p").cast("double")
+                        / F.col("__pp").cast("double")
+                        / F.col("__t").cast("double")
+                    ).cast("bigint"),
+                )
+            ),
+        )
+        .select("__src", "rate_ppm")
+    )
+    gated = base.join(F.broadcast(rates), "__src")
+    c = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        h = md5_long(F.concat(c, F.lit(f"|{salt}")))
+    else:
+        h = F.xxhash64(c, F.lit(salt))
+    return (
+        gated.where(F.pmod(h, F.lit(_DENOM)) < F.col("rate_ppm"))
+        .select(
+            id_col,
+            F.col("__src").alias(source_col),
+            F.col("__w").alias("n_tokens"),
+            "rate_ppm",
+        )
+    )

@@ -353,3 +353,21 @@ def test_cli_psl_flag(spark, tmp_path):
                  "--psl", str(pslp)]) == 0
     r = spark.read.parquet(str(out)).collect()[0]
     assert r.domain == "example.co.uk"
+
+
+def test_staged_domain_stats_psl_parity(spark):
+    """The round-14 STAGED driver pair gated locally this round:
+    q_domain_stats_psl vs _SQL_DOMAIN_STATS_PSL at sf0.01 — the PSL
+    matcher (2-label suffix, listed 1-label, implicit '*' fallback,
+    bare-suffix host) under the cross-engine oracle."""
+    import __spark_entry__ as ent
+
+    sdf = ent.q_domain_stats_psl(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["domain", "n_docs", "n_hosts", "total_chars"]
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in _duck(ent._SQL_DOMAIN_STATS_PSL))
+    domains = {r[0] for r in got}
+    assert "" in domains  # the bare-suffix hosts aggregate under ''
+    assert any(d.endswith("-site.co.uk") for d in domains)  # 3-label
+    assert any(d.endswith("-site.org") for d in domains)  # '*' fallback
+    assert got == want
