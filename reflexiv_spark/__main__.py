@@ -1031,12 +1031,23 @@ def main(argv: list[str] | None = None) -> int:
         if args.wet and args.keep_all:
             p.error("--keep-all has no effect with --wet (WET files "
                     "hold only 'conversion' records); drop one flag")
-        recs = read_warc(spark, args.input, split_size=args.split_size)
+        # prune the binary column we don't need at the SOURCE — a
+        # mapInArrow source cannot receive Catalyst's column pruning,
+        # and the unused payload/http_body would otherwise double the
+        # Arrow crossing
+        base_cols = ["record_id", "warc_type", "target_uri", "warc_date",
+                     "content_type", "http_status"]
         if args.wet:
             # WET: the payload IS the extracted text (no HTTP message)
+            recs = read_warc(spark, args.input,
+                             split_size=args.split_size,
+                             columns=base_cols + ["payload"])
             recs = recs.where(F.col("warc_type") == "conversion")
             text = F.col("payload").cast("string")
         else:
+            recs = read_warc(spark, args.input,
+                             split_size=args.split_size,
+                             columns=base_cols + ["http_body"])
             if not args.keep_all:
                 recs = recs.where(
                     (F.col("warc_type") == "response")

@@ -258,3 +258,24 @@ def test_truncated_final_record_dropped(spark, tmp_path):
     pf.write_bytes(full)
     all_ids = {r.record_id for r in read_warc(spark, str(pf)).collect()}
     assert whole < all_ids  # strictly fewer, nothing bogus
+
+
+def test_column_pruned_read_matches_full(spark, tmp_path):
+    """Round-13 Arrow source: columns= prunes at the source (the
+    mapInArrow schema itself shrinks) and every surviving column equals
+    the full read's values; unknown columns error."""
+    import pytest as _pytest
+
+    p = tmp_path / "c.warc"
+    p.write_bytes(_corpus(6))
+    full = {r.record_id: r for r in read_warc(spark, str(p)).collect()}
+    pruned = read_warc(
+        spark, str(p), columns=["record_id", "http_status", "http_body"]
+    )
+    assert pruned.columns == ["record_id", "http_status", "http_body"]
+    for r in pruned.collect():
+        f = full[r.record_id]
+        assert (r.http_status, r.http_body) == (f.http_status, f.http_body)
+    assert len(full) == pruned.count()
+    with _pytest.raises(ValueError, match="unknown WARC columns"):
+        read_warc(spark, str(p), columns=["nope"])
