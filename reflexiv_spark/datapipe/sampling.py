@@ -382,14 +382,22 @@ def temperature_mix(
         else F.pow(F.col("__t").cast("double"), F.lit(float(alpha)))
     )
     mass = mass.withColumn("__p", F.floor(pw * F.lit(1000.0)).cast("bigint"))
-    tot = mass.agg(
-        F.sum("__t").alias("__tt"), F.sum("__p").alias("__pp")
+    # Σt / Σp as a single-partition window over the SOURCES-sized mass
+    # table (free at dim size) rather than a separate agg branch — a
+    # second branch would re-derive `mass` and re-scan the corpus; this
+    # keeps the pipeline at exactly two corpus scans (model + gate),
+    # the ccnet_buckets shape. Integer sums, so window order is moot.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    tot = mass.withColumn("__tt", F.sum("__t").over(wall)).withColumn(
+        "__pp", F.sum("__p").over(wall)
     )
     # rate = budget · (p_i/Σp) / t_i, as a FIXED left-assoc chain of
     # IEEE-exact ops over exact-integer operands, mirrored verbatim by
     # the SQL twin: floor(1e6 * (frac*tt) * p / pp / t)
     rates = (
-        mass.crossJoin(F.broadcast(tot))
+        tot
         .withColumn(
             "rate_ppm",
             F.when(F.col("__t") <= 0, F.lit(0).cast("bigint")).otherwise(

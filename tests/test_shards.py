@@ -232,3 +232,45 @@ def test_cli_export_shards_and_text_mix(spark, tmp_path):
     back = spark.read.parquet(str(mixed))
     assert back.columns == ["doc_id", "source", "n_tokens", "rate_ppm"]
     assert 0 < back.count() <= 24
+
+
+def test_plan_guards(spark):
+    """Plan pins for the round-13 operators on an already-spread input
+    (the many-file 100 TB scan shape): temperature_mix never shuffles
+    the corpus — its only exchanges are the dim-sized mass aggregate,
+    the single-partition dim window, the rates broadcast, and the two
+    corpus scans (model + gate, the ccnet shape); plan_shards is one
+    range/hash shuffle of (id, n_tokens) plus the per-partition-offset
+    broadcast."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3), "w " * (3 + i % 5)) for i in range(50)],
+        "doc_id long, source string, text string",
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    p1 = (
+        temperature_mix(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    kinds = re.findall(
+        r"Exchange (RoundRobinPartitioning|SinglePartition|"
+        r"hashpartitioning|rangepartitioning|HashedRelation|Identity)",
+        p1,
+    )
+    # corpus fan-outs (input repartition) appear once per scan: 2 scans
+    assert kinds.count("RoundRobinPartitioning") == 2, p1
+    # dim-sized: one mass aggregate + one global window + one broadcast
+    assert kinds.count("hashpartitioning") == 1, p1
+    assert kinds.count("SinglePartition") == 1, p1
+    assert kinds.count("HashedRelation") + kinds.count("Identity") == 1, p1
+
+    p2 = (
+        plan_shards(docs, 20)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # localCheckpoint truncates the lineage, so only the prefix-sum's
+    # own exchanges remain: the per-partition window shuffle + the
+    # offsets broadcast
+    assert p2.count("Exchange") == 2, p2
+    assert "BroadcastExchange" in p2 or "HashedRelation" in p2, p2
