@@ -42,7 +42,7 @@ an O(n_shards) aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from reflexiv_spark.datapipe.packing import global_prefix_sum
@@ -82,21 +82,38 @@ def plan_shards(
 ) -> DataFrame:
     """DataFrame[id, *keep_cols, n_tokens, shard_id, shard_offset]:
     deterministic document-contiguous shard assignment in ``id_col``
-    order — ``shard_id = start DIV target_tokens``, ``shard_offset``
-    the document's token offset within its shard."""
+    order — ``shard_id = start DIV target_tokens`` where ``start`` is
+    the corpus-stream token offset before the document, and
+    ``shard_offset`` the TRUE token offset within the shard
+    (``start − the shard's first document's start``; under the
+    document-atomic rule shards do not begin exactly at target
+    boundaries, so ``start mod target`` would be wrong — a loader
+    seeking inside a shard needs the real offset).
+
+    The offset window partitions by ``shard_id`` with no ordering (a
+    hash shuffle of ``(id, int)`` rows bounded at ~target tokens of
+    documents per partition, no sort) and leaves the result
+    hash-partitioned by ``shard_id`` — exactly the layout the physical
+    writer needs, so :func:`write_shards` pays no additional
+    shuffle."""
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
     t = _with_tokens(docs, id_col, tokens_col, text_col, list(keep_cols))
     c = global_prefix_sum(t, id_col, "n_tokens", out_col="__cum")
     c = c.withColumn("__start", F.col("__cum") - F.col("n_tokens"))
-    # integer DIV/pmod on a non-negative start: truncation == floor in
-    # both engines, no float division anywhere near 2^53 totals
+    # integer DIV on a non-negative start: truncation == floor in both
+    # engines, no float division anywhere near 2^53 totals
+    c = c.withColumn(
+        "shard_id",
+        F.expr(f"__start DIV {target_tokens}").cast("bigint"),
+    )
+    first = Window.partitionBy("shard_id")
     return c.select(
         id_col,
         *keep_cols,
         "n_tokens",
-        F.expr(f"__start DIV {target_tokens}").cast("bigint").alias("shard_id"),
-        F.pmod("__start", F.lit(target_tokens))
+        "shard_id",
+        (F.col("__start") - F.min("__start").over(first))
         .cast("bigint")
         .alias("shard_offset"),
     )
@@ -140,11 +157,11 @@ def write_shards(
         docs, target_tokens, id_col, tokens_col, text_col, keep_cols
     )
     payload_cols = [id_col, *keep_cols, "n_tokens", "shard_offset"]
-    if tokens_col is None and text_col not in keep_cols:
-        # carry the text through the plan join rather than re-deriving
-        payload = plan.join(
-            docs.select(id_col, text_col), id_col
-        )
+    if text_col in docs.columns and text_col not in keep_cols:
+        # carry the text through a plan join rather than re-deriving it
+        # (also when the caller supplied a precomputed token column —
+        # a shard file without its documents' text is not an export)
+        payload = plan.join(docs.select(id_col, text_col), id_col)
         payload_cols.append(text_col)
     else:
         payload = plan

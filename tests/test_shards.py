@@ -28,11 +28,19 @@ def test_plan_matches_sequential_reference(spark):
         for r in plan_shards(_docs(spark, rows), target_tokens=20).collect()
     }
     cum = 0
+    first_start = {}
     for i, text in rows:
         n = len(text.split())
-        assert got[i] == (n, cum // 20, cum % 20), i
+        sid = cum // 20
+        first_start.setdefault(sid, cum)
+        # shard_offset is the TRUE within-shard offset (shards do not
+        # begin exactly at target boundaries under the atomic rule)
+        assert got[i] == (n, sid, cum - first_start[sid]), i
         cum += n
     assert len(got) == 40
+    # first doc of every shard sits at offset 0
+    zero = {r[1] for r in got.values() if r[2] == 0}
+    assert zero == set(first_start)
 
 
 def test_plan_partitioning_invariance(spark):
@@ -269,8 +277,10 @@ def test_plan_guards(spark):
         plan_shards(docs, 20)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # localCheckpoint truncates the lineage, so only the prefix-sum's
-    # own exchanges remain: the per-partition window shuffle + the
-    # offsets broadcast
-    assert p2.count("Exchange") == 2, p2
+    # localCheckpoint truncates the lineage, so what remains is the
+    # prefix-sum's per-partition window shuffle + the offsets broadcast
+    # + the shard_offset window's hash shuffle (which doubles as the
+    # writer's layout — write_shards pays no further shuffle)
+    assert p2.count("Exchange") == 3, p2
     assert "BroadcastExchange" in p2 or "HashedRelation" in p2, p2
+    assert "hashpartitioning(shard_id" in p2, p2
