@@ -450,11 +450,15 @@ def main() -> None:
     # best-of-3 on this box: ~0.10-0.25 s. The capture is marked
     # contention-suspect when either control read exceeds 3x the idle
     # ceiling (0.75 s — the whole capture ran loaded) or the two reads
-    # spread by more than 1.5x (load arrived or left mid-capture), so
-    # a slow artifact carries its own adjudication evidence.
+    # spread by more than 1.5x AND the slower one sits above the idle
+    # envelope (an idle-vs-idle wobble of a tenth of a second is ratio
+    # noise, not load arriving — the first r13 idle capture read
+    # 0.128 -> 0.331 s, spread 2.6, on a verified-idle box), so a slow
+    # artifact carries its own adjudication evidence.
     _CONTROL = "top_orders"
     _CONTROL_ABS_SEC = 0.75
     _CONTROL_SPREAD = 1.5
+    _CONTROL_SPREAD_FLOOR_SEC = 0.4
 
     def control_wall() -> float:
         return round(
@@ -490,7 +494,11 @@ def main() -> None:
     )
     contended = (
         max(control_first, control_last) > _CONTROL_ABS_SEC
-        or spread > _CONTROL_SPREAD
+        or (
+            spread > _CONTROL_SPREAD
+            and max(control_first, control_last)
+            > _CONTROL_SPREAD_FLOOR_SEC
+        )
     )
     out = {
         "metric": "headline_queries_total",
