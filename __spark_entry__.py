@@ -2400,6 +2400,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle twin for q_gopher_rules (round-11 registration): the same
 # \S+ tokens, list_filter/list_intersect counts, and integer
 # cross-multiplied keep conjunction.
+# NOTE: _SQL_WEB_CURATE hand-duplicates these CTEs — mirror any
+# semantic fix there (see the lockstep-hazard note above it).
 _SQL_GOPHER_RULES = (
     r"WITH s AS (SELECT doc_id AS id, coalesce(text, '') AS t"
     " FROM documents), "
@@ -3057,6 +3059,8 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_t(spark, sf_dir, "documents"))
 
 
+# NOTE: _SQL_WEB_CURATE hand-duplicates these CTEs — mirror any
+# semantic fix there (see the lockstep-hazard note above it).
 _SQL_CORPUS_REPORT = (
     r"WITH pd AS (SELECT doc_id, lang, source,"
     r" CAST(len(list_filter(string_split_regex(coalesce(text, ''),"
@@ -3126,6 +3130,14 @@ def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + keep conjunction (_SQL_GOPHER_RULES, thresholds 30/100000/1), the
 # exact-dedup row_number window on the normalized CLEAN text, then the
 # corpus_report chain (_SQL_CORPUS_REPORT) reading the curated rows.
+# LOCKSTEP HAZARD (deliberate): these CTEs hand-duplicate the stage
+# oracles' SQL (the stage constants read `documents` directly and are
+# not composition-parameterized), so ANY semantic fix to
+# _SQL_GOPHER_RULES / _SQL_CORPUS_REPORT / the strip or exact-dedup
+# twins MUST be applied here too — the round-13 corpus_report
+# IS NOT DISTINCT FROM fix is already mirrored below. The staged
+# parity gate (tests/test_webcurate.py) catches engine-vs-this-twin
+# drift, but cannot catch both twins drifting from a stage fix.
 _SQL_WEB_CURATE = (
     "WITH wc0 AS (SELECT doc_id, lang, source,"
     " '<p>' || text || '</p><script>### ### ### ### ###</script>'"

@@ -460,10 +460,22 @@ def main() -> None:
     _CONTROL_SPREAD = 1.5
     _CONTROL_SPREAD_FLOOR_SEC = 0.4
 
-    def control_wall() -> float:
-        return round(
-            min(run(_CONTROL, "/root/testdata/sf0.001") for _ in range(3)), 3
-        )
+    def control_wall() -> float | None:
+        # never let the sentinel kill the capture (control_last runs
+        # AFTER the whole ~95 s sweep — losing the artifact to a
+        # missing sf0.001 dir or a transient failure would be worse
+        # than degrading to contention_suspect=null)
+        try:
+            return round(
+                min(
+                    run(_CONTROL, "/root/testdata/sf0.001")
+                    for _ in range(3)
+                ),
+                3,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: control query failed: {e}", file=sys.stderr)
+            return None
 
     control_first = control_wall()
     timings: dict[str, float] = {}
@@ -487,19 +499,23 @@ def main() -> None:
     base = {k: v for k, v in timings.items() if k in BASELINES}
     total = round(sum(v for v in engine.values() if v >= 0), 3)
     control_last = control_wall()
-    spread = round(
-        max(control_first, control_last)
-        / max(min(control_first, control_last), 1e-9),
-        3,
-    )
-    contended = (
-        max(control_first, control_last) > _CONTROL_ABS_SEC
-        or (
-            spread > _CONTROL_SPREAD
-            and max(control_first, control_last)
-            > _CONTROL_SPREAD_FLOOR_SEC
+    if control_first is None or control_last is None:
+        spread = None
+        contended = None  # sentinel unavailable; capture still valid
+    else:
+        spread = round(
+            max(control_first, control_last)
+            / max(min(control_first, control_last), 1e-9),
+            3,
         )
-    )
+        contended = (
+            max(control_first, control_last) > _CONTROL_ABS_SEC
+            or (
+                spread > _CONTROL_SPREAD
+                and max(control_first, control_last)
+                > _CONTROL_SPREAD_FLOOR_SEC
+            )
+        )
     out = {
         "metric": "headline_queries_total",
         "value": total,

@@ -32,12 +32,14 @@ depends on every prior fill decision — and buys nothing but a
 one-document tighter cap, so it is deliberately not the contract
 here.)
 
-Scale shape: one shuffle of ``(id, n_tokens)`` rows for the prefix
-sum, a broadcast of per-partition offsets back, and — on the write
-path only — one repartition by ``shard_id`` so each shard's rows
-land together before ``partitionBy`` lays out one directory per
-shard. Nothing corpus-sized ever reaches the driver; the manifest is
-an O(n_shards) aggregate.
+Scale shape: the plan moves only ``(id, n_tokens)`` rows (prefix-sum
+exchange + shard_id window exchange, offsets broadcast back); the
+write path moves the text bytes — twice when the text must be joined
+back by id (join exchange + the shard_id colocation repartition),
+zero extra times when the plan already carries every payload column
+(the offset window leaves it hash-partitioned by shard_id). Nothing
+corpus-sized ever reaches the driver; the manifest is an O(n_shards)
+aggregate.
 """
 
 from __future__ import annotations
@@ -67,7 +69,10 @@ def _with_tokens(
             )
         )
     else:
-        nt = F.col(tokens_col)
+        # NULL-proof like the text path (which coalesces text to ''):
+        # a NULL count would make the prefix sum, shard_id, and offset
+        # all NULL and silently drop the document from every shard
+        nt = F.coalesce(F.col(tokens_col), F.lit(0))
     cols = [F.col(id_col)] + [F.col(c) for c in keep]
     return docs.select(*cols, nt.cast("long").alias("n_tokens"))
 
@@ -94,8 +99,10 @@ def plan_shards(
     hash shuffle of ``(id, int)`` rows bounded at ~target tokens of
     documents per partition, no sort) and leaves the result
     hash-partitioned by ``shard_id`` — exactly the layout the physical
-    writer needs, so :func:`write_shards` pays no additional
-    shuffle."""
+    writer needs, so :func:`write_shards` adds no exchange when the
+    plan already carries every payload column (it still pays the text
+    join + colocation exchanges when text must be joined back — see
+    its docstring)."""
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
     t = _with_tokens(docs, id_col, tokens_col, text_col, list(keep_cols))
@@ -146,10 +153,16 @@ def write_shards(
     JSONL (one ``to_json`` line per document) or parquet, sharded by
     :func:`plan_shards`; returns the manifest DataFrame.
 
-    The write repartitions by ``shard_id`` so a shard's rows are
-    colocated (one task writes one shard's file, modulo hash ties) —
-    at 100 TB that is the one unavoidable full shuffle of the export,
-    and it replaces any driver-side iteration entirely.
+    Shuffle accounting at 100 TB, counted honestly: the PLAN itself
+    moves only ``(id, n_tokens)`` rows (prefix-sum exchange + the
+    shard_id window exchange). The TEXT bytes move when the plan is
+    joined back to the documents (one corpus-sized exchange of text by
+    id — the plan side is row-count-huge, so no broadcast escape) and
+    once more in the explicit ``repartition(shard_id)`` that colocates
+    each shard before ``partitionBy`` — two text-sized exchanges
+    total. When no join is needed (``text_col`` absent or carried via
+    ``keep_cols``) the plan is ALREADY hash-partitioned by shard_id
+    from the offset window, so the writer adds no exchange at all.
     """
     if fmt not in ("jsonl", "parquet"):
         raise ValueError(f"unknown shard format: {fmt!r}")
@@ -160,12 +173,17 @@ def write_shards(
     if text_col in docs.columns and text_col not in keep_cols:
         # carry the text through a plan join rather than re-deriving it
         # (also when the caller supplied a precomputed token column —
-        # a shard file without its documents' text is not an export)
-        payload = plan.join(docs.select(id_col, text_col), id_col)
+        # a shard file without its documents' text is not an export);
+        # the join re-keys the rows by id, so restore the shard layout
+        out = plan.join(docs.select(id_col, text_col), id_col).repartition(
+            "shard_id"
+        )
         payload_cols.append(text_col)
     else:
-        payload = plan
-    out = payload.repartition("shard_id")
+        # plan output is already hash-partitioned by shard_id (the
+        # offset window) — an explicit repartition would be a second,
+        # redundant exchange
+        out = plan
     if fmt == "parquet":
         out.select("shard_id", *payload_cols).write.mode(
             "overwrite"

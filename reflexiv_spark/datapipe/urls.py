@@ -95,6 +95,21 @@ def parse_urls(
         F.split(host, r"\.").alias("__labels"),
     )
     sfx = psl.select(F.lower(F.col("suffix")).alias("__sfx")).distinct()
+    # reject suffixes the matcher would silently never match (the real
+    # PSL has a handful of 5-label entries): a silently-ignored suffix
+    # mis-registers every host under it. The PSL is model-sized, so
+    # this single tiny aggregate is essentially free.
+    too_long = sfx.where(
+        F.size(F.split(F.col("__sfx"), r"\.")) > _PSL_MAX_LABELS
+    ).limit(3)
+    offenders = [r["__sfx"] for r in too_long.collect()]
+    if offenders:
+        raise ValueError(
+            f"PSL entries exceed _PSL_MAX_LABELS={_PSL_MAX_LABELS} "
+            f"labels (e.g. {offenders}); raise the limit or drop them "
+            "explicitly — silently ignoring them would mis-register "
+            "every host under those suffixes"
+        )
     cur = base
     for m in range(_PSL_MAX_LABELS, 0, -1):
         blm = F.broadcast(

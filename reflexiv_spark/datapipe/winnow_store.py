@@ -131,18 +131,22 @@ def probe_winnow_store(
     )
 
 
+_STREAM_STORE_CAP = 1_000_000
+
+
 def store_fingerprint_list(store: DataFrame) -> list[int]:
     """Collect a fingerprint store to a sorted Python list — the
     broadcast-reference input of :func:`probe_winnow_stream`.
     Model-sized driver state (the eval-pack rule: the store is
-    O(distinct fps) bigints); enforced with a hard cap so a
-    corpus-sized relation can never be collected by accident."""
-    rows = store.select("fp").distinct().collect()
-    if len(rows) > 1_000_000:
+    O(distinct fps) bigints); the hard cap is enforced BEFORE the
+    collect (``limit(cap+1)``) so a corpus-sized relation is rejected
+    without ever shipping its rows to the driver."""
+    rows = store.select("fp").distinct().limit(_STREAM_STORE_CAP + 1).collect()
+    if len(rows) > _STREAM_STORE_CAP:
         raise ValueError(
-            f"store has {len(rows)} fingerprints — too large for the "
-            "in-row streaming probe; use probe_winnow_store's fp-keyed "
-            "join instead"
+            f"store exceeds {_STREAM_STORE_CAP} fingerprints — too "
+            "large for the in-row streaming probe; use "
+            "probe_winnow_store's fp-keyed join instead"
         )
     return sorted(int(r["fp"]) for r in rows)
 
@@ -173,8 +177,13 @@ def probe_winnow_stream(
     task (the broadcast-literal contract) — right for the monitoring /
     nightly-gate sizes this exists for; a corpus-sized store belongs in
     the batch probe's fp-keyed join."""
+    # ONE array literal (a single py4j call carrying the whole list),
+    # never F.array(*[F.lit(v) ...]) — per-element literals would build
+    # len(store) Column objects driver-side and hand Catalyst a
+    # CreateArray with that many children, stalling plan construction
+    # at realistic store sizes
     store_arr = (
-        F.array(*[F.lit(int(v)).cast("bigint") for v in sorted(set(store_fps))])
+        F.lit([int(v) for v in sorted(set(store_fps))]).cast("array<bigint>")
         if store_fps
         else F.array().cast("array<bigint>")
     )
