@@ -349,6 +349,23 @@ def main(argv: list[str] | None = None) -> int:
     uf_.add_argument("--stats", action="store_true",
                      help="per-domain (n_docs, n_hosts, total_chars)")
 
+    pl_ = add("pipeline", help="datapipe: run a declarative JSON "
+              "curation pipeline (stages of strip/rules/dedup/sample "
+              "ops) with optional per-stage Parquet barriers and "
+              "_SUCCESS-gated resume — the step-resume semantics the "
+              "genomics ladders already use")
+    pl_.add_argument("--spec", required=True,
+                     help='JSON file: {"stages": [{"op": name, '
+                     "...params}, ...]}")
+    pl_.add_argument("--workdir", default=None,
+                     help="stage-barrier directory; restarts skip "
+                     "completed stages")
+    pl_.add_argument("--no-resume", action="store_true",
+                     help="rebuild every stage even if its barrier "
+                     "completed")
+    pl_.add_argument("--text-col", default="text")
+    pl_.add_argument("--id-col", default="doc_id")
+
     es_ = add("export-shards", help="datapipe: materialize the corpus "
               "as contiguous ~N-token training shards "
               "(path/shard_id=K/ of JSONL or parquet) and write the "
@@ -989,6 +1006,21 @@ def main(argv: list[str] | None = None) -> int:
                 out = out.where(F.col("kept")).select(
                     args.id_col, "host", "domain", "ext"
                 )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "pipeline":
+        from reflexiv_spark.datapipe.runner import run_pipeline
+
+        with open(args.spec) as fh:
+            spec = fh.read()
+        out = run_pipeline(
+            spark,
+            spark.read.parquet(args.input),
+            spec,
+            workdir=args.workdir,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            resume=not args.no_resume,
+        )
         _write(out, args.output, args.outformat)
     elif args.cmd == "export-shards":
         from reflexiv_spark.datapipe.shards import write_shards
