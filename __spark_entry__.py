@@ -3138,8 +3138,13 @@ def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IS NOT DISTINCT FROM fix is already mirrored below. The staged
 # parity gate (tests/test_webcurate.py) catches engine-vs-this-twin
 # drift, but cannot catch both twins drifting from a stage fix.
-_SQL_WEB_CURATE = (
-    "WITH wc0 AS (SELECT doc_id, lang, source,"
+# Shared CTE prefix of the WET-side curation twins: markup wrap ->
+# strip chain -> Gopher keep (thresholds 30/100000/1) -> exact dedup
+# on the CLEAN text; `dd` is the curated corpus both _SQL_WEB_CURATE
+# (corpus_report tail) and _SQL_PIPELINE_CURATE (hash-sample tail)
+# read — one copy, so a stage fix propagates to both compositions.
+_SQL_WET_CURATE_PREFIX = (
+    "wc0 AS (SELECT doc_id, lang, source,"
     " '<p>' || text || '</p><script>### ### ### ### ###</script>'"
     " AS t0 FROM documents), "
     "wc1 AS (SELECT doc_id, lang, source, coalesce(t0, '') AS t"
@@ -3187,7 +3192,12 @@ _SQL_WEB_CURATE = (
     "dd AS (SELECT doc_id, lang, source, text FROM ("
     "SELECT *, row_number() OVER (PARTITION BY"
     r" regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
-    " ORDER BY doc_id) AS rn FROM gk) WHERE rn = 1), "
+    " ORDER BY doc_id) AS rn FROM gk) WHERE rn = 1)"
+)
+
+
+_SQL_WEB_CURATE = (
+    f"WITH {_SQL_WET_CURATE_PREFIX}, "
     r"pd AS (SELECT doc_id, lang, source,"
     r" CAST(len(list_filter(string_split_regex(coalesce(text, ''),"
     r" '\s+'), x -> x != '')) AS BIGINT) AS n_tokens,"
@@ -3218,6 +3228,49 @@ _SQL_WEB_CURATE = (
     " AS n_distinct_texts, n_sources"
     " FROM b JOIN md ON b.lang IS NOT DISTINCT FROM md.lang"
     " LEFT JOIN ds ON b.lang IS NOT DISTINCT FROM ds.lang"
+)
+
+
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the DECLARATIVE pipeline runner under the oracle — the
+    same markup-wrapped corpus as q_web_curate, driven through
+    run_pipeline's JSON spec (strip_markup → gopher_rules 30/1 →
+    exact_dedup → hash_sample 0.8 md5) instead of hand composition, so
+    the runner's adapter wiring (text swap-in, keep-id semi-join,
+    survivor passthrough) is itself hash-verified end to end. STAGED
+    round 13; registers ROUND 14. Oracle twin _SQL_PIPELINE_CURATE
+    (the shared _SQL_WET_CURATE_PREFIX + the hash-gate tail); pair
+    gated locally by tests/test_runner.py::test_staged_driver_pair_parity.
+    """
+    from reflexiv_spark.datapipe.runner import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p><script>### ### ### ### ###</script>"),
+        ).alias("text"),
+    )
+    spec = {
+        "stages": [
+            {"op": "strip_markup"},
+            {"op": "gopher_rules", "min_words": 30, "min_stop_hits": 1},
+            {"op": "exact_dedup"},
+            {"op": "hash_sample", "rate": 0.8, "salt": "t",
+             "hash_family": "md5"},
+        ]
+    }
+    return run_pipeline(spark, docs, spec)
+
+
+_SQL_PIPELINE_CURATE = (
+    f"WITH {_SQL_WET_CURATE_PREFIX} "
+    "SELECT doc_id, lang, source, text FROM dd WHERE "
+    + _sql_md5l("CAST(doc_id AS VARCHAR) || '|t'")
+    + " % 1000000 < 800000"
 )
 
 

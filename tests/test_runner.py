@@ -149,3 +149,27 @@ def test_cli_pipeline(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.columns == ["doc_id", "source", "text"]
     assert 0 < back.count() < 40
+
+
+def test_staged_driver_pair_parity(spark):
+    """The round-14 STAGED driver pair gated locally this round:
+    q_pipeline_curate vs _SQL_PIPELINE_CURATE at sf0.01 — the runner's
+    adapter wiring hash-verified against the chained stage-oracle CTEs
+    (shared _SQL_WET_CURATE_PREFIX + md5 hash-gate tail)."""
+    import duckdb
+
+    import __spark_entry__ as ent
+
+    sdf = ent.q_pipeline_curate(spark, "/root/testdata/sf0.01")
+    assert sdf.columns == ["doc_id", "lang", "source", "text"]
+    got = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        ent._SQL_PIPELINE_CURATE
+    ).fetchall())
+    assert 0 < len(got) < 500  # strip + rules + dedup + gate all bite
+    assert got == want

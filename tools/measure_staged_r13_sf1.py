@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaled/sf1.0"
 
 PAIRS = [
+    "pipeline_curate",
     "shard_manifest",
     "temperature_mix",
     "domain_stats_psl",
