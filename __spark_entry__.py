@@ -3130,14 +3130,14 @@ def q_web_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + keep conjunction (_SQL_GOPHER_RULES, thresholds 30/100000/1), the
 # exact-dedup row_number window on the normalized CLEAN text, then the
 # corpus_report chain (_SQL_CORPUS_REPORT) reading the curated rows.
-# LOCKSTEP HAZARD (deliberate): these CTEs hand-duplicate the stage
-# oracles' SQL (the stage constants read `documents` directly and are
-# not composition-parameterized), so ANY semantic fix to
-# _SQL_GOPHER_RULES / _SQL_CORPUS_REPORT / the strip or exact-dedup
-# twins MUST be applied here too — the round-13 corpus_report
-# IS NOT DISTINCT FROM fix is already mirrored below. The staged
-# parity gate (tests/test_webcurate.py) catches engine-vs-this-twin
-# drift, but cannot catch both twins drifting from a stage fix.
+# LOCKSTEP HAZARD (reduced round 13): the strip/gopher/dedup CTEs now
+# live once in _SQL_WET_CURATE_PREFIX (shared with
+# _SQL_PIPELINE_CURATE); what remains hand-duplicated here is the
+# corpus_report tail (pd..b CTEs) — any semantic fix to
+# _SQL_CORPUS_REPORT must still be mirrored in that tail (the
+# round-13 IS NOT DISTINCT FROM fix already is). The staged parity
+# gates catch engine-vs-twin drift, not both drifting from a stage
+# fix.
 # Shared CTE prefix of the WET-side curation twins: markup wrap ->
 # strip chain -> Gopher keep (thresholds 30/100000/1) -> exact dedup
 # on the CLEAN text; `dd` is the curated corpus both _SQL_WEB_CURATE
@@ -3460,6 +3460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                 pipelines — assemble_blocks/paths, meta_assemble,
     #                 reassemble & co — to the r14 obligated set, which
     #                 has capacity: 14 holders + the staged web_curate).
+    # FIVE round-13-staged pairs (web_curate, shard_manifest,
+    # temperature_mix, domain_stats_psl, pipeline_curate) are
+    # staged-not-registered; they enter the window in ROUND 14 per the
+    # SURVEY §8 arithmetic.
     # Slots 51+ hold queries whose modules round 13 does not
     # semantically change: the 22-query text.py closure, the six r12
     # registrations minus the winnow pair, and the ANN/graph/text
