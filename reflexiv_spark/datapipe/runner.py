@@ -33,14 +33,26 @@ adapted:
 - **selection ops** (``temperature_mix``) emit thin kept-id relations
   — semi-join.
 
-Scale shape: adapters add only id-keyed joins (the id side is thin;
-text moves once per barrier write, which is the point of a barrier).
-With ``workdir=None`` the chain stays one lazy Catalyst plan end to
-end — no materialization, but also no resume.
+Scale shape: every adapter join is id-keyed, but the transformer and
+keep-and-swap adapters place the upstream corpus on BOTH join sides,
+which in a fully lazy chain would re-execute the whole upstream plan
+per stage (exponential in chain depth). With ``workdir`` the barrier
+write cuts that lineage per stage; without it, each stage output is
+``localCheckpoint(eager=False)``-ed (the ``webcurate.py`` device) so
+the chain computes each stage exactly once while staying lazy until
+the first action.
+
+Barrier names embed a hash of the spec PREFIX up to that stage (op +
+params + column names): editing any stage's params — or any upstream
+stage — changes the downstream barrier names, so a resumed run with
+an edited spec rebuilds exactly the invalidated suffix instead of
+silently serving stale results. Orphaned barriers from the old spec
+stay on disk (inert) until the workdir is cleaned.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 from collections.abc import Callable
 
@@ -50,13 +62,16 @@ from pyspark.sql import functions as F
 from reflexiv_spark.plans.stages import stage
 
 
-def _swap_text(op: Callable, out_col: str):
+def _swap_text(op: Callable, out_col: str | None):
     """Transformer adapter: run ``op`` on (id, text), swap its output
-    column in as the new text, keep every other input column."""
+    column in as the new text, keep every other input column.
+    ``out_col=None`` means the op names its output after ``text_col``
+    (strip_markup does)."""
 
     def run(df: DataFrame, text_col: str, id_col: str, **params):
+        oc = text_col if out_col is None else out_col
         new = op(df, text_col=text_col, id_col=id_col, **params).select(
-            id_col, F.col(out_col).alias("__new_text")
+            id_col, F.col(oc).alias("__new_text")
         )
         return (
             df.join(new, id_col)
@@ -83,6 +98,28 @@ def _keep_flag(op: Callable):
     return run
 
 
+def _keep_and_swap(op: Callable, out_col: str):
+    """Rule-bundle adapter for bundles whose output text differs from
+    the input (C4 removes lines): keep the flagged rows AND swap the
+    bundle's cleaned text in — admitting a document on the basis of
+    text the pipeline then doesn't use would be wrong."""
+
+    def run(df: DataFrame, text_col: str, id_col: str, **params):
+        kept = (
+            op(df, text_col=text_col, id_col=id_col, **params)
+            .where(F.col("keep"))
+            .select(F.col("id").alias(id_col),
+                    F.col(out_col).alias("__new_text"))
+        )
+        return (
+            df.join(kept, id_col)
+            .withColumn(text_col, F.col("__new_text"))
+            .drop("__new_text")
+        )
+
+    return run
+
+
 def _survivor(op: Callable):
     def run(df: DataFrame, text_col: str, id_col: str, **params):
         return op(df, text_col=text_col, id_col=id_col, **params)
@@ -91,8 +128,13 @@ def _survivor(op: Callable):
 
 
 def _lang_filter(df: DataFrame, text_col: str, id_col: str,
-                 langs: list[str] | tuple[str, ...] = ("en",)):
+                 langs: list[str] | tuple[str, ...] | str = ("en",)):
     from reflexiv_spark.datapipe.text import language_id
+
+    if isinstance(langs, str):
+        # the natural JSON mistake ("langs": "en") would otherwise
+        # become isin('e', 'n') and silently empty the corpus
+        langs = [langs]
 
     kept = (
         language_id(df, text_col=text_col, id_col=id_col)
@@ -145,11 +187,11 @@ def _ops() -> dict[str, Callable]:
     )
 
     return {
-        "strip_markup": _swap_text(strip_markup, "text"),
+        "strip_markup": _swap_text(strip_markup, None),
         "redact_pii": _swap_text(redact_pii, "redacted"),
         "line_dedup": _swap_text(drop_frequent_lines, "cleaned"),
         "gopher_rules": _keep_flag(gopher_rules),
-        "c4_rules": _keep_flag(c4_rules),
+        "c4_rules": _keep_and_swap(c4_rules, "clean_text"),
         "fineweb_rules": _keep_flag(fineweb_rules),
         "lang_filter": _lang_filter,
         "quality_filter": _quality_filter,
@@ -161,7 +203,8 @@ def _ops() -> dict[str, Callable]:
 
 
 def pipeline_ops() -> tuple[str, ...]:
-    """The op names a spec may use (the CLI help surface)."""
+    """The op names a spec may use (also embedded in the compile-time
+    unknown-op error message)."""
     return tuple(sorted(_ops()))
 
 
@@ -185,6 +228,11 @@ def run_pipeline(
     """
     if isinstance(spec, str):
         spec = json.loads(spec)
+    if not isinstance(spec, dict):
+        raise ValueError(
+            'spec must be an object with a "stages" list '
+            '(got a JSON array? wrap it: {"stages": [...]})'
+        )
     stages = spec.get("stages")
     if not isinstance(stages, list) or not stages:
         raise ValueError('spec needs a non-empty "stages" list')
@@ -202,15 +250,28 @@ def run_pipeline(
         params = {k: v for k, v in st.items() if k != "op"}
         compiled.append((i, name, params))
     cur = docs
+    prefix_key = f"{text_col}|{id_col}"
     for i, name, params in compiled:
         fn = ops[name]
         if workdir is None:
             cur = fn(cur, text_col=text_col, id_col=id_col, **params)
+            # cut the lineage so the next stage's self-join does not
+            # re-execute this whole chain on both join sides (lazy:
+            # materializes once, at the first action)
+            cur = cur.localCheckpoint(eager=False)
         else:
+            # barrier identity = the spec prefix THROUGH this stage:
+            # an edited stage (or any upstream edit) invalidates this
+            # and every later barrier, never silently resuming stale
+            # results
+            prefix_key += "|" + json.dumps(
+                {"op": name, **params}, sort_keys=True, default=str
+            )
+            h = hashlib.md5(prefix_key.encode()).hexdigest()[:8]
             prev = cur
             cur = stage(
                 spark,
-                f"{i:02d}_{name}",
+                f"{i:02d}_{name}_{h}",
                 workdir,
                 lambda p=prev, f=fn, pr=params: f(
                     p, text_col=text_col, id_col=id_col, **pr

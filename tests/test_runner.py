@@ -96,9 +96,11 @@ def test_barrier_resume_skips_completed_stages(spark, tmp_path):
     first = sorted(
         map(tuple, run_pipeline(spark, docs, SPEC, workdir=wd).collect())
     )
-    # barrier dirs exist for every stage
+    # barrier dirs exist for every stage (suffixed with the spec-prefix
+    # hash that invalidates them when the spec is edited)
     names = sorted(p.name for p in (tmp_path / "wd").iterdir())
-    assert names == [
+    prefixes = [n.rsplit("_", 1)[0] for n in names]
+    assert prefixes == [
         "00_strip_markup", "01_gopher_rules", "02_exact_dedup",
         "03_hash_sample",
     ]
@@ -107,7 +109,7 @@ def test_barrier_resume_skips_completed_stages(spark, tmp_path):
     # poison shows through
     import shutil
 
-    poison = tmp_path / "wd" / "03_hash_sample"
+    poison = tmp_path / "wd" / names[3]
     shutil.rmtree(poison)
     empty = spark.createDataFrame(
         [], "doc_id long, source string, text string"
@@ -132,6 +134,17 @@ def test_barrier_resume_skips_completed_stages(spark, tmp_path):
         )
     )
     assert rebuilt == first
+    # editing a MID-CHAIN stage's params changes the downstream barrier
+    # names: the old barriers are ignored, the edited chain rebuilds,
+    # and the output reflects the new params (no stale resume)
+    edited = json.loads(json.dumps(SPEC))
+    edited["stages"][1]["min_words"] = 10_000  # nothing passes
+    assert run_pipeline(spark, docs, edited, workdir=wd).count() == 0
+    # the original spec STILL resumes its own barriers correctly
+    again = sorted(
+        map(tuple, run_pipeline(spark, docs, SPEC, workdir=wd).collect())
+    )
+    assert again == first
 
 
 def test_cli_pipeline(spark, tmp_path):
@@ -173,3 +186,40 @@ def test_staged_driver_pair_parity(spark):
     ).fetchall())
     assert 0 < len(got) < 500  # strip + rules + dedup + gate all bite
     assert got == want
+
+
+def test_lang_filter_scalar_and_c4_clean_text(spark):
+    """lang_filter coerces a scalar langs string (the natural JSON
+    mistake) instead of silently matching single characters; c4_rules
+    swaps the line-cleaned text in rather than admitting docs on text
+    the pipeline then ignores."""
+    en = (
+        "The cat and the dog were there. It was a good day for all. "
+        "They said this would be fine."
+    )
+    docs = spark.createDataFrame(
+        [(1, en + "\nshort junk line\n" + en)],
+        "doc_id long, text string",
+    )
+    out = run_pipeline(
+        spark, docs,
+        {"stages": [{"op": "lang_filter", "langs": "en"}]},
+    )
+    assert out.count() == 1  # scalar "en" behaves as ["en"]
+    cleaned = run_pipeline(
+        spark, docs,
+        {"stages": [{"op": "c4_rules", "min_line_words": 4}]},
+    ).collect()
+    assert len(cleaned) == 1
+    assert "short junk line" not in cleaned[0].text  # clean_text swapped
+
+
+def test_custom_text_col_strip(spark):
+    docs = spark.createDataFrame(
+        [(1, "<p>hello world</p>")], "doc_id long, body string"
+    )
+    out = run_pipeline(
+        spark, docs, {"stages": [{"op": "strip_markup"}]},
+        text_col="body",
+    ).collect()
+    assert out[0].body == "hello world"

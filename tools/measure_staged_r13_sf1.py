@@ -1,10 +1,12 @@
 #!/usr/bin/env python
-"""sf1.0 parity + walls for the three round-13 staged pairs
-(shard_manifest, temperature_mix, domain_stats_psl) plus web_curate.
+"""sf1.0 parity + walls for the FIVE round-13 staged pairs
+(pipeline_curate, shard_manifest, temperature_mix, domain_stats_psl,
+web_curate).
 
-All four outputs are driver-collectable at this scale (manifest ~250
-rows, mix ~25k thin rows, psl stats ~41 rows, web_curate ~languages
-rows), so every row is fully value-compared against the DuckDB twin.
+All five outputs are driver-collectable at this scale (manifest ~1.4k
+rows, mix ~25k thin rows, psl stats 21 rows, web_curate 5 rows,
+pipeline_curate ~27k FULL-TEXT rows — the heaviest collect here), so
+every row is fully value-compared against the DuckDB twin.
 
 Usage: python tools/measure_staged_r13_sf1.py [sf_dir]
 """
