@@ -3421,6 +3421,71 @@ _SQL_DOMAIN_STATS_PSL = (
 )
 
 
+def q_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: C4 §2.2 blocklist-word page filtering — per-document
+    DISTINCT blocklist-word hits (exact-token, lowercased ``\\w+``),
+    blocklist-phrase substring hits, keep flag. The blocklist ships as
+    a literal array inside ONE zero-shuffle Catalyst projection (lists
+    are model-sized); all counts exact integers. The synthetic corpus's
+    vocabulary drives the choice of list entries (``dup``/``slow`` +
+    two bigram phrases) so every output column discriminates at
+    sf0.01. STAGED round 13; registers ROUND 14. Oracle twin
+    _SQL_BADWORDS; pair gated locally by
+    tests/test_badwords.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    return badwords_filter(
+        _t(spark, sf_dir, "documents"),
+        words=("dup", "slow"),
+        phrases=("slow join", "small batch"),
+    )
+
+
+_SQL_BADWORDS = (
+    r"SELECT doc_id AS id,"
+    r" CAST(len(list_filter(list_distinct(regexp_extract_all("
+    r"lower(coalesce(text, '')), '\w+')),"
+    r" x -> list_contains(['dup', 'slow'], x))) AS BIGINT)"
+    " AS n_bad_words,"
+    " CAST(CASE WHEN contains(lower(coalesce(text, '')), 'slow join')"
+    " THEN 1 ELSE 0 END"
+    " + CASE WHEN contains(lower(coalesce(text, '')), 'small batch')"
+    " THEN 1 ELSE 0 END AS BIGINT) AS n_bad_phrases,"
+    r" len(list_filter(list_distinct(regexp_extract_all("
+    r"lower(coalesce(text, '')), '\w+')),"
+    r" x -> list_contains(['dup', 'slow'], x))) = 0"
+    " AND NOT contains(lower(coalesce(text, '')), 'slow join')"
+    " AND NOT contains(lower(coalesce(text, '')), 'small batch')"
+    " AS keep"
+    " FROM documents"
+)
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: deterministic global training shuffle — every document's
+    0-based position in (md5(id|salt), id) order, computed by the
+    two-phase range-shuffle + per-partition row_number + driver
+    prefix-of-counts scan (never a single-task global window). The
+    permutation is a pure function of the rows, so it is
+    partitioning-invariant and salt-parameterized per epoch. STAGED
+    round 13; registers ROUND 14. Oracle twin _SQL_CORPUS_SHUFFLE
+    (ANSI row_number replay); pair gated locally by
+    tests/test_sampling_ops.py::test_staged_shuffle_parity."""
+    from reflexiv_spark.datapipe.sampling import corpus_shuffle
+
+    return corpus_shuffle(_t(spark, sf_dir, "documents"), salt="ep0")
+
+
+_SQL_CORPUS_SHUFFLE = (
+    "WITH k AS (SELECT doc_id,"
+    " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ep0'), 1, 15)"
+    " AS BIGINT) AS shuffle_key FROM documents) "
+    "SELECT doc_id, shuffle_key,"
+    " CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)"
+    " AS position FROM k"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3460,8 +3525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                 pipelines — assemble_blocks/paths, meta_assemble,
     #                 reassemble & co — to the r14 obligated set, which
     #                 has capacity: 14 holders + the staged web_curate).
-    # FIVE round-13-staged pairs (web_curate, shard_manifest,
-    # temperature_mix, domain_stats_psl, pipeline_curate) are
+    # SEVEN round-13-staged pairs (web_curate, shard_manifest,
+    # temperature_mix, domain_stats_psl, pipeline_curate, plus the
+    # late-round badwords and corpus_shuffle) are
     # staged-not-registered; they enter the window in ROUND 14 per the
     # SURVEY §8 arithmetic.
     # Slots 51+ hold queries whose modules round 13 does not

@@ -143,6 +143,11 @@ HEADLINE = [
     "semantic_decontam",
     "winnow_store_probe_xxh64",
     "incremental_candidates_xxh64",
+    # round 13 (late): blocklist-word filtering (all-integer literal-
+    # array scan — production IS the oracled path) and the global
+    # training shuffle on its production hash family
+    "badwords",
+    "corpus_shuffle_xxh64",
 ]
 
 
@@ -380,7 +385,22 @@ def _bench_only_queries():
             min_shared=100, hash_family="xxhash64",
         )
 
+    def badwords(spark, sf_dir):
+        # staged round 13 (registers r14): the oracled shape IS the
+        # production shape (all-integer literal-array scan)
+        import __spark_entry__ as ent
+
+        return ent.q_badwords(spark, sf_dir)
+
+    def corpus_shuffle_xxh64(spark, sf_dir):
+        from reflexiv_spark.datapipe.sampling import corpus_shuffle
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return corpus_shuffle(docs, salt="ep0", hash_family="xxhash64")
+
     return {
+        "badwords": badwords,
+        "corpus_shuffle_xxh64": corpus_shuffle_xxh64,
         "dsir_select_xxh64": dsir_select_xxh64,
         "winnow_ref_removal_xxh64": winnow_ref_removal_xxh64,
         "ccnet_buckets_xxh64": ccnet_buckets_xxh64,

@@ -397,6 +397,35 @@ def main(argv: list[str] | None = None) -> int:
     tm_.add_argument("--hash-family", choices=("md5", "xxhash64"),
                      default="md5")
 
+    bw_ = add("badwords-filter", help="datapipe: C4 §2.2 blocklist-"
+              "word page filtering — per-doc distinct word hits, "
+              "phrase substring hits, keep flag (or --keep-only rows);"
+              " the list ships as a literal in one zero-shuffle scan")
+    bw_.add_argument("--words", default=None,
+                     help="comma-separated blocklist words "
+                     "(exact-token, lowercased)")
+    bw_.add_argument("--words-file", default=None,
+                     help="file with one blocklist entry per line; "
+                     "entries containing whitespace are treated as "
+                     "phrases")
+    bw_.add_argument("--phrases", default=None,
+                     help="comma-separated blocklist phrases "
+                     "(substring match, lowercased)")
+    bw_.add_argument("--text-col", default="text")
+    bw_.add_argument("--id-col", default="doc_id")
+    bw_.add_argument("--keep-only", action="store_true",
+                     help="emit the surviving input rows instead of "
+                     "the flag relation")
+
+    sh_ = add("text-shuffle", help="datapipe: deterministic global "
+              "training shuffle — 0-based position of every doc in "
+              "hash(id, salt) order via the two-phase prefix scan; "
+              "salt per epoch, bit-reproducible under any layout")
+    sh_.add_argument("--id-col", default="doc_id")
+    sh_.add_argument("--salt", default="shuffle")
+    sh_.add_argument("--hash-family", choices=("md5", "xxhash64"),
+                     default="md5")
+
     we_ = add("warc-extract", help="sources: WARC (Common Crawl) → "
               "documents-shaped table (doc_id, record_id, url, "
               "warc_date, content_type, http_status, text) — keeps "
@@ -1048,6 +1077,40 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             token_col=args.token_col,
             text_col=args.text_col,
+            salt=args.salt,
+            hash_family=args.hash_family,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "badwords-filter":
+        from reflexiv_spark.datapipe.badwords import badwords_filter
+
+        words = [w for w in (args.words or "").split(",") if w]
+        phrases = [s for s in (args.phrases or "").split(",") if s]
+        if args.words_file:
+            with open(args.words_file) as fh:
+                for line in fh:
+                    entry = line.strip().lower()
+                    if not entry:
+                        continue
+                    (phrases if " " in entry else words).append(entry)
+        if not words and not phrases:
+            p.error("badwords-filter needs --words, --phrases, or "
+                    "--words-file")
+        out = badwords_filter(
+            spark.read.parquet(args.input),
+            words=tuple(words),
+            phrases=tuple(phrases),
+            text_col=args.text_col,
+            id_col=args.id_col,
+            keep_only=args.keep_only,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "text-shuffle":
+        from reflexiv_spark.datapipe.sampling import corpus_shuffle
+
+        out = corpus_shuffle(
+            spark.read.parquet(args.input),
+            id_col=args.id_col,
             salt=args.salt,
             hash_family=args.hash_family,
         )

@@ -433,3 +433,68 @@ def temperature_mix(
             "rate_ppm",
         )
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Deterministic pseudo-random GLOBAL order for training export →
+    DataFrame[<id_col>, shuffle_key, position].
+
+    Pretraining wants the document stream globally shuffled (a corpus
+    laid out source-by-source trains on megabatches of one domain at a
+    time); at 100 TB that shuffle must also be REPRODUCIBLE. The order
+    here is a pure function of the row: ``shuffle_key = hash(id, salt)``
+    and ``position`` = 0-based rank in (shuffle_key, id) order — the id
+    tiebreak makes the permutation total even on hash collisions, so
+    re-running (or re-executing a failed partition) yields bit-identical
+    layout, and a different ``salt`` draws an independent permutation
+    per epoch.
+
+    Execution is the :func:`~reflexiv_spark.datapipe.packing.global_prefix_sum`
+    two-phase scan, NOT a single-task global window: range-shuffle on
+    the (key, id) pair, per-partition ``row_number``, driver prefix of
+    the per-partition COUNTS (one long each) joined back as a broadcast.
+    Where the range boundaries fall cannot affect the rank, so the
+    result is partitioning-invariant and an ANSI ``row_number()`` oracle
+    replays it exactly. Compose downstream: feed ``position`` to
+    :func:`~reflexiv_spark.datapipe.shards.plan_shards` as the order
+    column to get shuffled training shards.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        key = md5_long(F.concat(c, F.lit(f"|{salt}")))
+    else:
+        key = F.xxhash64(c, F.lit(salt))
+    keyed = df.select(F.col(id_col), key.alias("shuffle_key"))
+    ranged = keyed.repartitionByRange(
+        F.col("shuffle_key"), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    # pin the layout: the window, the totals agg, and the join below
+    # must all see the SAME partition ids (the packing.py idiom)
+    ranged = ranged.localCheckpoint(eager=False)
+    w = Window.partitionBy("__pid").orderBy("shuffle_key", id_col)
+    local = ranged.withColumn("__rn", F.row_number().over(w))
+    totals = ranged.groupBy("__pid").count().collect()
+    prefix, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        prefix[r["__pid"]] = acc
+        acc += r["count"]
+    pre = df.sparkSession.createDataFrame(
+        [(int(p), int(v)) for p, v in prefix.items()], "__pid int, __pre long"
+    )
+    return (
+        local.join(F.broadcast(pre), "__pid")
+        .select(
+            id_col,
+            "shuffle_key",
+            (F.col("__rn") + F.col("__pre") - 1).cast("bigint").alias(
+                "position"
+            ),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Blocklist-word page filtering (datapipe/badwords.py): planted
+word/phrase hits, NULL edges, keep_only equivalence, input validation,
+zero-shuffle plan shape, and the round-13 staged driver pair gated
+locally against DuckDB (SURVEY §8 staging protocol)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_badwords_planted(spark):
+    """Exact-token word hits (no substring false positives), phrase
+    substring hits, distinct counting, NULL text keeps."""
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    rows = [
+        (1, "a clean document about the weather"),
+        (2, "contains badword once"),
+        (3, "badword badword twice but one DISTINCT and also evil"),
+        (4, "the badwords token must not match by prefix"),  # badwordS
+        (5, "an evil phrase lives here"),
+        (6, None),
+        (7, "BADWORD uppercase still matches"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in badwords_filter(
+            df, words=("badword", "evil"), phrases=("evil phrase",)
+        ).collect()
+    }
+    assert got[1].keep is True
+    assert got[2].n_bad_words == 1 and got[2].keep is False
+    # two distinct words hit, duplicates counted once
+    assert got[3].n_bad_words == 2
+    # exact-token: "badwords" does not match "badword"
+    assert got[4].n_bad_words == 0 and got[4].keep is True
+    assert got[5].n_bad_phrases == 1 and got[5].keep is False
+    assert got[6].n_bad_words == 0 and got[6].keep is True
+    assert got[7].n_bad_words == 1      # lowercased match
+
+
+def test_badwords_keep_only_matches_flags(spark):
+    """keep_only=True returns exactly the rows the flag relation keeps
+    (the direct-predicate path equals the flags path), with the input
+    schema intact."""
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    rows = [(i, f"doc {i} " + ("bad " if i % 3 == 0 else "ok ")) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = badwords_filter(df, words=("bad",))
+    want = {r.id for r in flags.collect() if r.keep}
+    kept = badwords_filter(df, words=("bad",), keep_only=True)
+    assert kept.columns == df.columns
+    assert {r.doc_id for r in kept.collect()} == want
+
+
+def test_badwords_validation(spark):
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="whitespace"):
+        badwords_filter(df, words=("two words",))
+    with pytest.raises(ValueError, match="non-empty"):
+        badwords_filter(df, words=("",))
+    with pytest.raises(ValueError, match="non-empty"):
+        badwords_filter(df, words=("ok",), phrases=("",))
+    with pytest.raises(ValueError, match="bounded"):
+        badwords_filter(df, words=tuple(f"w{i}" for i in range(10_001)))
+
+
+def test_badwords_zero_shuffle_plan(spark):
+    """The flag relation is ONE projection over the scan — no Exchange
+    (quality filtering at 100 TB is a scan)."""
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    df = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    )
+    plan = (
+        badwords_filter(df, words=("bad",), phrases=("x y",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def _duck(sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_staged_driver_pair_parity(spark):
+    """The round-13 STAGED driver pair gated locally: q_badwords vs
+    _SQL_BADWORDS at sf0.01 (SURVEY §8 staging protocol)."""
+    import __spark_entry__ as ent
+
+    sdf = ent.q_badwords(spark, "/root/testdata/sf0.01")
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in _duck(ent._SQL_BADWORDS))
+    assert len(got) == 500
+    # every column discriminates at sf0.01
+    assert any(r[1] > 0 for r in got) and any(r[1] == 0 for r in got)
+    assert any(r[2] > 0 for r in got) and any(r[2] == 0 for r in got)
+    assert any(r[3] for r in got) and not all(r[3] for r in got)
+    assert got == want

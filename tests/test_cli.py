@@ -677,3 +677,42 @@ def test_cli_ccnet_buckets(spark, tmp_path):
     got = {r.doc_id: r.bucket for r in spark.read.parquet(str(out)).collect()}
     assert got[2] == "tail"              # gibberish lands in the tail
     assert "head" in got.values()
+
+
+def test_cli_badwords_and_shuffle(spark, tmp_path):
+    """badwords-filter: word + phrase hits flagged, --keep-only emits
+    survivors, --words-file routes whitespace entries to phrases, no
+    list at all errors; text-shuffle: positions are a permutation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a clean document"),
+            (2, "contains badword here"),
+            (3, "an evil phrase lives here"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    out = tmp_path / "flags"
+    assert main(["badwords-filter", "-i", str(inp), "-o", str(out),
+                 "--words", "badword", "--phrases", "evil phrase"]) == 0
+    got = {r.id: r.keep for r in spark.read.parquet(str(out)).collect()}
+    assert got == {1: True, 2: False, 3: False}
+    wf = tmp_path / "list.txt"
+    wf.write_text("badword\nevil phrase\n\n")
+    k_out = tmp_path / "kept"
+    assert main(["badwords-filter", "-i", str(inp), "-o", str(k_out),
+                 "--words-file", str(wf), "--keep-only"]) == 0
+    kept = spark.read.parquet(str(k_out)).collect()
+    assert [r.doc_id for r in kept] == [1]
+    assert set(kept[0].asDict()) == {"doc_id", "text"}
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as ei:
+        main(["badwords-filter", "-i", str(inp),
+              "-o", str(tmp_path / "x")])
+    assert ei.value.code == 2
+    s_out = tmp_path / "shuffled"
+    assert main(["text-shuffle", "-i", str(inp), "-o", str(s_out),
+                 "--salt", "ep0"]) == 0
+    rows = spark.read.parquet(str(s_out)).collect()
+    assert sorted(r.position for r in rows) == [0, 1, 2]
