@@ -3323,8 +3323,11 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_TEMPERATURE_MIX = (
-    r"WITH w AS (SELECT doc_id, source, CAST(length(regexp_extract_all("
+# shared CTE prefix of the temperature_mix family (the
+# _SQL_WET_CURATE_PREFIX de-duplication precedent): token masses →
+# integer-milli powered masses → per-source ppm keep-rates
+_SQL_TEMP_MIX_PREFIX = (
+    r"w AS (SELECT doc_id, source, CAST(length(regexp_extract_all("
     r"lower(coalesce(text, '')), '\w+')) AS BIGINT) AS n_tokens"
     " FROM documents), "
     "m AS (SELECT source, sum(n_tokens) AS t FROM w GROUP BY source), "
@@ -3335,11 +3338,19 @@ _SQL_TEMPERATURE_MIX = (
     "r AS (SELECT source, CASE WHEN t <= 0 THEN 0 ELSE"
     " LEAST(1000000, CAST(floor(1e6 * (0.5 * CAST(tt AS DOUBLE))"
     " * CAST(p AS DOUBLE) / CAST(pp AS DOUBLE) / CAST(t AS DOUBLE))"
-    " AS BIGINT)) END AS rate_ppm FROM mp, tt) "
+    " AS BIGINT)) END AS rate_ppm FROM mp, tt)"
+)
+
+_SQL_TEMP_MIX_GATE = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|temp'),"
+    " 1, 15) AS BIGINT) % 1000000 < r.rate_ppm"
+)
+
+_SQL_TEMPERATURE_MIX = (
+    f"WITH {_SQL_TEMP_MIX_PREFIX} "
     "SELECT w.doc_id, w.source, w.n_tokens, r.rate_ppm"
     " FROM w JOIN r ON w.source = r.source"
-    " WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|temp'),"
-    " 1, 15) AS BIGINT) % 1000000 < r.rate_ppm"
+    f" WHERE {_SQL_TEMP_MIX_GATE}"
 )
 
 
@@ -3486,6 +3497,50 @@ _SQL_CORPUS_SHUFFLE = (
 )
 
 
+def q_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the composed EXPORT stage (webcurate's twin on the
+    output side) — temperature_mix (α=0.5 under a 0.5·Σt budget) →
+    corpus_shuffle (epoch salt) → document-atomic 2000-token shards
+    over the SHUFFLED stream → per-shard manifest. One operator =
+    the whole training-layout last mile, every stage inheriting its
+    member's exact-integer determinism so ONE chained-CTE oracle
+    replays the composition. STAGED round 13; registers ROUND 14.
+    Oracle twin _SQL_TRAINING_LAYOUT (shares _SQL_TEMP_MIX_PREFIX);
+    pair gated locally by
+    tests/test_sampling_ops.py::test_staged_training_layout_parity."""
+    from reflexiv_spark.datapipe.export import training_layout
+
+    return training_layout(
+        _t(spark, sf_dir, "documents"),
+        target_tokens=2000,
+        alpha=0.5,
+        budget_frac=0.5,
+        epoch_salt="ep0",
+    )
+
+
+_SQL_TRAINING_LAYOUT = (
+    f"WITH {_SQL_TEMP_MIX_PREFIX}, "
+    "mix AS (SELECT w.doc_id, w.n_tokens"
+    " FROM w JOIN r ON w.source = r.source"
+    f" WHERE {_SQL_TEMP_MIX_GATE}), "
+    "k AS (SELECT doc_id, n_tokens,"
+    " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ep0'), 1, 15)"
+    " AS BIGINT) AS sk FROM mix), "
+    "p AS (SELECT doc_id, n_tokens,"
+    " CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT)"
+    " AS position FROM k), "
+    "c AS (SELECT position, n_tokens,"
+    " sum(n_tokens) OVER (ORDER BY position) AS cum FROM p), "
+    "s AS (SELECT position, n_tokens,"
+    " CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id FROM c) "
+    "SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_tokens) AS BIGINT) AS n_tokens,"
+    " min(position) AS first_pos, max(position) AS last_pos"
+    " FROM s GROUP BY shard_id"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3525,9 +3580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                 pipelines — assemble_blocks/paths, meta_assemble,
     #                 reassemble & co — to the r14 obligated set, which
     #                 has capacity: 14 holders + the staged web_curate).
-    # SEVEN round-13-staged pairs (web_curate, shard_manifest,
+    # EIGHT round-13-staged pairs (web_curate, shard_manifest,
     # temperature_mix, domain_stats_psl, pipeline_curate, plus the
-    # late-round badwords and corpus_shuffle) are
+    # late-round badwords, corpus_shuffle, and training_layout) are
     # staged-not-registered; they enter the window in ROUND 14 per the
     # SURVEY §8 arithmetic.
     # Slots 51+ hold queries whose modules round 13 does not

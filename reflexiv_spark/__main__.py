@@ -417,6 +417,26 @@ def main(argv: list[str] | None = None) -> int:
                      help="emit the surviving input rows instead of "
                      "the flag relation")
 
+    tl_ = add("training-layout", help="datapipe: composed export "
+              "stage — temperature mix → epoch shuffle → document-"
+              "atomic token shards; emits the per-shard manifest "
+              "(or --plan for the per-document layout)")
+    tl_.add_argument("--target-tokens", type=int, required=True)
+    tl_.add_argument("--alpha", type=float, default=0.5)
+    tl_.add_argument("--budget-frac", type=float, default=0.5)
+    tl_.add_argument("--source-col", default="source")
+    tl_.add_argument("--id-col", default="doc_id")
+    tl_.add_argument("--text-col", default="text")
+    tl_.add_argument("--token-col", default=None)
+    tl_.add_argument("--epoch-salt", default="ep0")
+    tl_.add_argument("--mix-salt", default="temp")
+    tl_.add_argument("--hash-family", choices=("md5", "xxhash64"),
+                     default="md5")
+    tl_.add_argument("--plan", action="store_true",
+                     help="emit the per-document (position, id, "
+                     "n_tokens, shard_id, shard_offset) plan instead "
+                     "of the manifest")
+
     sh_ = add("text-shuffle", help="datapipe: deterministic global "
               "training shuffle — 0-based position of every doc in "
               "hash(id, salt) order via the two-phase prefix scan; "
@@ -1103,6 +1123,24 @@ def main(argv: list[str] | None = None) -> int:
             text_col=args.text_col,
             id_col=args.id_col,
             keep_only=args.keep_only,
+        )
+        _write(out, args.output, args.outformat)
+    elif args.cmd == "training-layout":
+        from reflexiv_spark.datapipe.export import training_layout
+
+        out = training_layout(
+            spark.read.parquet(args.input),
+            target_tokens=args.target_tokens,
+            alpha=args.alpha,
+            budget_frac=args.budget_frac,
+            source_col=args.source_col,
+            id_col=args.id_col,
+            token_col=args.token_col,
+            text_col=args.text_col,
+            epoch_salt=args.epoch_salt,
+            mix_salt=args.mix_salt,
+            hash_family=args.hash_family,
+            manifest=not args.plan,
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "text-shuffle":

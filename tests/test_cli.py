@@ -716,3 +716,26 @@ def test_cli_badwords_and_shuffle(spark, tmp_path):
                  "--salt", "ep0"]) == 0
     rows = spark.read.parquet(str(s_out)).collect()
     assert sorted(r.position for r in rows) == [0, 1, 2]
+
+
+def test_cli_training_layout(spark, tmp_path):
+    """training-layout subcommand: manifest covers every kept token
+    once; --plan emits the per-document layout."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "tok " * (4 + i % 5)) for i in range(40)],
+        "doc_id long, source string, text string",
+    )
+    inp = tmp_path / "docs.parquet"
+    docs.write.parquet(str(inp))
+    m_out = tmp_path / "manifest"
+    assert main(["training-layout", "-i", str(inp), "-o", str(m_out),
+                 "--target-tokens", "25", "--budget-frac", "0.9"]) == 0
+    man = spark.read.parquet(str(m_out)).collect()
+    assert len(man) >= 2
+    p_out = tmp_path / "plan"
+    assert main(["training-layout", "-i", str(inp), "-o", str(p_out),
+                 "--target-tokens", "25", "--budget-frac", "0.9",
+                 "--plan"]) == 0
+    plan = spark.read.parquet(str(p_out)).collect()
+    assert sum(r.n_tokens for r in man) == sum(r.n_tokens for r in plan)
+    assert sorted(r.position for r in plan) == list(range(len(plan)))

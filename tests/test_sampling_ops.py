@@ -121,3 +121,56 @@ def test_staged_shuffle_parity(spark):
     want = sorted(tuple(r) for r in _duck(ent._SQL_CORPUS_SHUFFLE))
     assert len(got) == 500
     assert got == want
+
+
+def test_training_layout_plan_mode(spark):
+    """manifest=False returns the per-document plan over the shuffled
+    stream: positions 0..n_kept-1, shards contiguous in position."""
+    from reflexiv_spark.datapipe.export import training_layout
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * (5 + i % 7)) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    plan = training_layout(
+        docs, target_tokens=20, budget_frac=0.9, manifest=False
+    ).collect()
+    n = len(plan)
+    assert 0 < n <= 60
+    assert sorted(r.position for r in plan) == list(range(n))
+    by_pos = sorted(plan, key=lambda r: r.position)
+    # shard ids are non-decreasing along the shuffled stream
+    sids = [r.shard_id for r in by_pos]
+    assert sids == sorted(sids)
+
+
+def test_training_layout_epoch_salt_reshards(spark):
+    """A different epoch salt re-permutes the SAME kept set (the mix
+    is fixed by mix_salt): same total docs/tokens, different layout."""
+    from reflexiv_spark.datapipe.export import training_layout
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", "tok " * (3 + i % 5)) for i in range(80)],
+        "doc_id long, source string, text string",
+    )
+    a = training_layout(docs, 30, budget_frac=0.8, epoch_salt="e0",
+                        manifest=False).collect()
+    b = training_layout(docs, 30, budget_frac=0.8, epoch_salt="e1",
+                        manifest=False).collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in b}
+    assert sum(r.n_tokens for r in a) == sum(r.n_tokens for r in b)
+    assert {(r.doc_id, r.position) for r in a} != {
+        (r.doc_id, r.position) for r in b
+    }
+
+
+def test_staged_training_layout_parity(spark):
+    """The round-13 STAGED driver pair gated locally: q_training_layout
+    vs _SQL_TRAINING_LAYOUT at sf0.01 (SURVEY §8 staging protocol)."""
+    import __spark_entry__ as ent
+
+    sdf = ent.q_training_layout(spark, "/root/testdata/sf0.01")
+    got = sorted(tuple(r) for r in sdf.collect())
+    want = sorted(tuple(r) for r in _duck(ent._SQL_TRAINING_LAYOUT))
+    assert len(got) > 3                 # several shards at sf0.01
+    assert got == want

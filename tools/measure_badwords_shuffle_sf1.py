@@ -18,7 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaled/sf1.0"
 
-PAIRS = ["badwords", "corpus_shuffle"]
+PAIRS = ["badwords", "corpus_shuffle", "training_layout"]
 
 
 def main() -> None:
