@@ -72,6 +72,11 @@ def training_layout(
         salt=mix_salt,
         hash_family=hash_family,
     )
+    # mixed feeds BOTH the shuffle and the stream join below; without a
+    # barrier each side re-executes the mix's two corpus scans (the
+    # round-13 runner lesson — self-joining compositions recompute
+    # their upstream on every branch)
+    mixed = mixed.localCheckpoint(eager=False)
     pos = corpus_shuffle(
         mixed, id_col=id_col, salt=epoch_salt, hash_family=hash_family
     )
