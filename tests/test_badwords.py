@@ -111,3 +111,62 @@ def test_staged_driver_pair_parity(spark):
     assert any(r[2] > 0 for r in got) and any(r[2] == 0 for r in got)
     assert any(r[3] for r in got) and not all(r[3] for r in got)
     assert got == want
+
+
+def test_badwords_stream_matches_batch(spark, tmp_path):
+    """badwords_filter is a stateless projection, so it composes with
+    readStream unchanged (spread_batch passes streaming plans
+    through): same flags per doc, batch or stream, across multiple
+    micro-batches."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+    from reflexiv_spark.streaming.windows import stream_from_files
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows1 = [
+        {"doc_id": 1, "text": "a clean document"},
+        {"doc_id": 2, "text": "contains badword here"},
+    ]
+    rows2 = [
+        {"doc_id": 3, "text": "an evil phrase lives here"},
+        {"doc_id": 4, "text": None},
+    ]
+    for name, rows in (("b1.json", rows1), ("b2.json", rows2)):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = stream_from_files(
+        spark, str(d), schema, max_files_per_trigger=1
+    )
+    out = badwords_filter(
+        stream, words=("badword",), phrases=("evil phrase",)
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bw_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, r.n_bad_words, r.n_bad_phrases, r.keep)
+        for r in spark.sql("SELECT * FROM bw_stream").collect()
+    }
+    batch = spark.read.schema(schema).json(str(d))
+    want = {
+        (r.id, r.n_bad_words, r.n_bad_phrases, r.keep)
+        for r in badwords_filter(
+            batch, words=("badword",), phrases=("evil phrase",)
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 4 and sum(1 for g in got if not g[3]) == 2
