@@ -452,7 +452,10 @@ def corpus_shuffle(
     tiebreak makes the permutation total even on hash collisions, so
     re-running (or re-executing a failed partition) yields bit-identical
     layout, and a different ``salt`` draws an independent permutation
-    per epoch.
+    per epoch. ``id_col`` must be unique (the
+    :func:`~reflexiv_spark.datapipe.packing.global_prefix_sum`
+    contract): duplicate ids share a (key, id) pair, making their
+    relative rank layout-dependent.
 
     Execution is the :func:`~reflexiv_spark.datapipe.packing.global_prefix_sum`
     two-phase scan, NOT a single-task global window: range-shuffle on
