@@ -1102,28 +1102,41 @@ def main(argv: list[str] | None = None) -> int:
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "badwords-filter":
+        import re as _re
+
         from reflexiv_spark.datapipe.badwords import badwords_filter
 
-        words = [w for w in (args.words or "").split(",") if w]
-        phrases = [s for s in (args.phrases or "").split(",") if s]
+        # route with the LIBRARY's word rule (ASCII \w only — anything
+        # else can never match a token and belongs in phrases), so a
+        # tab-separated or punctuated file entry lands where it works
+        def _is_word(entry: str) -> bool:
+            return bool(_re.fullmatch(r"\w+", entry, _re.ASCII))
+
+        words = [w.strip() for w in (args.words or "").split(",")
+                 if w.strip()]
+        phrases = [s.strip() for s in (args.phrases or "").split(",")
+                   if s.strip()]
         if args.words_file:
             with open(args.words_file) as fh:
                 for line in fh:
                     entry = line.strip().lower()
                     if not entry:
                         continue
-                    (phrases if " " in entry else words).append(entry)
+                    (words if _is_word(entry) else phrases).append(entry)
         if not words and not phrases:
             p.error("badwords-filter needs --words, --phrases, or "
                     "--words-file")
-        out = badwords_filter(
-            spark.read.parquet(args.input),
-            words=tuple(words),
-            phrases=tuple(phrases),
-            text_col=args.text_col,
-            id_col=args.id_col,
-            keep_only=args.keep_only,
-        )
+        try:
+            out = badwords_filter(
+                spark.read.parquet(args.input),
+                words=tuple(words),
+                phrases=tuple(phrases),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                keep_only=args.keep_only,
+            )
+        except ValueError as e:
+            p.error(str(e))
         _write(out, args.output, args.outformat)
     elif args.cmd == "training-layout":
         from reflexiv_spark.datapipe.export import training_layout

@@ -34,6 +34,10 @@ from reflexiv_spark.datapipe._layout import spread_batch as _spread_batch
 # practical ceiling for the literal-array formulation; real blocklists
 # (LDNOOBW ~400 entries/language) sit far below it
 _MAX_LIST = 10_000
+# phrases compile to one contains() predicate EACH (a linear expression
+# chain, not an array), so they get a much tighter bound — beyond this,
+# Catalyst codegen method limits force interpreted evaluation
+_MAX_PHRASES = 200
 
 
 def badwords_filter(
@@ -58,15 +62,22 @@ def badwords_filter(
     entries containing whitespace belong in ``phrases``. Both lists
     are compared lowercased.
     """
+    import re as _re
+
     words = tuple(dict.fromkeys(w.lower() for w in words))
     phrases = tuple(dict.fromkeys(p.lower() for p in phrases))
     for w in words:
         if not w:
             raise ValueError("blocklist words must be non-empty")
-        if any(ch.isspace() for ch in w):
+        # tokens come from the ASCII-\w tokenizer (Java and RE2 regex
+        # \w), so an entry with any other character — whitespace,
+        # punctuation, accented letters — can NEVER match a token;
+        # rejecting it loudly beats a silent no-op blocklist entry
+        if not _re.fullmatch(r"\w+", w, _re.ASCII):
             raise ValueError(
-                f"blocklist word {w!r} contains whitespace — exact-token "
-                "matching can never hit it; pass it via phrases="
+                f"blocklist word {w!r} contains non-word characters — "
+                "exact-token matching can never hit it; pass it via "
+                "phrases= (substring match handles arbitrary text)"
             )
     if not all(phrases):
         raise ValueError("blocklist phrases must be non-empty")
@@ -75,6 +86,13 @@ def badwords_filter(
             f"blocklist has {len(words) + len(phrases)} entries; the "
             f"literal-array formulation is bounded at {_MAX_LIST} — "
             "ship a larger list as a broadcast-join table instead"
+        )
+    if len(phrases) > _MAX_PHRASES:
+        raise ValueError(
+            f"{len(phrases)} phrases; each phrase is one contains() "
+            f"predicate (a linear expression chain), bounded at "
+            f"{_MAX_PHRASES} — fold a larger phrase list into a "
+            "regexp or a broadcast-join table instead"
         )
 
     t = F.lower(F.coalesce(F.col(text_col), F.lit("")))

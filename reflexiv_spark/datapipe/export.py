@@ -21,11 +21,13 @@ the whole composition is bit-replayable by one chained-CTE SQL oracle.
 
 Plan shape: one corpus scan for the token masses + one for the gate
 (temperature_mix's documented 2-scan shape), then the kept-docs
-relation (already thin: id + ints) flows through one range exchange
-(shuffle rank), one broadcast join-back (partition offsets), one hash
-exchange on shard_id (offset window), and a shards-sized aggregate.
-Nothing corpus-sized ever collects; driver state is one long per
-partition plus the per-source rate table.
+relation (already thin: id + ints, with n_tokens riding through the
+shuffle's ``keep_cols`` — no re-attach join) flows through the two
+two-phase prefix scans (shuffle rank; shard offsets), each one thin
+range exchange + one ``__pid`` window hash exchange + one broadcast
+join-back, then one hash exchange on shard_id (offset window) and a
+shards-sized aggregate. Nothing corpus-sized ever collects; driver
+state is one long per partition plus the per-source rate table.
 """
 
 from __future__ import annotations
@@ -72,18 +74,18 @@ def training_layout(
         salt=mix_salt,
         hash_family=hash_family,
     )
-    # mixed feeds BOTH the shuffle and the stream join below; without a
-    # barrier each side re-executes the mix's two corpus scans (the
-    # round-13 runner lesson — self-joining compositions recompute
-    # their upstream on every branch)
+    # barrier BEFORE the shuffle: the range exchange's boundary-
+    # sampling job otherwise re-executes the whole mix pipeline (two
+    # corpus scans) once for sampling and again for the exchange
     mixed = mixed.localCheckpoint(eager=False)
-    pos = corpus_shuffle(
-        mixed, id_col=id_col, salt=epoch_salt, hash_family=hash_family
-    )
-    # (position, id, n_tokens): the shuffled thin stream. The join is
-    # id-keyed on two already-thin relations of the SAME kept rows.
-    stream = mixed.select(id_col, "n_tokens").join(
-        pos.select(id_col, "position"), id_col
+    # n_tokens rides THROUGH the shuffle (keep_cols) — no corpus-sized
+    # re-attach join downstream
+    stream = corpus_shuffle(
+        mixed,
+        id_col=id_col,
+        salt=epoch_salt,
+        hash_family=hash_family,
+        keep_cols=("n_tokens",),
     )
     plan = plan_shards(
         stream,

@@ -440,9 +440,10 @@ def corpus_shuffle(
     id_col: str = "doc_id",
     salt: str = "shuffle",
     hash_family: str = "md5",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic pseudo-random GLOBAL order for training export →
-    DataFrame[<id_col>, shuffle_key, position].
+    DataFrame[<id_col>, *keep_cols, shuffle_key, position].
 
     Pretraining wants the document stream globally shuffled (a corpus
     laid out source-by-source trains on megabatches of one domain at a
@@ -465,16 +466,27 @@ def corpus_shuffle(
     result is partitioning-invariant and an ANSI ``row_number()`` oracle
     replays it exactly. Compose downstream: feed ``position`` to
     :func:`~reflexiv_spark.datapipe.shards.plan_shards` as the order
-    column to get shuffled training shards.
+    column to get shuffled training shards; pass the payload columns
+    the next stage needs through ``keep_cols`` so no corpus-sized
+    re-attach join is ever required.
     """
     from pyspark.sql import Window
 
+    # NOTE: this is packing.global_prefix_sum's two-phase scan with a
+    # COMPOSITE (key, id) order and row_number instead of sum (i.e. a
+    # prefix sum of ones). Folding both onto one generalized helper is
+    # pre-committed for round 14, when pack_sequences rotates into the
+    # oracle window anyway (SURVEY §8 r14 arithmetic) — a packing.py
+    # edit now would force it in while the r13 window is full.
     c = F.col(id_col).cast("string")
     if hash_family == "md5":
         key = md5_long(F.concat(c, F.lit(f"|{salt}")))
     else:
         key = F.xxhash64(c, F.lit(salt))
-    keyed = df.select(F.col(id_col), key.alias("shuffle_key"))
+    keyed = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        key.alias("shuffle_key"),
+    )
     ranged = keyed.repartitionByRange(
         F.col("shuffle_key"), F.col(id_col)
     ).withColumn("__pid", F.spark_partition_id())
@@ -495,6 +507,7 @@ def corpus_shuffle(
         local.join(F.broadcast(pre), "__pid")
         .select(
             id_col,
+            *keep_cols,
             "shuffle_key",
             (F.col("__rn") + F.col("__pre") - 1).cast("bigint").alias(
                 "position"

@@ -59,14 +59,20 @@ def test_badwords_validation(spark):
     from reflexiv_spark.datapipe.badwords import badwords_filter
 
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="whitespace"):
+    with pytest.raises(ValueError, match="non-word"):
         badwords_filter(df, words=("two words",))
+    # non-\w entries can never match a token (review finding): loud
+    # error instead of a silent no-op blocklist entry
+    with pytest.raises(ValueError, match="non-word"):
+        badwords_filter(df, words=("s&m",))
     with pytest.raises(ValueError, match="non-empty"):
         badwords_filter(df, words=("",))
     with pytest.raises(ValueError, match="non-empty"):
         badwords_filter(df, words=("ok",), phrases=("",))
     with pytest.raises(ValueError, match="bounded"):
         badwords_filter(df, words=tuple(f"w{i}" for i in range(10_001)))
+    with pytest.raises(ValueError, match="phrase"):
+        badwords_filter(df, phrases=tuple(f"p {i}" for i in range(201)))
 
 
 def test_badwords_zero_shuffle_plan(spark):

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""sf1.0 parity + walls for the two late-round-13 staged pairs
-(badwords, corpus_shuffle). Both outputs are thin (id + ints/bools),
-so every row is fully value-compared against the DuckDB twin.
+"""sf1.0 parity + walls for the three late-round-13 staged pairs
+(badwords, corpus_shuffle, training_layout). All outputs are thin
+(id/shard rows + ints/bools), so every row is fully value-compared
+against the DuckDB twin.
 
 Usage: python tools/measure_badwords_shuffle_sf1.py [sf_dir]
 """
