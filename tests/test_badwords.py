@@ -176,3 +176,45 @@ def test_badwords_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 4 and sum(1 for g in got if not g[3]) == 2
+
+
+def test_badwords_random_property_vs_python_reference(spark):
+    """Randomized property vs a literal Python reference: random-word
+    documents (with punctuation, case noise, NULLs, and planted
+    word/phrase hits) must agree exactly on every output column. One
+    batched DataFrame (the repo's hypothesis-with-Spark pattern)."""
+    import random
+    import re
+
+    from reflexiv_spark.datapipe.badwords import badwords_filter
+
+    rng = random.Random(2026)
+    vocab = ["alpha", "beta", "gamma", "delta", "bad1", "bad2",
+             "Epsilon", "ZETA", "eta,", "theta."]
+    words = ("bad1", "bad2", "rare")
+    phrases = ("alpha beta", "gamma delta epsilon")
+
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20)))
+        if rng.random() < 0.1:
+            body = None
+        rows.append((i, body))
+
+    def ref(text):
+        t = (text or "").lower()
+        toks = set(re.findall(r"\w+", t, re.ASCII))
+        nw = sum(1 for w in words if w in toks)
+        np_ = sum(1 for p in phrases if p in t)
+        return (nw, np_, nw == 0 and np_ == 0)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_bad_words, r.n_bad_phrases, r.keep)
+        for r in badwords_filter(df, words=words, phrases=phrases).collect()
+    }
+    want = {i: ref(t) for i, t in rows}
+    assert got == want
+    # the noise actually exercises both outcomes
+    assert any(not v[2] for v in want.values())
+    assert any(v[2] for v in want.values())
