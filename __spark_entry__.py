@@ -3349,7 +3349,7 @@ _SQL_TEMP_MIX_GATE = (
 _SQL_TEMPERATURE_MIX = (
     f"WITH {_SQL_TEMP_MIX_PREFIX} "
     "SELECT w.doc_id, w.source, w.n_tokens, r.rate_ppm"
-    " FROM w JOIN r ON w.source = r.source"
+    " FROM w JOIN r ON w.source IS NOT DISTINCT FROM r.source"
     f" WHERE {_SQL_TEMP_MIX_GATE}"
 )
 
@@ -3522,7 +3522,7 @@ def q_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TRAINING_LAYOUT = (
     f"WITH {_SQL_TEMP_MIX_PREFIX}, "
     "mix AS (SELECT w.doc_id, w.n_tokens"
-    " FROM w JOIN r ON w.source = r.source"
+    " FROM w JOIN r ON w.source IS NOT DISTINCT FROM r.source"
     f" WHERE {_SQL_TEMP_MIX_GATE}), "
     "k AS (SELECT doc_id, n_tokens,"
     " CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ep0'), 1, 15)"

@@ -248,6 +248,17 @@ def run_pipeline(
                 f"{', '.join(sorted(ops))}"
             )
         params = {k: v for k, v in st.items() if k != "op"}
+        # text_col/id_col are runner-owned keywords passed to every
+        # stage adapter — a spec param with the same name would raise
+        # a mid-run TypeError (duplicate keyword) AFTER earlier
+        # barriers executed; reject at compile time instead
+        reserved = {"text_col", "id_col"} & params.keys()
+        if reserved:
+            raise ValueError(
+                f"stage {i} ({name}): {sorted(reserved)} are "
+                "runner-level settings — pass them to run_pipeline "
+                "(or the pipeline CLI flags), not inside a stage"
+            )
         compiled.append((i, name, params))
     cur = docs
     prefix_key = f"{text_col}|{id_col}"

@@ -251,13 +251,21 @@ def token_budget_select(
     from pyspark.sql import Window
 
     if token_col is None:
+        # Column API (not an F.expr string): column names needing
+        # backticks/quotes parse fine, same formulation as
+        # shards._with_tokens
         tokens = F.size(
-            F.expr(
-                rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"\w+"),
+                0,
             )
         ).cast("bigint")
     else:
-        tokens = F.col(token_col).cast("bigint")
+        # NULL-proof like shards._with_tokens: a NULL count would
+        # understate the source's budget mass while the hash gate
+        # still emits the row with n_tokens NULL
+        tokens = F.coalesce(F.col(token_col), F.lit(0)).cast("bigint")
     base = df.select(
         group_col, id_col, F.col(order_col), tokens.alias("n_tokens")
     )
@@ -365,13 +373,21 @@ def temperature_mix(
     if alpha < 0:
         raise ValueError("alpha must be non-negative")
     if token_col is None:
+        # Column API (not an F.expr string): column names needing
+        # backticks/quotes parse fine, same formulation as
+        # shards._with_tokens
         tokens = F.size(
-            F.expr(
-                rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(r"\w+"),
+                0,
             )
         ).cast("bigint")
     else:
-        tokens = F.col(token_col).cast("bigint")
+        # NULL-proof like shards._with_tokens: a NULL count would
+        # understate the source's budget mass while the hash gate
+        # still emits the row with n_tokens NULL
+        tokens = F.coalesce(F.col(token_col), F.lit(0)).cast("bigint")
     base = df.select(
         F.col(id_col), F.col(source_col).alias("__src"), tokens.alias("__w")
     )
@@ -418,7 +434,14 @@ def temperature_mix(
         )
         .select("__src", "rate_ppm")
     )
-    gated = base.join(F.broadcast(rates), "__src")
+    # eqNullSafe (the report.py data-card rule): a NULL-source group
+    # has a real mass row feeding __tt/__pp — an inner equi-join would
+    # silently drop its documents from the output
+    rates = rates.withColumnRenamed("__src", "__src_r")
+    gated = base.join(
+        F.broadcast(rates),
+        F.col("__src").eqNullSafe(F.col("__src_r")),
+    ).drop("__src_r")
     c = F.col(id_col).cast("string")
     if hash_family == "md5":
         h = md5_long(F.concat(c, F.lit(f"|{salt}")))

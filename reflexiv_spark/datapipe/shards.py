@@ -191,6 +191,12 @@ def write_shards(
     else:
         out.select(
             "shard_id",
-            F.to_json(F.struct(*payload_cols)).alias("value"),
+            # ignoreNullFields=false: to_json otherwise DROPS the key
+            # for NULL values (e.g. text=NULL docs from --keep-all
+            # crawls), and a loader doing rec["text"] would crash —
+            # every JSONL record carries the full payload schema
+            F.to_json(
+                F.struct(*payload_cols), {"ignoreNullFields": "false"}
+            ).alias("value"),
         ).write.mode("overwrite").partitionBy("shard_id").text(path)
     return shard_manifest(plan, id_col)

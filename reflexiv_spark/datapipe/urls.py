@@ -97,19 +97,32 @@ def parse_urls(
     sfx = psl.select(F.lower(F.col("suffix")).alias("__sfx")).distinct()
     # reject suffixes the matcher would silently never match (the real
     # PSL has a handful of 5-label entries): a silently-ignored suffix
-    # mis-registers every host under it. The PSL is model-sized, so
-    # this single tiny aggregate is essentially free.
-    too_long = sfx.where(
-        F.size(F.split(F.col("__sfx"), r"\.")) > _PSL_MAX_LABELS
-    ).limit(3)
-    offenders = [r["__sfx"] for r in too_long.collect()]
-    if offenders:
-        raise ValueError(
-            f"PSL entries exceed _PSL_MAX_LABELS={_PSL_MAX_LABELS} "
-            f"labels (e.g. {offenders}); raise the limit or drop them "
-            "explicitly — silently ignoring them would mis-register "
-            "every host under those suffixes"
-        )
+    # mis-registers every host under it. The guard is a LAZY
+    # raise_error on the suffix relation itself (not a driver collect:
+    # an eager job at plan-construction time would run once per
+    # url_filter/domain_stats call and break lazy/streaming
+    # composition) — it fires executor-side at the first action with
+    # the offending entry in the message.
+    sfx = sfx.withColumn(
+        "__sfx",
+        F.when(
+            F.size(F.split(F.col("__sfx"), r"\.")) > _PSL_MAX_LABELS,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "PSL entry exceeds _PSL_MAX_LABELS="
+                        f"{_PSL_MAX_LABELS} labels: "
+                    ),
+                    F.col("__sfx"),
+                    F.lit(
+                        "; raise the limit or drop it explicitly — "
+                        "silently ignoring it would mis-register every "
+                        "host under that suffix"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("__sfx")),
+    )
     cur = base
     for m in range(_PSL_MAX_LABELS, 0, -1):
         blm = F.broadcast(

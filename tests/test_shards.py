@@ -284,3 +284,54 @@ def test_plan_guards(spark):
     assert p2.count("Exchange") == 3, p2
     assert "BroadcastExchange" in p2 or "HashedRelation" in p2, p2
     assert "hashpartitioning(shard_id" in p2, p2
+
+
+def test_temperature_mix_null_source_and_null_tokens(spark):
+    """Review regressions: (a) NULL-source docs join their NULL mass
+    group via eqNullSafe instead of silently vanishing; (b) NULL
+    precomputed token counts coalesce to 0 (never NULL n_tokens)."""
+    from reflexiv_spark.datapipe.sampling import temperature_mix
+
+    rows = [(i, None if i < 40 else "s1", "tok " * 10) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mix(df, budget_frac=1.0).collect()
+    # budget_frac=1 with two equal-mass groups keeps everything; every
+    # NULL-source doc must appear, carrying its group's rate
+    srcs = {r.source for r in out}
+    assert None in srcs and "s1" in srcs
+    assert len(out) == 80
+    # token_col path with NULLs: kept rows never emit NULL n_tokens
+    t = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", None), (3, "a", 7)],
+        "doc_id long, source string, n_tok long",
+    )
+    got = temperature_mix(t, budget_frac=1.0, token_col="n_tok").collect()
+    assert len(got) == 3
+    assert all(r.n_tokens is not None for r in got)
+    assert {r.doc_id: r.n_tokens for r in got}[2] == 0
+
+
+def test_write_shards_jsonl_keeps_null_fields(spark, tmp_path):
+    """Review regression: to_json must emit the text key (as null) for
+    NULL-text docs — a loader reading rec['text'] relies on the full
+    payload schema in every line."""
+    import json
+    from pathlib import Path
+
+    from reflexiv_spark.datapipe.shards import write_shards
+
+    docs = spark.createDataFrame(
+        [(1, "tok tok"), (2, None), (3, "tok")],
+        "doc_id long, text string",
+    )
+    out = tmp_path / "shards"
+    write_shards(docs, str(out), target_tokens=100).collect()
+    recs = []
+    for f in Path(out).rglob("part-*"):
+        if f.suffix == ".txt" or f.name.startswith("part-"):
+            for line in f.read_text().splitlines():
+                if line.strip():
+                    recs.append(json.loads(line))
+    by_id = {r["doc_id"]: r for r in recs}
+    assert set(by_id) == {1, 2, 3}
+    assert "text" in by_id[2] and by_id[2]["text"] is None

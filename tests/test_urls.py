@@ -371,3 +371,22 @@ def test_staged_domain_stats_psl_parity(spark):
     assert any(d.endswith("-site.co.uk") for d in domains)  # 3-label
     assert any(d.endswith("-site.org") for d in domains)  # '*' fallback
     assert got == want
+
+
+def test_psl_too_long_suffix_errors_lazily(spark):
+    """A PSL entry beyond _PSL_MAX_LABELS fails LOUDLY at the first
+    action (lazy raise_error — no eager plan-time job), never a
+    silent mis-registration."""
+    import pytest
+
+    from reflexiv_spark.datapipe.urls import parse_urls
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.co.uk/x")], "doc_id long, url string"
+    )
+    psl = spark.createDataFrame(
+        [("a.b.c.d.e.f.g",), ("co.uk",)], "suffix string"
+    )
+    out = parse_urls(df, psl=psl)      # plan construction must not run a job
+    with pytest.raises(Exception, match="PSL entry exceeds"):
+        out.collect()
