@@ -3541,6 +3541,59 @@ _SQL_TRAINING_LAYOUT = (
 )
 
 
+def q_embedding_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datapipe: the SEMANTIC incremental store (the fourth store
+    member — exact fps / LSH bands / winnow fps / embedding cells):
+    persist the %10==0 shard's (cell, int64 vector) under a
+    kmeans_lite quantizer, probe the remaining vectors for cosine-≥0.3
+    near-duplicates WITHIN their cell — per batch vector
+    (n_candidates, best_store_id by max-cos → min-id, flagged), every
+    batch row accounted for. Cell-confined candidates (never
+    batch × store), row-blocked int64 GEMMs. STAGED round 13;
+    registers ROUND 14. Oracle twin _SQL_EMBEDDING_STORE_PROBE
+    (reuses the _SQL_KMEANS16_A2 replay); pair gated locally by
+    tests/test_semstore.py::test_staged_driver_pair_parity."""
+    from reflexiv_spark.datapipe.semstore import (
+        embedding_store,
+        probe_embedding_store,
+    )
+    from reflexiv_spark.datapipe.similarity import kmeans_lite
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cmat = kmeans_lite(emb, dim=64, n_centroids=16, n_iter=2)
+    store = embedding_store(emb.where(F.col("vec_id") % 10 == 0), cmat)
+    return probe_embedding_store(
+        emb.where(F.col("vec_id") % 10 != 0), store, cmat, threshold=0.3
+    )
+
+
+_SQL_EMBEDDING_STORE_PROBE = (
+    _SQL_KMEANS16_A2
+    + ", sm AS (SELECT a2.vec_id, a2.cell, v.qv,"
+    " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(v.qv AS DOUBLE[]))"
+    " AS n2 FROM a2 JOIN v USING (vec_id)"
+    " WHERE vec_id % 10 = 0 AND list_dot_product("
+    "CAST(v.qv AS DOUBLE[]), CAST(v.qv AS DOUBLE[])) > 0), "
+    "bm AS (SELECT a2.vec_id, a2.cell, v.qv,"
+    " list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(v.qv AS DOUBLE[]))"
+    " AS n2 FROM a2 JOIN v USING (vec_id) WHERE vec_id % 10 != 0), "
+    "p AS (SELECT bm.vec_id AS bvid, sm.vec_id AS svid,"
+    " list_dot_product(CAST(bm.qv AS DOUBLE[]), CAST(sm.qv AS DOUBLE[]))"
+    " / (sqrt(bm.n2) * sqrt(sm.n2)) AS cos"
+    " FROM bm JOIN sm ON bm.cell = sm.cell WHERE bm.n2 > 0), "
+    "h AS (SELECT bvid, svid, cos,"
+    " row_number() OVER (PARTITION BY bvid ORDER BY cos DESC, svid)"
+    " AS rn, count(*) OVER (PARTITION BY bvid) AS nc"
+    " FROM p WHERE cos >= 0.3) "
+    "SELECT bm.vec_id,"
+    " CAST(coalesce(h1.nc, 0) AS BIGINT) AS n_candidates,"
+    " h1.svid AS best_store_id,"
+    " h1.svid IS NOT NULL AS flagged"
+    " FROM bm LEFT JOIN (SELECT * FROM h WHERE rn = 1) h1"
+    " ON bm.vec_id = h1.bvid"
+)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -3580,9 +3633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #                 pipelines — assemble_blocks/paths, meta_assemble,
     #                 reassemble & co — to the r14 obligated set, which
     #                 has capacity: 14 holders + the staged web_curate).
-    # EIGHT round-13-staged pairs (web_curate, shard_manifest,
+    # NINE round-13-staged pairs (web_curate, shard_manifest,
     # temperature_mix, domain_stats_psl, pipeline_curate, plus the
-    # late-round badwords, corpus_shuffle, and training_layout) are
+    # late-round badwords, corpus_shuffle, training_layout, and
+    # embedding_store_probe) are
     # staged-not-registered; they enter the window in ROUND 14 per the
     # SURVEY §8 arithmetic.
     # Slots 51+ hold queries whose modules round 13 does not

@@ -144,10 +144,13 @@ HEADLINE = [
     "winnow_store_probe_xxh64",
     "incremental_candidates_xxh64",
     # round 13 (late): blocklist-word filtering (all-integer literal-
-    # array scan — production IS the oracled path) and the global
-    # training shuffle on its production hash family
+    # array scan — production IS the oracled path), the global
+    # training shuffle on its production hash family, and the
+    # semantic incremental-store probe (all-integer device —
+    # production IS the oracled path)
     "badwords",
     "corpus_shuffle_xxh64",
+    "embedding_store_probe",
 ]
 
 
@@ -385,6 +388,13 @@ def _bench_only_queries():
             min_shared=100, hash_family="xxhash64",
         )
 
+    def embedding_store_probe(spark, sf_dir):
+        # staged round 13 (registers r14): production IS the oracled
+        # shape (exact-int64 cosine device)
+        import __spark_entry__ as ent
+
+        return ent.q_embedding_store_probe(spark, sf_dir)
+
     def badwords(spark, sf_dir):
         # staged round 13 (registers r14): the oracled shape IS the
         # production shape (all-integer literal-array scan)
@@ -399,6 +409,7 @@ def _bench_only_queries():
         return corpus_shuffle(docs, salt="ep0", hash_family="xxhash64")
 
     return {
+        "embedding_store_probe": embedding_store_probe,
         "badwords": badwords,
         "corpus_shuffle_xxh64": corpus_shuffle_xxh64,
         "dsir_select_xxh64": dsir_select_xxh64,

@@ -493,6 +493,32 @@ def main(argv: list[str] | None = None) -> int:
     wp_.add_argument("--hash-family", default="xxhash64",
                      choices=["xxhash64", "md5"])
 
+    ep_ = add("embedding-probe", help="datapipe: probe a batch of "
+              "vectors against a persisted SEMANTIC store (k-means "
+              "cell + quantized embedding) for cosine near-duplicates "
+              "— per vector (n_candidates, best_store_id, flagged); "
+              "cell-confined, never batch x store")
+    ep_.add_argument("--store", default=None,
+                     help="parquet of the embedding store (vec_id, "
+                     "cell, qv, n2); omit with --build to create one")
+    ep_.add_argument("--centroids", default=None,
+                     help="parquet of the quantizer model (cell, "
+                     "cvec array<bigint>) — REQUIRED with --store "
+                     "(store and probe must share the model)")
+    ep_.add_argument("--build", action="store_true",
+                     help="treat the input as a corpus: train the "
+                     "quantizer, emit the store (--emit-store) and "
+                     "model (--emit-centroids) instead of probing")
+    ep_.add_argument("--emit-store", default=None,
+                     help="write the (updated or built) store here")
+    ep_.add_argument("--emit-centroids", default=None,
+                     help="with --build: write the quantizer model")
+    ep_.add_argument("--threshold", type=float, default=0.8)
+    ep_.add_argument("--dim", type=int, default=64)
+    ep_.add_argument("--n-centroids", type=int, default=16)
+    ep_.add_argument("--id-col", default="vec_id")
+    ep_.add_argument("--vec-col", default="embedding")
+
     bf_ = add("bloom-decontam", help="sketch: Bloom membership "
               "pre-screen — build a bit filter over --target's words, "
               "probe every input doc map-side (no corpus shuffle); "
@@ -1268,6 +1294,63 @@ def main(argv: list[str] | None = None) -> int:
                 ),
             )
             updated.write.mode("overwrite").parquet(args.emit_store)
+    elif args.cmd == "embedding-probe":
+        import numpy as np
+
+        from reflexiv_spark.datapipe.semstore import (
+            embedding_store,
+            probe_embedding_store,
+            update_embedding_store,
+        )
+
+        inp = spark.read.parquet(args.input)
+        if args.build:
+            from reflexiv_spark.datapipe.similarity import kmeans_lite
+
+            _, cmat = kmeans_lite(
+                inp, dim=args.dim, n_centroids=args.n_centroids,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            built = embedding_store(
+                inp, cmat, dim=args.dim,
+                id_col=args.id_col, vec_col=args.vec_col,
+            )
+            if not args.emit_store:
+                p.error("--build needs --emit-store")
+            built.write.mode("overwrite").parquet(args.emit_store)
+            if args.emit_centroids:
+                spark.createDataFrame(
+                    [(i, [int(x) for x in row])
+                     for i, row in enumerate(cmat)],
+                    "cell long, cvec array<bigint>",
+                ).write.mode("overwrite").parquet(args.emit_centroids)
+            # the build mode's primary output is the store; emit the
+            # store's thin relation as the command output too
+            _write(built, args.output, args.outformat)
+            return 0
+        if not args.store or not args.centroids:
+            p.error("probing needs --store AND --centroids (the store "
+                    "is only meaningful under its quantizer model)")
+        store = spark.read.parquet(args.store)
+        crows = sorted(
+            spark.read.parquet(args.centroids).collect(),
+            key=lambda r: r["cell"],
+        )
+        cmat = np.array([r["cvec"] for r in crows], dtype=np.int64)
+        out = probe_embedding_store(
+            inp, store, cmat, threshold=args.threshold, dim=args.dim,
+            id_col=args.id_col, vec_col=args.vec_col,
+        )
+        _write(out, args.output, args.outformat)
+        if args.emit_store:
+            update_embedding_store(
+                store,
+                embedding_store(
+                    inp, cmat, dim=args.dim,
+                    id_col=args.id_col, vec_col=args.vec_col,
+                ),
+                id_col=args.id_col,
+            ).write.mode("overwrite").parquet(args.emit_store)
     elif args.cmd == "bloom-decontam":
         from reflexiv_spark.datapipe.bloom import bloom_decontaminate
 

@@ -739,3 +739,44 @@ def test_cli_training_layout(spark, tmp_path):
     plan = spark.read.parquet(str(p_out)).collect()
     assert sum(r.n_tokens for r in man) == sum(r.n_tokens for r in plan)
     assert sorted(r.position for r in plan) == list(range(len(plan)))
+
+
+def test_cli_embedding_probe(spark, tmp_path):
+    """embedding-probe: --build trains the quantizer and emits
+    store+centroids; a probe run flags the planted near-duplicate and
+    --emit-store round-trips the updated store."""
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(100, [1.0] + [0.0] * (dim - 1)), (101, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "vec_id long, embedding array<float>",
+    )
+    cp = tmp_path / "corpus.parquet"
+    corpus.write.parquet(str(cp))
+    st, ct = tmp_path / "store", tmp_path / "cents"
+    assert main(["embedding-probe", "-i", str(cp), "-o",
+                 str(tmp_path / "built"), "--build", "--dim", str(dim),
+                 "--n-centroids", "2", "--emit-store", str(st),
+                 "--emit-centroids", str(ct)]) == 0
+    batch = spark.createDataFrame(
+        [(1, [0.95, 0.05] + [0.0] * (dim - 2)),
+         (2, [0.0] * (dim - 1) + [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    bp = tmp_path / "batch.parquet"
+    batch.write.parquet(str(bp))
+    rep = tmp_path / "report"
+    st2 = tmp_path / "store2"
+    assert main(["embedding-probe", "-i", str(bp), "-o", str(rep),
+                 "--store", str(st), "--centroids", str(ct),
+                 "--threshold", "0.9", "--dim", str(dim),
+                 "--emit-store", str(st2)]) == 0
+    got = {r.vec_id: (r.flagged, r.best_store_id)
+           for r in spark.read.parquet(str(rep)).collect()}
+    assert got[1] == (True, 100) and got[2] == (False, None)
+    assert spark.read.parquet(str(st2)).count() == 4
+    # probing without the model errors loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit) as ei:
+        main(["embedding-probe", "-i", str(bp), "-o", str(tmp_path / "x"),
+              "--store", str(st)])
+    assert ei.value.code == 2

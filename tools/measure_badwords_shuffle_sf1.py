@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""sf1.0 parity + walls for the three late-round-13 staged pairs
-(badwords, corpus_shuffle, training_layout). All outputs are thin
-(id/shard rows + ints/bools), so every row is fully value-compared
-against the DuckDB twin.
+"""sf1.0 parity + walls for the late-round-13 staged pairs
+(badwords, corpus_shuffle, training_layout, embedding_store_probe).
+All outputs are thin (id/shard rows + ints/bools), so every row is
+fully value-compared against the DuckDB twin.
 
 Usage: python tools/measure_badwords_shuffle_sf1.py [sf_dir]
 """
@@ -19,7 +19,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaled/sf1.0"
 
-PAIRS = ["badwords", "corpus_shuffle", "training_layout"]
+PAIRS = [
+    "badwords",
+    "corpus_shuffle",
+    "training_layout",
+    "embedding_store_probe",
+]
 
 
 def main() -> None:
@@ -31,6 +36,10 @@ def main() -> None:
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
     )
     spark = get_spark(app_name="staged-bw-sh-sf1", shuffle_partitions=32)
     for name in PAIRS:
