@@ -1242,6 +1242,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         _write(out, args.output, args.outformat)
     elif args.cmd == "dedup-incremental":
+        if (
+            args.emit_store is not None
+            and args.store is not None
+            and __import__("os").path.abspath(args.emit_store)
+            == __import__("os").path.abspath(args.store)
+        ):
+            p.error("--emit-store must not equal --store: the updated "
+                    "store is computed lazily FROM the store parquet, "
+                    "and overwrite would delete it mid-read — write to "
+                    "a new path and rotate")
         from reflexiv_spark.datapipe.incremental import (
             exact_fingerprints,
             incremental_dedup,
@@ -1267,6 +1277,16 @@ def main(argv: list[str] | None = None) -> int:
             ).distinct()
             updated.write.mode("overwrite").parquet(args.emit_store)
     elif args.cmd == "winnow-probe":
+        if (
+            args.emit_store is not None
+            and args.store is not None
+            and __import__("os").path.abspath(args.emit_store)
+            == __import__("os").path.abspath(args.store)
+        ):
+            p.error("--emit-store must not equal --store: the updated "
+                    "store is computed lazily FROM the store parquet, "
+                    "and overwrite would delete it mid-read — write to "
+                    "a new path and rotate")
         from reflexiv_spark.datapipe.winnow_store import (
             probe_winnow_store,
             update_winnow_store,
@@ -1303,6 +1323,24 @@ def main(argv: list[str] | None = None) -> int:
             update_embedding_store,
         )
 
+        import os as _os
+
+        # pure argument checks FIRST — before any Spark job runs
+        if args.build and not args.emit_store:
+            p.error("--build needs --emit-store")
+        if not args.build and (not args.store or not args.centroids):
+            p.error("probing needs --store AND --centroids (the store "
+                    "is only meaningful under its quantizer model)")
+        if (
+            args.emit_store
+            and args.store
+            and _os.path.abspath(args.emit_store)
+            == _os.path.abspath(args.store)
+        ):
+            p.error("--emit-store must not equal --store: the updated "
+                    "store is computed lazily FROM the store parquet, "
+                    "and overwrite would delete it mid-read — write to "
+                    "a new path and rotate")
         inp = spark.read.parquet(args.input)
         if args.build:
             from reflexiv_spark.datapipe.similarity import kmeans_lite
@@ -1315,8 +1353,6 @@ def main(argv: list[str] | None = None) -> int:
                 inp, cmat, dim=args.dim,
                 id_col=args.id_col, vec_col=args.vec_col,
             )
-            if not args.emit_store:
-                p.error("--build needs --emit-store")
             built.write.mode("overwrite").parquet(args.emit_store)
             if args.emit_centroids:
                 spark.createDataFrame(
@@ -1324,13 +1360,16 @@ def main(argv: list[str] | None = None) -> int:
                      for i, row in enumerate(cmat)],
                     "cell long, cvec array<bigint>",
                 ).write.mode("overwrite").parquet(args.emit_centroids)
-            # the build mode's primary output is the store; emit the
-            # store's thin relation as the command output too
-            _write(built, args.output, args.outformat)
+            # the build mode's primary output is the store; emit its
+            # thin relation as the command output too — READ BACK the
+            # just-written parquet instead of re-executing the whole
+            # quantize+assign pipeline a second time
+            _write(
+                spark.read.parquet(args.emit_store),
+                args.output,
+                args.outformat,
+            )
             return 0
-        if not args.store or not args.centroids:
-            p.error("probing needs --store AND --centroids (the store "
-                    "is only meaningful under its quantizer model)")
         store = spark.read.parquet(args.store)
         crows = sorted(
             spark.read.parquet(args.centroids).collect(),

@@ -49,7 +49,16 @@ def _quantized(
     df: DataFrame, centroids: np.ndarray, dim: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, cell, qv, n2) under the FIXED pre-trained centroids — a
-    pure assignment pass (kmeans_lite with n_iter=1 + init)."""
+    pure assignment pass (kmeans_lite with n_iter=1 + init).
+
+    NOTE: the floor(x·1000) quantize + int64 dot construction is the
+    third copy of the fixed-point device (similarity.kmeans_lite,
+    semdedup) — consolidating onto one helper requires a semantic
+    similarity.py edit, deferred until the similarity family rotates
+    back into the oracle window (its r12 rows stand in slots 51+
+    this round). The extra qv projection here duplicates one
+    scan-side transform; the GEMM passes dominate.
+    """
     assign, _ = kmeans_lite(
         df, dim=dim, n_centroids=len(centroids), n_iter=1,
         id_col=id_col, vec_col=vec_col, init_centroids=centroids,
@@ -78,14 +87,15 @@ def embedding_store(
 ) -> DataFrame:
     """Build the persisted store → DataFrame[<id_col>, cell, qv, n2].
 
-    Zero-norm vectors are EXCLUDED (cosine undefined — they can never
-    be a near-duplicate candidate; the same rule as ``semantic_dedup``
-    membership). Persist as parquet next to the centroid matrix;
-    append new batches with :func:`update_embedding_store`.
+    Zero-norm and NULL vectors are EXCLUDED (cosine undefined — they
+    can never be a near-duplicate candidate; the same rule as
+    ``semantic_dedup`` membership). Persist as parquet next to the
+    centroid matrix; append new batches with
+    :func:`update_embedding_store`.
     """
-    return _quantized(df, centroids, dim, id_col, vec_col).where(
-        F.col("n2") > 0
-    )
+    return _quantized(
+        df.where(F.col(vec_col).isNotNull()), centroids, dim, id_col, vec_col
+    ).where(F.col("n2") > 0)
 
 
 def update_embedding_store(
@@ -130,29 +140,15 @@ def probe_embedding_store(
         StructType,
     )
 
-    bq = _quantized(batch, centroids, dim, id_col, vec_col)
-    sm = store.select(
-        F.col(id_col).alias("__sid"),
-        F.col("cell"),
-        F.col("qv").alias("__sqv"),
-        F.col("n2").alias("__sn2"),
-    )
-    # one tagged relation per cell: batch rows carry __sid NULL
-    tagged = bq.where(F.col("n2") > 0).select(
-        F.col(id_col).alias("__bid"),
-        "cell",
-        F.col("qv").alias("__v"),
-        F.col("n2").alias("__n2"),
-        F.lit(None).cast("long").alias("__sid"),
-    ).unionByName(
-        sm.select(
-            F.lit(None).cast("long").alias("__bid"),
-            "cell",
-            F.col("__sqv").alias("__v"),
-            F.col("__sn2").alias("__n2"),
-            "__sid",
-        )
-    )
+    # NULL embeddings would crash kmeans_lite's assignment GEMM; the
+    # left join back to all_ids below accounts for them as
+    # (0, NULL, false) — the same rows the oracle's n2 IS NULL filter
+    # excludes from pairs
+    bq = _quantized(
+        batch.where(F.col(vec_col).isNotNull()),
+        centroids, dim, id_col, vec_col,
+    ).where(F.col("n2") > 0)
+    sm = store.select(F.col(id_col), F.col("cell"), "qv", "n2")
     thr = float(threshold)
     block_doubles = max(1, int(gemm_block_doubles))
 
@@ -165,40 +161,44 @@ def probe_embedding_store(
         ]
     )
 
-    def probe_cell(pdf: pd.DataFrame):
-        bmask = pdf["__bid"].notna()
-        b = pdf[bmask]
-        s = pdf[~bmask]
+    # COGROUPED batch/store frames (not a NULL-tagged union): a union
+    # with NULL id columns reaches pandas as float64 (Arrow
+    # int64-with-nulls), silently rounding ids >= 2^53 — this engine's
+    # own WARC doc ids are 62-bit. Cogroup keeps both id columns
+    # non-null int64 end to end.
+    def probe_cell(b: pd.DataFrame, s: pd.DataFrame):
         if not len(b):
             return pd.DataFrame(
                 {
                     "__bid": pd.Series([], dtype="int64"),
                     "n_candidates": pd.Series([], dtype="int64"),
-                    "best_store_id": pd.Series([], dtype="float64"),
+                    "best_store_id": pd.array([], dtype="Int64"),
                     "flagged": pd.Series([], dtype="bool"),
                 }
             )
-        bids = b["__bid"].to_numpy(dtype=np.int64)
+        bids = b[id_col].to_numpy(dtype=np.int64)
         if not len(s):
             return pd.DataFrame(
                 {
                     "__bid": bids,
                     "n_candidates": np.zeros(len(b), dtype=np.int64),
-                    "best_store_id": np.full(len(b), np.nan),
+                    "best_store_id": pd.array(
+                        [None] * len(b), dtype="Int64"
+                    ),
                     "flagged": np.zeros(len(b), dtype=bool),
                 }
             )
-        sq = np.array(list(s["__v"]), dtype=np.int64)
-        snorm = np.sqrt(s["__n2"].to_numpy(dtype=np.float64))
+        sq = np.array(list(s["qv"]), dtype=np.int64)
+        snorm = np.sqrt(s["n2"].to_numpy(dtype=np.float64))
         # ties → LOWEST store id: pre-sort columns by id so the first
         # argmax among equal cosines is the smallest id
-        order = np.argsort(s["__sid"].to_numpy(dtype=np.int64), kind="stable")
+        order = np.argsort(s[id_col].to_numpy(dtype=np.int64), kind="stable")
         sq, snorm = sq[order], snorm[order]
-        sids = s["__sid"].to_numpy(dtype=np.int64)[order]
-        bqm = np.array(list(b["__v"]), dtype=np.int64)
-        bnorm = np.sqrt(b["__n2"].to_numpy(dtype=np.float64))
+        sids = s[id_col].to_numpy(dtype=np.int64)[order]
+        bqm = np.array(list(b["qv"]), dtype=np.int64)
+        bnorm = np.sqrt(b["n2"].to_numpy(dtype=np.float64))
         n_out = np.zeros(len(b), dtype=np.int64)
-        best = np.full(len(b), np.nan)
+        best = np.zeros(len(b), dtype=np.int64)   # int64 end to end
         blk = max(1, block_doubles // len(sids))
         for i in range(0, len(b), blk):
             j = min(i + blk, len(b))
@@ -211,17 +211,23 @@ def probe_embedding_store(
             if hit.any():
                 masked = np.where(cand, cos, -np.inf)
                 am = np.argmax(masked, axis=1)  # first max = lowest id
-                best[i:j][hit] = sids[am[hit]].astype(np.float64)
+                best[i:j][hit] = sids[am[hit]]
+        best_col = pd.array(best, dtype="Int64")
+        best_col[n_out == 0] = pd.NA
         return pd.DataFrame(
             {
                 "__bid": bids,
                 "n_candidates": n_out,
-                "best_store_id": best,
+                "best_store_id": best_col,
                 "flagged": n_out > 0,
             }
         )
 
-    probed = tagged.groupBy("cell").applyInPandas(probe_cell, out_schema)
+    probed = (
+        bq.groupBy("cell")
+        .cogroup(sm.groupBy("cell"))
+        .applyInPandas(probe_cell, out_schema)
+    )
     # every batch row in the output: zero-norm / empty-cell → (0, NULL,
     # false)
     all_ids = batch.select(F.col(id_col))

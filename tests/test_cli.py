@@ -780,3 +780,26 @@ def test_cli_embedding_probe(spark, tmp_path):
         main(["embedding-probe", "-i", str(bp), "-o", str(tmp_path / "x"),
               "--store", str(st)])
     assert ei.value.code == 2
+
+
+def test_cli_store_emit_same_path_guard(spark, tmp_path):
+    """--emit-store == --store errors up front for every store-probing
+    command (overwrite would delete the lazily-read source)."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    inp = tmp_path / "in.parquet"
+    docs.write.parquet(str(inp))
+    st = tmp_path / "store"
+    for argv in (
+        ["dedup-incremental", "-i", str(inp), "-o", str(tmp_path / "a"),
+         "--store", str(st), "--emit-store", str(st)],
+        ["winnow-probe", "-i", str(inp), "-o", str(tmp_path / "b"),
+         "--store", str(st), "--emit-store", str(st)],
+        ["embedding-probe", "-i", str(inp), "-o", str(tmp_path / "c"),
+         "--store", str(st), "--centroids", str(tmp_path / "m"),
+         "--emit-store", str(st)],
+    ):
+        with _pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert ei.value.code == 2

@@ -172,3 +172,38 @@ def test_staged_driver_pair_parity(spark):
     assert any(r[3] for r in got) and not all(r[3] for r in got)
     assert len({r[1] for r in got}) > 1        # n_candidates varies
     assert got == want
+
+
+def test_probe_preserves_62bit_ids_and_null_embeddings(spark):
+    """Review regressions: (a) ids beyond 2^53 survive the probe
+    exactly (the cogrouped frames keep int64 end to end — a
+    NULL-tagged union would round them through float64); (b) a NULL
+    embedding neither crashes the GEMM nor vanishes — it reports
+    (0, NULL, false)."""
+    from reflexiv_spark.datapipe.semstore import (
+        embedding_store,
+        probe_embedding_store,
+    )
+
+    dim = 8
+    big = (1 << 61) + 12345                      # far beyond 2^53
+    big_s = (1 << 61) + 99991
+    cents = np.array(
+        [np.floor(np.array(_unit(i, dim)) * 1000) for i in range(2)],
+        dtype=np.int64,
+    )
+    store = embedding_store(
+        _emb(spark, [(big_s, _unit(0, dim))]), cents, dim=dim
+    )
+    batch = _emb(
+        spark,
+        [(big, [0.95, 0.05] + [0.0] * (dim - 2)), (7, None)],
+    )
+    got = {
+        r.vec_id: (r.n_candidates, r.best_store_id, r.flagged)
+        for r in probe_embedding_store(
+            batch, store, cents, threshold=0.9, dim=dim
+        ).collect()
+    }
+    assert got[big] == (1, big_s, True)          # exact, not rounded
+    assert got[7] == (0, None, False)            # NULL vec accounted
