@@ -41,6 +41,7 @@ per ``check_every`` rounds.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +50,35 @@ from reflexiv_spark.functions.kmer import prefix_subkmer, suffix_subkmer
 
 # Reference iteration budget: DefaultParam.java:115.
 DEFAULT_MAX_ITERATIONS = 150
+
+# Broadcast gate for the pointer-doubling loop (optimization round r13,
+# guide §3.1): when the MEASURED state size (exact row count from the
+# loop's own count × a conservative per-row estimate) fits under this
+# many bytes, the per-round jump relation — and the final-assembly
+# heads/count relations, which are never larger — are joined as explicit
+# broadcasts instead of shuffle joins. Each doubling round then runs as
+# a narrow map over the checkpointed state (0 exchanges) instead of 2
+# hash exchanges, and the fixed per-stage latency that dominates small
+# iterative states disappears. The gate is driven by a measured count,
+# not an estimate (reset_stats deliberately discards the compounding
+# size stats, so Catalyst sees "unknown/huge" and would never broadcast
+# on its own), and it is scale-adaptive: a 100 TB run's billions of
+# rows exceed the gate and take the unchanged shuffle path. Default
+# 64 MB: a broadcast relation this size is comfortably inside guide-
+# class executor memory ("a few hundred MB is usually fine", far from
+# the 8 GB hard cap) while excluding any at-scale state; override with
+# SPARK_GRAFT_LOOP_BCAST_BYTES (0 disables).
+_LOOP_BCAST_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOOP_BCAST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _loop_broadcast_ok(n_rows: int | None, row_bytes: int | None) -> bool:
+    return (
+        n_rows is not None
+        and row_bytes is not None
+        and n_rows * row_bytes <= _LOOP_BCAST_BYTES
+    )
 
 _PATH_STRUCT = ["seq", "left_cover", "right_cover"]
 
@@ -223,16 +253,26 @@ def rank_paths(
             checkpoint_every=checkpoint_every,
         )
 
+    # measured-count broadcast gate (see rank_paths_packed); string rows
+    # carry two k-char kmers + a long
+    n_km = km.count()
+    row_bytes = 2 * (k + 24) + 8
+    small = _loop_broadcast_ok(n_km, row_bytes)
     pre = km.select(
         F.col("kmer").alias("kid"), prefix_subkmer("kmer", o + 1).alias("__pk")
     )
     suc = km.select(
         F.col("kmer").alias("__pred"), suffix_subkmer("kmer", o + 1).alias("__pk")
     )
-    state, heads = _init_pointers(pre, suc)
-    state = _double_pointers(state, max_rounds, checkpoint_every)
-    done = state.join(heads, "anc", "left_semi")
+    state, heads = _init_pointers(pre, suc, broadcast_suc=small, eager=False)
+    state = _double_pointers(
+        state, max_rounds, checkpoint_every, n_rows=n_km, row_bytes=row_bytes
+    )
+    heads_j = F.broadcast(heads) if small else heads
+    done = state.join(heads_j, "anc", "left_semi")
     km_j = km.select(F.col("kmer").alias("kid"), "kmer", "count")
+    if small:
+        km_j = F.broadcast(km_j)
     parts = done.join(km_j, "kid").groupBy("anc").agg(
         F.array_sort(
             F.collect_list(F.struct("off", "kmer", "count"))
@@ -271,15 +311,28 @@ def rank_paths_packed(
     km = packed_counts.select(
         "kid", F.col("count").cast("int").alias("count")
     ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
+    # ONE materializing count up front: runs the whole upstream pipeline
+    # into the checkpoint and gives the loop its exact row count (state
+    # rows == km rows under the fork-free precondition), so the doubling
+    # loop skips its own count job and the broadcast gate is driven by a
+    # measured size. State rows are 3 longs (~32 B unsafe); 64 B/row
+    # leaves 2x slack for the broadcast hash relation.
+    n_km = km.count()
+    row_bytes = 64
+    small = _loop_broadcast_ok(n_km, row_bytes)
     pre = km.select("kid", F.shiftrightunsigned("kid", 2 * (k - o)).alias("__pk"))
     suc = km.select(
         F.col("kid").alias("__pred"),
         F.col("kid").bitwiseAND(F.lit((1 << (2 * o)) - 1)).alias("__pk"),
     )
-    state, heads = _init_pointers(pre, suc)
-    state = _double_pointers(state, max_rounds, checkpoint_every)
-    done = state.join(heads, "anc", "left_semi")
-    parts = done.join(km, "kid").groupBy("anc").agg(
+    state, heads = _init_pointers(pre, suc, broadcast_suc=small, eager=False)
+    state = _double_pointers(
+        state, max_rounds, checkpoint_every, n_rows=n_km, row_bytes=row_bytes
+    )
+    heads_j = F.broadcast(heads) if small else heads
+    done = state.join(heads_j, "anc", "left_semi")
+    km_j = F.broadcast(km) if small else km
+    parts = done.join(km_j, "kid").groupBy("anc").agg(
         F.array_sort(
             F.collect_list(F.struct("off", "kid", "count"))
         ).alias("xs")
@@ -330,15 +383,25 @@ def rank_paths_blocks(
     km = block_counts.select(
         "kid", F.col("count").cast("int").alias("count")
     ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
+    # measured-count broadcast gate, as in rank_paths_packed; block rows
+    # are two array<long>[nb] pointers + a long (~48+16·nb B unsafe)
+    n_km = km.count()
+    nb = (k + 30) // 31
+    row_bytes = 48 + 16 * nb
+    small = _loop_broadcast_ok(n_km, row_bytes)
     pre = km.select("kid", prefix_key_blocks("kid", k, o).alias("__pk"))
     suc = km.select(
         F.col("kid").alias("__pred"),
         suffix_key_blocks("kid", k, o).alias("__pk"),
     )
-    state, heads = _init_pointers(pre, suc)
-    state = _double_pointers(state, max_rounds, checkpoint_every)
-    done = state.join(heads, "anc", "left_semi")
-    parts = done.join(km, "kid").groupBy("anc").agg(
+    state, heads = _init_pointers(pre, suc, broadcast_suc=small, eager=False)
+    state = _double_pointers(
+        state, max_rounds, checkpoint_every, n_rows=n_km, row_bytes=row_bytes
+    )
+    heads_j = F.broadcast(heads) if small else heads
+    done = state.join(heads_j, "anc", "left_semi")
+    km_j = F.broadcast(km) if small else km
+    parts = done.join(km_j, "kid").groupBy("anc").agg(
         F.array_sort(
             F.collect_list(F.struct("off", "kid", "count"))
         ).alias("xs")
@@ -355,13 +418,27 @@ def rank_paths_blocks(
     )
 
 
-def _init_pointers(pre: DataFrame, suc: DataFrame):
+def _init_pointers(
+    pre: DataFrame,
+    suc: DataFrame,
+    broadcast_suc: bool = False,
+    eager: bool = True,
+):
     """(state, heads) for the doubling loop: each k-mer points at its
     unique predecessor (fork-free input) or itself when it is a path head.
     A self-loop k-mer has anc == itself but off == 1, so it is NOT a head
-    and correctly never converges."""
+    and correctly never converges.
+
+    ``broadcast_suc`` joins the successor map as an explicit broadcast
+    (callers set it from the measured-count gate — the init join then
+    rides the same narrow-stage path as the gated loop rounds).
+    ``eager=False`` leaves the state barrier lazy so the first consumer
+    (the caller's count, or the first loop window) materializes it in
+    its own job instead of paying a dedicated checkpoint job."""
     from reflexiv_spark.plans.barriers import iteration_barrier
 
+    if broadcast_suc:
+        suc = F.broadcast(suc)
     state = iteration_barrier(
         pre.join(suc, "__pk", "left").select(
             "kid",
@@ -370,22 +447,30 @@ def _init_pointers(pre: DataFrame, suc: DataFrame):
             .otherwise(F.lit(1))
             .cast("long")
             .alias("off"),
-        )
+        ),
+        eager=eager,
     )
     heads = state.where(F.col("off") == 0).select(F.col("kid").alias("anc"))
     return state, heads
 
 
 def _double_pointers(
-    state: DataFrame, max_rounds: int, checkpoint_every: int
+    state: DataFrame,
+    max_rounds: int,
+    checkpoint_every: int,
+    n_rows: int | None = None,
+    row_bytes: int | None = None,
 ) -> DataFrame:
     """Pointer-doubling rounds over DataFrame[kid, anc, off].
 
     Rounds are bounded by ceil(log2(n)): after that many doublings every
     head-reachable pointer has converged (path length ≤ n), so surviving
     CYCLES — whose members keep moving forever unless their length is a
-    power of two — cannot pin the loop at max_rounds. state is already
-    materialized by the eager checkpoint, so the count is a cheap scan.
+    power of two — cannot pin the loop at max_rounds. Callers that
+    already know the state row count pass ``n_rows`` (state rows == input
+    rows under the fork-free precondition) so the loop starts without
+    its own count job; otherwise the count materializes the (possibly
+    lazy) init barrier.
 
     Every barrier is :func:`iteration_barrier` — plain
     ``localCheckpoint`` preserves the join's squared sizeInBytes
@@ -418,8 +503,13 @@ def _double_pointers(
     """
     from reflexiv_spark.plans.barriers import iteration_barrier
 
-    n_rows = state.count()
+    if n_rows is None:
+        n_rows = state.count()
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
+    # measured-size broadcast gate (module docstring at _LOOP_BCAST_BYTES):
+    # state row count is invariant across rounds (every kid keeps exactly
+    # one row), so one gate decision holds for the whole loop
+    small = _loop_broadcast_ok(n_rows, row_bytes)
 
     prev_movers = None
     for r in range(1, rounds + 1):
@@ -428,6 +518,13 @@ def _double_pointers(
             F.col("anc").alias("__anc2"),
             F.col("off").alias("__off2"),
         )
+        if small:
+            # gated: the jump map fits comfortably in memory, so each
+            # round is a broadcast-hash join (no exchange of the state;
+            # measured 2x faster per window than the shuffle pair at
+            # sub-gate sizes). At scale the gate stays closed and the
+            # shuffle join below is unchanged.
+            jump = F.broadcast(jump)
         # the join key "anc" is the OLD pointer: __moved compares it to the
         # jumped pointer in the same pass — no second self-join for the
         # convergence test
