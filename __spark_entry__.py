@@ -3675,8 +3675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "winnow_span_removal": q_winnow_span_removal,
         "winnow_ref_removal": q_winnow_ref_removal,
-        # --- spares: r11-row holders, 26 of 40 (25-50) ---
-        "events_window": q_events_window,
+        # --- spares: r11-row holders (25-44) ---
         "token_quantiles": q_token_quantiles,
         "mercy": q_mercy,
         "contig_merge": q_contig_merge,
@@ -3694,25 +3693,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_pairs": q_distinct_pairs,
         "top_orders": q_top_orders,
         "multi_join_agg": q_multi_join_agg,
+        "hash_sample": q_hash_sample,
+        "corpus_mix": q_corpus_mix,
+        "stratified_split": q_stratified_split,
+        # --- extension.py closure, forced in by the round-13
+        # OPTIMIZATION commit (broadcast-gated pointer-doubling loop):
+        # the window protocol requires every touched-closure query
+        # inside slots 1-50, so these six displace the six temporal/
+        # sketch spares below (events_funnel/running, source_rollup,
+        # cms_estimate/heavy_hitters, events_window — modules round 13
+        # does NOT touch; their r11 rows stand one more round) ---
+        "assemble_blocks": q_assemble_blocks,
+        "assemble_paths": q_assemble_paths,
+        "meta_assemble": q_meta_assemble,
+        "reassemble": q_reassemble,
+        "rc_expand": q_rc_expand,
+        "prune_forks": q_prune_forks,
+        # --- rotated out (slots 51+; modules not semantically changed
+        # in round 13; r12 rows stand for the round-12 window members;
+        # the 14 deferred r11 rows rotate FIRST in round 14) ---
+        "events_window": q_events_window,
         "events_funnel": q_events_funnel,
         "events_running": q_events_running,
         "source_rollup": q_source_rollup,
         "cms_estimate": q_cms_estimate,
         "cms_heavy_hitters": q_cms_heavy_hitters,
-        "hash_sample": q_hash_sample,
-        "corpus_mix": q_corpus_mix,
-        "stratified_split": q_stratified_split,
-        # --- rotated out (slots 51+; modules not semantically changed
-        # in round 13; r12 rows stand for the round-12 window members;
-        # the 14 deferred r11 rows rotate FIRST in round 14) ---
-        "assemble_blocks": q_assemble_blocks,
-        "meta_assemble": q_meta_assemble,
         "bm25_rank": q_bm25_rank,
         "binary_meta": q_binary_meta,
-        "reassemble": q_reassemble,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        "assemble_paths": q_assemble_paths,
         "bloom_decontam": q_bloom_decontam,
         "incremental_dedup": q_incremental_dedup,
         "token_quantiles_merge": q_token_quantiles_merge,
