@@ -3680,7 +3680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercy": q_mercy,
         "contig_merge": q_contig_merge,
         "contained_dedup": q_contained_dedup,
-        "kmer_band": q_kmer_band,
+        # kmer_band rotated out for cluster_keep_best (cluster.py
+        # closure, r13 CC-loop optimization); counter.py untouched.
+        "cluster_keep_best": q_cluster_keep_best,
         "kmer_clip": q_kmer_clip,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3743,7 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_train": q_classifier_train,
         "classifier_predict": q_classifier_predict,
         "clean_corpus": q_clean_corpus,
-        "cluster_keep_best": q_cluster_keep_best,
+        "kmer_band": q_kmer_band,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "dsir_keys_full": q_dsir_keys_full,

@@ -78,10 +78,16 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the round's ORIGINAL label rides along as __lbl0 so the
+        # convergence flag needs no extra lbl rejoin at the end of the
+        # round (was a 4th join per round — one (long,long) exchange
+        # removed per iteration, r13 optimization; outputs verified
+        # identical on the minhash edge graph)
         stepped = (
             lbl.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("lbl").alias("__lbl0"),
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
         )
@@ -94,16 +100,17 @@ def connected_components(
             stepped.join(jump, "lbl", "left")
             .select(
                 "node",
+                "__lbl0",
                 F.least(F.col("lbl"), F.coalesce("jlbl", F.col("lbl"))).alias("nlbl"),
             )
         )
         from reflexiv_spark.plans.barriers import iteration_barrier
 
         merged = iteration_barrier(
-            lbl.join(nxt, "node").select(
+            nxt.select(
                 "node",
                 F.col("nlbl").alias("lbl"),
-                (F.col("nlbl") != F.col("lbl")).alias("__chg"),
+                (F.col("nlbl") != F.col("__lbl0")).alias("__chg"),
             )
         )
         changed = merged.where(F.col("__chg")).limit(1).count()

@@ -60,6 +60,22 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_OPEN_COST", str(256 * 1024)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Constraint propagation is a driver-side planning cost that the
+        # engine pays per plan (and ITERATIVE loops pay per round — the
+        # contraction/CC/pagerank loops replan a growing tree every
+        # iteration). Measured r13, interleaved A/B over the 7 most
+        # expensive headliners: 5-7% aggregate wall reduction with it
+        # off, up to 16% on the loop queries; results are unaffected (it
+        # is a logical-planning inference, not a semantics change). The
+        # engine's operators filter NULL join keys explicitly where
+        # pruning matters, so the inferred-IsNotNull pushdown it would
+        # add is redundant here. Env-parameterised: a deployment whose
+        # ad-hoc queries rely on inferred transitive predicates can turn
+        # it back on without touching code.
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
