@@ -171,14 +171,23 @@ def minhash_signatures(
     the DuckDB oracle's formulation, so the whole LSH pipeline becomes
     exactly checkable; xxhash64 remains the production default.
     """
+    # The num_hashes-proportional expressions are built as SQL-text
+    # F.expr strings, parsed server-side in ONE py4j round trip each,
+    # instead of Column compositions (3-5 round trips per hash slot).
+    # Query CONSTRUCTION is driver wall paid per query; measured r13:
+    # signature build 0.33 -> 0.15 s at num_hashes=64, outputs verified
+    # bit-identical for both families at sf0.01. The SQL text mirrors
+    # the Column form exactly: integer literal seeds type as INT both
+    # ways, and the md5 line is ``md5_long`` inlined.
     if hash_family == "md5":
         base_hash = md5_long
-        rehash = lambda h, i: md5_long(  # noqa: E731
-            F.concat(h.cast("string"), F.lit(f":{i}"))
+        rehash_sql = (
+            lambda i: "CAST(conv(substring(md5(concat("  # noqa: E731
+            f"CAST(h AS STRING), ':{i}')), 1, 15), 16, 10) AS BIGINT)"
         )
     else:
         base_hash = F.xxhash64
-        rehash = lambda h, i: F.xxhash64(h, F.lit(i))  # noqa: E731
+        rehash_sql = lambda i: f"xxhash64(h, {i})"  # noqa: E731
     sh = (
         spread(df.where(F.length(text_col) >= w))
         .select(
@@ -191,13 +200,17 @@ def minhash_signatures(
         )
     )
     mins = sh.groupBy("id").agg(
+        F.expr(f"min({rehash_sql(0)}) AS m0"),
         *[
-            F.min(rehash(F.col("h"), i)).alias(f"m{i}")
-            for i in range(num_hashes)
-        ]
+            F.expr(f"min({rehash_sql(i)}) AS m{i}")
+            for i in range(1, num_hashes)
+        ],
     )
     return mins.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.expr(
+            "array(" + ",".join(f"m{i}" for i in range(num_hashes)) + ") AS sig"
+        ),
     )
 
 
@@ -226,20 +239,21 @@ def _banded_signatures(
         df, text_col, id_col, w, num_hashes, hash_family
     ).localCheckpoint(eager=False)
 
+    # SQL-text band keys for the same construction-chatter reason as the
+    # signature aggregate above: one server-side parse per band instead
+    # of ~6 Column round trips per band
     def band_key(b):
-        key = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                lambda x: x.cast("string"),
-            ),
+        key = (
+            "concat_ws(',', transform(slice(sig, "
+            f"{b * rows_per_band + 1}, {rows_per_band}), "
+            "x -> CAST(x AS STRING)))"
         )
-        return key if hash_family == "md5" else F.xxhash64(key)
+        return key if hash_family == "md5" else f"xxhash64({key})"
 
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.array(*[band_key(b) for b in range(bands)])
+            F.expr("array(" + ",".join(band_key(b) for b in range(bands)) + ")")
         ).alias("band_idx", "band_key"),
     )
     return sigs, banded
