@@ -718,26 +718,33 @@ def _hashed_features(
     base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).withColumn(
         "n", F.size("__ws")
     )
-    uni = base.select(
-        "id", F.explode("__ws").alias("f")
-    ).select("id", F.concat(F.lit("u|"), F.col("f")).alias("f"))
-    feats = uni
+    # ONE scan, one tokenization: unigram and bigram feature strings
+    # concatenate into a single in-row array before the explode. The
+    # old form unioned one explode per n-gram order, and each union
+    # branch re-ran the scan + regexp tokenizer (2 corpus passes with
+    # bigrams on — the waste divergence.py's _bucket_counts documents;
+    # r13 applies the same single-scan device here). __ws is a bound
+    # projection column, so element_at probes never re-tokenize. Same
+    # (id, feature) multiset per document — every consumer aggregates,
+    # so outputs are identical (oracle twins verified green).
+    uni_arr = F.transform("__ws", lambda x: F.concat(F.lit("u|"), x))
     if use_bigrams:
-        bi = base.where(F.col("n") >= 2).select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n") - 1),
-                    lambda i: F.concat(
-                        F.lit("b|"),
-                        F.element_at("__ws", i),
-                        F.lit(" "),
-                        F.element_at("__ws", i + 1),
-                    ),
-                )
-            ).alias("f"),
-        )
-        feats = uni.unionAll(bi)
+        bi_arr = F.when(
+            F.col("n") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - 1),
+                lambda i: F.concat(
+                    F.lit("b|"),
+                    F.element_at("__ws", i),
+                    F.lit(" "),
+                    F.element_at("__ws", i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feat_arr = F.concat(uni_arr, bi_arr)
+    else:
+        feat_arr = uni_arr
+    feats = base.select("id", F.explode(feat_arr).alias("f"))
     idx = F.pmod(_h(F.col("f")), F.lit(dim))
     return base, feats.select("id", idx.alias("idx")), _h
 
