@@ -610,9 +610,16 @@ def bigram_logprob_score(
     toks = F.expr(
         rf"regexp_extract_all(lower(coalesce({text_col}, '')), '\\w+', 0)"
     )
+    # lazy checkpoint: FOUR plan consumers read the token arrays (the
+    # bigram probe, the bigram counts, the unigram counts, the id spine)
+    # and each union-free subtree re-ran the scan + regexp tokenizer —
+    # 4 corpus tokenizations per run. Materializing (id, __ws, n) once
+    # tokenizes once; consumers explode from the stored arrays.
+    # Measured r13: 2.45 -> 2.09 s at sf0.1, outputs identical at
+    # sf0.01/sf0.1 and the oracle twin green.
     base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).withColumn(
         "n", F.size("__ws")
-    )
+    ).localCheckpoint(eager=False)
     bigrams = base.where(F.col("n") >= 2).select(
         "id",
         F.explode(
@@ -627,9 +634,9 @@ def bigram_logprob_score(
     ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     unigrams = base.select(F.explode("__ws").alias("tok"))
     uni = unigrams.groupBy("tok").agg(F.count("*").alias("c1"))
-    vocab_n = unigrams.select(
-        F.count_distinct("tok").alias("__v")
-    )
+    # |vocab| is the unigram model's row count — one tiny agg over the
+    # model instead of a second full explode + count_distinct pass
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("__v"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     scored = (
         bigrams.join(bi, ["w1", "w2"])
