@@ -2,9 +2,14 @@
 
 ``tools/check_window.py`` mechanically maps files changed since the last
 CORRECTNESS artifact → affected queries → asserts each sits inside the
-driver's 50-slot oracle window. This test runs it so the suite FAILS
-whenever a touched query would grade stale — the protocol stops being
-discretionary.
+driver's verification window. BUILD rounds verified only the first 50
+registry slots (the rotation protocol); the OPTIMIZATION rounds (13+)
+re-run EVERY declared query against its oracle, so the default window
+is the full registry and the binding hazards become a query
+disappearing from ``queries()`` or losing its ``oracle_sql()`` twin —
+both always enforced (see the tool docstring for the full rationale).
+This test runs it so the suite FAILS on either regression — the
+protocol stays non-discretionary.
 """
 
 from __future__ import annotations
@@ -44,7 +49,9 @@ def test_semantic_change_filter():
 
 
 def test_checker_detects_out_of_window_query(monkeypatch):
-    """Violation path: an affected query outside slots 1-50 exits 1."""
+    """Build-round violation path (--window 50): an affected query
+    outside slots 1-50 exits 1; under the optimization-round default
+    (full registry) the same query is in-window and passes."""
     sys.path.insert(0, str(REPO / "tools"))
     import check_window
 
@@ -59,10 +66,14 @@ def test_checker_detects_out_of_window_query(monkeypatch):
 
     monkeypatch.setattr(check_window, "affected_queries", fake_affected)
     monkeypatch.setattr(check_window, "find_base", lambda: "deadbeef" * 5)
-    monkeypatch.setattr(sys, "argv", ["check_window.py"])
+    monkeypatch.setattr(sys, "argv", ["check_window.py", "--window", "50"])
     assert check_window.main() == 1
 
-    # and in-window passes
+    # the optimization-round default window is the whole registry
+    monkeypatch.setattr(sys, "argv", ["check_window.py"])
+    assert check_window.main() == 0
+
+    # and in-window passes under the build window too
     def fake_ok(base, verbose=False):
         order = [f"q{i}" for i in range(50)] + ["zz_tail"]
         return {"q3"}, order, {
@@ -70,7 +81,39 @@ def test_checker_detects_out_of_window_query(monkeypatch):
         }
 
     monkeypatch.setattr(check_window, "affected_queries", fake_ok)
+    monkeypatch.setattr(sys, "argv", ["check_window.py", "--window", "50"])
     assert check_window.main() == 0
+
+
+def test_checker_detects_disappeared_query_and_missing_oracle(monkeypatch):
+    """The always-enforced hazards: a query declared at base that is no
+    longer in queries(), or a declared query with no oracle_sql() twin,
+    exits 1 regardless of the window size — these are exactly what
+    fails the optimization driver's full-registry re-run."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import check_window
+
+    def gone(base, verbose=False):
+        order = [f"q{i}" for i in range(5)]
+        return set(), order, {
+            "mods_changed": [], "why": {}, "changed_fns": [],
+            "disappeared": ["old_query"], "missing_oracle": [],
+        }
+
+    monkeypatch.setattr(check_window, "affected_queries", gone)
+    monkeypatch.setattr(check_window, "find_base", lambda: "deadbeef" * 5)
+    monkeypatch.setattr(sys, "argv", ["check_window.py"])
+    assert check_window.main() == 1
+
+    def no_oracle(base, verbose=False):
+        order = [f"q{i}" for i in range(5)]
+        return set(), order, {
+            "mods_changed": [], "why": {}, "changed_fns": [],
+            "disappeared": [], "missing_oracle": ["q3"],
+        }
+
+    monkeypatch.setattr(check_window, "affected_queries", no_oracle)
+    assert check_window.main() == 1
 
 
 def test_find_base_skips_untracked_artifacts():

