@@ -400,7 +400,11 @@ def q_rc_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflexiv_spark.operators.counter import count_kmers
     from reflexiv_spark.pipelines.assemble import expand_orientations
 
-    return expand_orientations(count_kmers(_dna(spark, sf_dir), 15, min_coverage=2))
+    return expand_orientations(
+        count_kmers(_dna(spark, sf_dir), 15, min_coverage=2),
+        15,
+        input_canonical=True,
+    )
 
 
 def q_prune_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +413,7 @@ def q_prune_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reflexiv_spark.pipelines.assemble import expand_orientations, prune_forks
 
     counts = count_kmers(_dna(spark, sf_dir), 15, min_coverage=2)
-    return prune_forks(expand_orientations(counts), 15)
+    return prune_forks(expand_orientations(counts, 15, input_canonical=True), 15)
 
 
 def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +445,9 @@ def q_assemble_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = count_kmers_packed(
         _dna(spark, sf_dir), k, min_coverage=2, decode=False
     ).withColumnRenamed("packed", "kid").localCheckpoint(eager=False)
-    pruned = prune_forks_packed(expand_orientations_packed(counts, k), k)
+    pruned = prune_forks_packed(
+        expand_orientations_packed(counts, k, input_canonical=True), k
+    )
     anchored = rank_paths_packed(pruned.select("kid", "count"), k)
     return anchored.select(
         "seq",
@@ -467,7 +473,7 @@ def q_assemble_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 41
     counts = count_kmers_blocks(_dna(spark, sf_dir), k, min_coverage=1, decode=False)
-    out = assemble_from_blocks_counts(counts, k, min_contig=42)
+    out = assemble_from_blocks_counts(counts, k, min_contig=42, input_canonical=True)
     return out.select(
         "seq",
         F.col("left_cover").cast("bigint").alias("left_cover"),
@@ -1525,7 +1531,7 @@ def q_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default; min_contig=k+1 matches the old length filter.
     pcounts = count_kmers_packed(reads, k, min_coverage=2, decode=False)
     anchored = assemble_from_packed_counts(
-        pcounts, k, min_contig=k + 1, min_error_coverage=None
+        pcounts, k, min_contig=k + 1, min_error_coverage=None, input_canonical=True
     )
     contigs = (
         anchored.select(canonical_kmer("seq").alias("seq"))

@@ -259,12 +259,20 @@ def unigram_logprob_score(
     would OOM and a shuffle join is right. Deterministic and
     ANSI-SQL-replayable: log10/avg of identical doubles, rounded.
     """
-    toks = df.select(
+    # lazy checkpoint of the UN-exploded token arrays: two plan
+    # consumers (the model build and the scoring join) each re-ran the
+    # scan + regexp tokenizer — 2 corpus tokenizations per run. The
+    # array form materializes once and both consumers explode from the
+    # stored arrays (the same single-tokenize device as
+    # :func:`bigram_logprob_score`; checkpointing the EXPLODED table
+    # was measured a loss — it is larger than the corpus).
+    base = df.select(
         F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\w+"), 0)
-        ).alias("token"),
-    )
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(r"\w+"), 0
+        ).alias("__ws"),
+    ).localCheckpoint(eager=False)
+    toks = base.select(F.col(id_col), F.explode("__ws").alias("token"))
     model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
     total = model.agg(F.sum("tf").alias("n")).select("n")
     lp = model.crossJoin(F.broadcast(total)).select(

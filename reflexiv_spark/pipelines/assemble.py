@@ -38,27 +38,65 @@ from reflexiv_spark.operators.fork import filter_forks
 DEFAULT_MIN_CONTIG = 500
 
 
-def expand_orientations(kmer_counts: DataFrame) -> DataFrame:
-    """Canonical counts → both orientations (step 2)."""
+def _palindrome_free(k: int | None, input_canonical: bool) -> bool:
+    """True when the RC-expanded union provably has no duplicate k-mers,
+    so the palindrome ``dropDuplicates`` — a full exchange of the doubled
+    k-mer set — can be skipped (guide §2.4: a distinct on already-unique
+    data).
+
+    Proof obligation: the input rows are DISTINCT CANONICAL k-mers (the
+    ``count_kmers*`` contract — each group key satisfies x <= RC(x)) and
+    k is ODD. A duplicate in fwd ∪ RC(fwd) requires x = RC(y) with both
+    x, y canonical, which forces x = y = RC(x) — a palindrome — and an
+    odd-length k-mer cannot be its own reverse complement (its middle
+    base would have to equal its own complement). Even k keeps the
+    dedup: palindromes are real there.
+    """
+    return input_canonical and k is not None and k % 2 == 1
+
+
+def expand_orientations(
+    kmer_counts: DataFrame,
+    k: int | None = None,
+    input_canonical: bool = False,
+) -> DataFrame:
+    """Canonical counts → both orientations (step 2).
+
+    Pass ``k`` and ``input_canonical=True`` when the input is the output
+    of ``count_kmers`` (distinct canonical k-mers): for odd k the
+    palindrome dedup is then provably a no-op and its exchange is
+    elided (:func:`_palindrome_free`). Output rows are identical either
+    way.
+    """
     fwd = kmer_counts
     rc = kmer_counts.select(
         reverse_complement("kmer").alias("kmer"), F.col("count")
     )
+    both = fwd.unionByName(rc)
+    if _palindrome_free(k, input_canonical):
+        return both
     # A palindromic k-mer equals its RC — dropDuplicates keeps one copy.
-    return fwd.unionByName(rc).dropDuplicates(["kmer"])
+    return both.dropDuplicates(["kmer"])
 
 
-def expand_orientations_packed(packed_counts: DataFrame, k: int) -> DataFrame:
+def expand_orientations_packed(
+    packed_counts: DataFrame, k: int, input_canonical: bool = False
+) -> DataFrame:
     """Step 2 over 2-bit packed bigint ids (DataFrame[kid, count]) — the
     RC is ~12 codegen'd integer ops instead of a string
-    reverse+translate, and the palindrome dedup shuffles 8-byte longs."""
+    reverse+translate, and the palindrome dedup shuffles 8-byte longs
+    (elided entirely for odd-k canonical input —
+    :func:`_palindrome_free`)."""
     from reflexiv_spark.operators.counter_packed import revcomp_packed
 
     fwd = packed_counts
     rc = packed_counts.select(
         revcomp_packed("kid", k).alias("kid"), F.col("count")
     )
-    return fwd.unionByName(rc).dropDuplicates(["kid"])
+    both = fwd.unionByName(rc)
+    if _palindrome_free(k, input_canonical):
+        return both
+    return both.dropDuplicates(["kid"])
 
 
 def prune_forks_packed(
@@ -84,17 +122,23 @@ def prune_forks_packed(
     return pruned.drop("fwd_key", "refl_key")
 
 
-def expand_orientations_blocks(block_counts: DataFrame, k: int) -> DataFrame:
+def expand_orientations_blocks(
+    block_counts: DataFrame, k: int, input_canonical: bool = False
+) -> DataFrame:
     """Step 2 over long-block k-mer ids (DataFrame[kid: array<long>,
     count], k > 31) — the RC is plan-time shift/mask expressions and the
-    palindrome dedup shuffles ⌈k/31⌉ longs per row."""
+    palindrome dedup shuffles ⌈k/31⌉ longs per row (elided entirely for
+    odd-k canonical input — :func:`_palindrome_free`)."""
     from reflexiv_spark.operators.counter_blocks import revcomp_blocks
 
     fwd = block_counts
     rc = block_counts.select(
         revcomp_blocks("kid", k).alias("kid"), F.col("count")
     )
-    return fwd.unionByName(rc).dropDuplicates(["kid"])
+    both = fwd.unionByName(rc)
+    if _palindrome_free(k, input_canonical):
+        return both
+    return both.dropDuplicates(["kid"])
 
 
 def prune_forks_blocks(
@@ -155,8 +199,13 @@ def assemble_from_counts(
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
     algorithm: str = "contract",
+    input_canonical: bool = False,
 ) -> DataFrame:
     """kmer counts → DataFrame[contig_id, seq, left_cover, right_cover].
+
+    ``input_canonical=True`` asserts the counts are distinct canonical
+    k-mers (the ``count_kmers`` contract); for odd k the RC expansion
+    then skips its palindrome-dedup exchange (:func:`_palindrome_free`).
 
     ``algorithm="contract"`` (default) is the reference-parity randomized
     contraction: pure cycles (circular genomes/plasmids) survive as a
@@ -167,7 +216,9 @@ def assemble_from_counts(
     log-rounds — the 100 TB path — but cycles are dropped (anchored-paths
     semantics, identical to the SQL-oracle definition).
     """
-    expanded = expand_orientations(kmer_counts)
+    expanded = expand_orientations(
+        kmer_counts, k, input_canonical=input_canonical
+    )
     pruned = prune_forks(expanded, k, min_error_coverage=min_error_coverage)
     if algorithm == "rank":
         from reflexiv_spark.operators.extension import rank_paths
@@ -217,6 +268,7 @@ def assemble_from_packed_counts(
     min_contig: int = DEFAULT_MIN_CONTIG,
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """The fully-packed rank pipeline: DataFrame[kid: bigint, count] (from
     ``count_kmers_packed(decode=False)``) → contigs, with every shuffle
@@ -233,7 +285,9 @@ def assemble_from_packed_counts(
     packed_counts = packed_counts.select(
         F.col(kid_col).alias("kid"), "count"
     ).localCheckpoint(eager=False)
-    expanded = expand_orientations_packed(packed_counts, k)
+    expanded = expand_orientations_packed(
+        packed_counts, k, input_canonical=input_canonical
+    )
     pruned = prune_forks_packed(expanded, k, min_error_coverage=min_error_coverage)
     contracted = rank_paths_packed(
         pruned.select("kid", "count"), k, max_rounds=max_iterations
@@ -247,6 +301,7 @@ def assemble_from_blocks_counts(
     min_contig: int = DEFAULT_MIN_CONTIG,
     max_iterations: int = 150,
     min_error_coverage: int | None = None,
+    input_canonical: bool = False,
 ) -> DataFrame:
     """The fully-packed rank pipeline for k > 31: DataFrame[kid:
     array<long>, count] (from ``count_kmers_blocks(decode=False)``) →
@@ -258,7 +313,9 @@ def assemble_from_blocks_counts(
     block_counts = block_counts.select(
         F.col("kid"), "count"
     ).localCheckpoint(eager=False)
-    expanded = expand_orientations_blocks(block_counts, k)
+    expanded = expand_orientations_blocks(
+        block_counts, k, input_canonical=input_canonical
+    )
     pruned = prune_forks_blocks(
         expanded, k, min_error_coverage=min_error_coverage
     )
@@ -312,6 +369,7 @@ def assemble(
                 min_contig=min_contig,
                 max_iterations=max_iterations,
                 min_error_coverage=min_error_coverage,
+                input_canonical=True,
             )
         return assemble_from_counts(
             counts_b,
@@ -320,6 +378,7 @@ def assemble(
             max_iterations=max_iterations,
             min_error_coverage=min_error_coverage,
             algorithm=algorithm,
+            input_canonical=True,
         )
     if packed:
         from reflexiv_spark.operators.counter_packed import count_kmers_packed
@@ -338,6 +397,7 @@ def assemble(
                 min_contig=min_contig,
                 max_iterations=max_iterations,
                 min_error_coverage=min_error_coverage,
+                input_canonical=True,
             )
         counts = count_kmers_packed(
             reads,
@@ -361,4 +421,5 @@ def assemble(
         max_iterations=max_iterations,
         min_error_coverage=min_error_coverage,
         algorithm=algorithm,
+        input_canonical=True,
     )

@@ -235,3 +235,94 @@ def test_meta_ladder_packed_matches_string(spark):
         for r in meta_assemble(reads, packed=True, **kw).collect()
     }
     assert got == want and want
+
+
+def test_expand_orientations_input_canonical_skip(spark):
+    """Odd-k canonical counts: ``input_canonical=True`` skips the
+    palindrome-dedup exchange with identical output (r13 optimization);
+    even k keeps the dedup because palindromes are real there."""
+    from reflexiv_spark.operators.counter import count_kmers
+    from reflexiv_spark.operators.counter_blocks import (
+        blocks_to_kmer,
+        count_kmers_blocks,
+    )
+    from reflexiv_spark.operators.counter_packed import (
+        count_kmers_packed,
+        packed_to_kmer,
+    )
+    from reflexiv_spark.pipelines.assemble import (
+        expand_orientations,
+        expand_orientations_blocks,
+        expand_orientations_packed,
+    )
+
+    genome = random_genome(600, seed=11)
+    seqs = simulate_reads(genome, read_len=90, coverage=15.0, seed=3)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+
+    # string variant, odd k
+    counts = count_kmers(reads, 15, min_coverage=1, max_coverage=None)
+    want = sorted(
+        (r.kmer, r["count"]) for r in expand_orientations(counts).collect()
+    )
+    fast = expand_orientations(counts, 15, input_canonical=True)
+    got = sorted((r.kmer, r["count"]) for r in fast.collect())
+    assert got == want and want
+    # multiset equality too: the skip must not rely on dedup
+    assert len(got) == len(set(got))
+    # the dedup exchange is gone from the optimized plan (one fewer
+    # non-reused Exchange than the dedup form in the AQE-final plan;
+    # the counting exchange remains)
+    import re
+
+    def _final_exchanges(df):
+        df.count()  # force AQE finalization
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        return len(re.findall(r"(?<!Reused)Exchange hashpartitioning", final))
+
+    slow = expand_orientations(counts)
+    assert _final_exchanges(fast) == _final_exchanges(slow) - 1
+
+    # packed variant, odd k <= 31
+    pc = count_kmers_packed(reads, 15, min_coverage=1, max_coverage=None, decode=False)
+    want_p = sorted(
+        (r.kmer, r["count"])
+        for r in expand_orientations_packed(pc.withColumnRenamed("packed", "kid"), 15)
+        .select(packed_to_kmer("kid", 15).alias("kmer"), "count")
+        .collect()
+    )
+    got_p = sorted(
+        (r.kmer, r["count"])
+        for r in expand_orientations_packed(
+            pc.withColumnRenamed("packed", "kid"), 15, input_canonical=True
+        )
+        .select(packed_to_kmer("kid", 15).alias("kmer"), "count")
+        .collect()
+    )
+    assert got_p == want_p == want
+
+    # blocks variant, odd k > 31
+    bc = count_kmers_blocks(reads, 41, min_coverage=1, max_coverage=None, decode=False)
+    want_b = sorted(
+        (r.kmer, r["count"])
+        for r in expand_orientations_blocks(bc, 41)
+        .select(blocks_to_kmer("kid", 41).alias("kmer"), "count")
+        .collect()
+    )
+    got_b = sorted(
+        (r.kmer, r["count"])
+        for r in expand_orientations_blocks(bc, 41, input_canonical=True)
+        .select(blocks_to_kmer("kid", 41).alias("kmer"), "count")
+        .collect()
+    )
+    assert got_b == want_b and want_b
+
+    # EVEN k: the canonical set can contain palindromes ("ACGT" is its
+    # own RC) — the flag must NOT skip the dedup there
+    pal_reads = spark.createDataFrame([("AAACGTT",)], "seq string")
+    pal_counts = count_kmers(pal_reads, 4, min_coverage=1, max_coverage=None)
+    rows = expand_orientations(pal_counts, 4, input_canonical=True).collect()
+    kmers = [r.kmer for r in rows]
+    assert len(kmers) == len(set(kmers))  # palindromes deduped
+    assert "ACGT" in kmers
