@@ -72,6 +72,11 @@ _LOOP_BCAST_BYTES = int(
     os.environ.get("SPARK_GRAFT_LOOP_BCAST_BYTES", str(64 * 1024 * 1024))
 )
 
+# Escape hatch for the hashed loop-id proxy in rank_paths_blocks
+# (SPARK_GRAFT_HASHED_LOOP=0 pins the array-id loop; the injectivity
+# check below makes the two provably output-identical either way).
+_HASHED_LOOP_IDS = os.environ.get("SPARK_GRAFT_HASHED_LOOP", "1") != "0"
+
 
 def _loop_broadcast_ok(n_rows: int | None, row_bytes: int | None) -> bool:
     return (
@@ -383,29 +388,70 @@ def rank_paths_blocks(
     km = block_counts.select(
         "kid", F.col("count").cast("int").alias("count")
     ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
-    # measured-count broadcast gate, as in rank_paths_packed; block rows
-    # are two array<long>[nb] pointers + a long (~48+16·nb B unsafe)
     n_km = km.count()
-    nb = (k + 30) // 31
-    row_bytes = 48 + 16 * nb
-    small = _loop_broadcast_ok(n_km, row_bytes)
-    pre = km.select("kid", prefix_key_blocks("kid", k, o).alias("__pk"))
-    suc = km.select(
-        F.col("kid").alias("__pred"),
-        suffix_key_blocks("kid", k, o).alias("__pk"),
+    # Loop-state proxy ids (r13, guide §2.3 "shuffle keys and metadata
+    # instead of payloads"): every doubling round moves TWO array<long>
+    # pointers + an offset per row (~48+16·nb B unsafe at nb blocks),
+    # but the loop only ever tests pointer EQUALITY — the block digits
+    # are not consulted until final assembly. Riding the rounds on
+    # xxhash64(kid) collapses the per-round exchange/broadcast row to
+    # three longs (~4× fewer bytes at k=41, and scalar join hashing
+    # instead of array hashing), with the blocks re-attached by ONE
+    # hashed join at final assembly. Correctness is gated exactly, not
+    # probabilistically: one aggregation checks the hash is injective on
+    # THIS input (distinct hids == distinct kids); any collision — 2⁻⁶⁴
+    # birthday odds, but checked, not assumed — falls back to the
+    # array-id loop, so the result is provably identical either way.
+    kmh = km.select(
+        F.xxhash64("kid").alias("hid"),
+        F.col("kid").alias("bid"),
+        "count",
     )
+    hashed = (
+        _HASHED_LOOP_IDS
+        and kmh.agg(F.count_distinct("hid").alias("n")).first()[0] == n_km
+    )
+    row_bytes = 64 if hashed else 48 + 16 * ((k + 30) // 31)
+    small = _loop_broadcast_ok(n_km, row_bytes)
+    if hashed:
+        pre = kmh.select(
+            F.col("hid").alias("kid"),
+            prefix_key_blocks("bid", k, o).alias("__pk"),
+        )
+        suc = kmh.select(
+            F.col("hid").alias("__pred"),
+            suffix_key_blocks("bid", k, o).alias("__pk"),
+        )
+    else:
+        pre = km.select("kid", prefix_key_blocks("kid", k, o).alias("__pk"))
+        suc = km.select(
+            F.col("kid").alias("__pred"),
+            suffix_key_blocks("kid", k, o).alias("__pk"),
+        )
     state, heads = _init_pointers(pre, suc, broadcast_suc=small, eager=False)
     state = _double_pointers(
         state, max_rounds, checkpoint_every, n_rows=n_km, row_bytes=row_bytes
     )
     heads_j = F.broadcast(heads) if small else heads
     done = state.join(heads_j, "anc", "left_semi")
-    km_j = F.broadcast(km) if small else km
-    parts = done.join(km_j, "kid").groupBy("anc").agg(
-        F.array_sort(
-            F.collect_list(F.struct("off", "kid", "count"))
-        ).alias("xs")
-    )
+    if hashed:
+        km_j = F.broadcast(kmh) if small else kmh
+        parts = (
+            done.join(km_j, done["kid"] == km_j["hid"])
+            .groupBy("anc")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("off", F.col("bid").alias("kid"), "count"))
+                ).alias("xs")
+            )
+        )
+    else:
+        km_j = F.broadcast(km) if small else km
+        parts = done.join(km_j, "kid").groupBy("anc").agg(
+            F.array_sort(
+                F.collect_list(F.struct("off", "kid", "count"))
+            ).alias("xs")
+        )
     rest_bases = F.array_join(
         F.transform(
             F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),

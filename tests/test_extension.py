@@ -246,3 +246,35 @@ def test_assemble_from_counts_rank_matches_contract(spark):
         for r in assemble_from_counts(counts, 21, min_contig=22, algorithm="contract").collect()
     }
     assert a == b and a  # linear genome: no cycles, identical contigs
+
+
+def test_rank_paths_blocks_hashed_ids_match_array_ids(spark):
+    """The r13 hashed loop-id proxy (xxhash64 pointer ids through the
+    doubling rounds, blocks re-attached at final assembly) must produce
+    byte-identical contigs to the array-id loop — and the injectivity
+    gate must fall back cleanly when disabled."""
+    from reflexiv_spark.operators import extension as ex
+    from reflexiv_spark.operators.counter_blocks import count_kmers_blocks
+    from reflexiv_spark.operators.extension import rank_paths_blocks
+
+    k = 41
+    genome = random_genome(1200, seed=21)
+    seqs = simulate_reads(genome, read_len=150, coverage=18.0, seed=7)
+    reads = spark.createDataFrame([(s,) for s in seqs], "seq string")
+    counts = count_kmers_blocks(
+        reads, k, min_coverage=1, max_coverage=None, decode=False
+    )
+
+    orig = ex._HASHED_LOOP_IDS
+    try:
+        ex._HASHED_LOOP_IDS = True
+        hashed = sorted(
+            tuple(r) for r in rank_paths_blocks(counts, k).collect()
+        )
+        ex._HASHED_LOOP_IDS = False
+        arr = sorted(
+            tuple(r) for r in rank_paths_blocks(counts, k).collect()
+        )
+    finally:
+        ex._HASHED_LOOP_IDS = orig
+    assert hashed == arr and hashed
