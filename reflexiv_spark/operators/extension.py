@@ -388,7 +388,6 @@ def rank_paths_blocks(
     km = block_counts.select(
         "kid", F.col("count").cast("int").alias("count")
     ).localCheckpoint(eager=False)  # 3 consumers: pre, suc, final join
-    n_km = km.count()
     # Loop-state proxy ids (r13, guide §2.3 "shuffle keys and metadata
     # instead of payloads"): every doubling round moves TWO array<long>
     # pointers + an offset per row (~48+16·nb B unsafe at nb blocks),
@@ -407,10 +406,13 @@ def rank_paths_blocks(
         F.col("kid").alias("bid"),
         "count",
     )
-    hashed = (
-        _HASHED_LOOP_IDS
-        and kmh.agg(F.count_distinct("hid").alias("n")).first()[0] == n_km
-    )
+    # ONE materializing pass computes both loop inputs: the exact row
+    # count (rounds bound + broadcast gate) and the injectivity witness
+    # — instead of a count job plus a separate distinct-agg job.
+    n_km, n_hid = kmh.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("hid").alias("nh")
+    ).first()
+    hashed = _HASHED_LOOP_IDS and n_hid == n_km
     row_bytes = 64 if hashed else 48 + 16 * ((k + 30) // 31)
     small = _loop_broadcast_ok(n_km, row_bytes)
     if hashed:
