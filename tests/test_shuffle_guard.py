@@ -62,11 +62,35 @@ def test_packed_rank_loop_state_is_three_longs(spark, monkeypatch):
         )
 
 
-def test_blocks_rank_loop_state_is_long_blocks(spark, monkeypatch):
+def test_blocks_rank_loop_state_is_three_longs_hashed(spark, monkeypatch):
+    """r13: the k>31 loop normally rides hashed pointer ids — three
+    longs per row, like the scalar packed path — with the block arrays
+    re-attached only at final assembly."""
     from reflexiv_spark.operators.extension import rank_paths
 
     k = 41
     counts = _counts(spark, k, seed=23)
+    schema = _capture_loop_state(
+        monkeypatch, lambda: rank_paths(counts, k).count()
+    )
+    assert [f.name for f in schema.fields] == ["kid", "anc", "off"]
+    for f in schema.fields:
+        assert isinstance(f.dataType, LongType), (
+            f"{f.name} is {f.dataType}: the hashed k>31 loop must "
+            "exchange 8-byte longs only (~24 B/row)"
+        )
+
+
+def test_blocks_rank_loop_array_fallback_is_long_blocks(spark, monkeypatch):
+    """With the hashed-id proxy pinned off (the injectivity-collision
+    fallback), the k>31 loop state must be long-block arrays — never
+    ASCII k-mers."""
+    import reflexiv_spark.operators.extension as ext
+    from reflexiv_spark.operators.extension import rank_paths
+
+    k = 41
+    counts = _counts(spark, k, seed=23)
+    monkeypatch.setattr(ext, "_HASHED_LOOP_IDS", False)
     schema = _capture_loop_state(
         monkeypatch, lambda: rank_paths(counts, k).count()
     )

@@ -1,15 +1,13 @@
 #!/usr/bin/env python
-"""Interleaved same-session A/B of declared queries between two code
-states toggled by an env var or callable — r13 session tooling.
+"""Repeatability reads for declared/bench queries — r13 session tooling.
 
 Usage: python tools/ab_queries.py QUERY [QUERY ...] [--trials N]
 
-Runs each named query alternately (A-B-A-B) where A = current HEAD code
-and B is the same code (pure repeatability read), OR — when
-``--env VAR=a_val,b_val`` is given — flips that env var between runs
-and re-imports nothing (for module-level flags this requires the flag
-to be read per call). Default mode is plain best-of-N repeatability for
-the named queries with the bench harness's noop-sink methodology.
+Runs each named query ``--trials`` times round-robin with the bench
+harness's noop-sink methodology and prints min/med per query. For
+true A/B between two CODE variants, monkeypatch the module flag inside
+one session instead (see tools/ab_palindrome_skip.py) — cross-session
+comparisons are untrustworthy on this box.
 """
 
 from __future__ import annotations
