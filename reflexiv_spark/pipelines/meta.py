@@ -174,11 +174,15 @@ def meta_assemble(
                     if k <= 31
                     else assemble_from_blocks_counts
                 )
+                # _combined_counts_packed ends in a canonical-keyed
+                # groupBy, so the odd-k palindrome-dedup elision applies
+                # (OPTIMIZATION_r13 #10)
                 return kernel(
                     pcounts,
                     k,
                     min_contig=k + 1,
                     min_error_coverage=4 * min_coverage,
+                    input_canonical=True,
                 ).select("contig_id", "seq")
             counts = _combined_counts(
                 reads, prev, k, min_coverage, max_coverage, seq_col
@@ -189,6 +193,7 @@ def meta_assemble(
                 min_contig=k + 1,
                 min_error_coverage=4 * min_coverage,
                 algorithm=algorithm,
+                input_canonical=True,
             ).select("contig_id", "seq")
 
         if workdir is not None:
