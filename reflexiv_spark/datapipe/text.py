@@ -628,18 +628,17 @@ def bigram_logprob_score(
     base = df.select(F.col(id_col).alias("id"), toks.alias("__ws")).withColumn(
         "n", F.size("__ws")
     ).localCheckpoint(eager=False)
+    # int-position explode (r13): pick the two elements per output row
+    # instead of materializing a struct-pair array per document
     bigrams = base.where(F.col("n") >= 2).select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - 1),
-                lambda i: F.struct(
-                    F.element_at("__ws", i).alias("w1"),
-                    F.element_at("__ws", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        "__ws",
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("__i"),
+    ).select(
+        "id",
+        F.element_at("__ws", F.col("__i")).alias("w1"),
+        F.element_at("__ws", F.col("__i") + 1).alias("w2"),
+    )
     unigrams = base.select(F.explode("__ws").alias("tok"))
     uni = unigrams.groupBy("tok").agg(F.count("*").alias("c1"))
     # |vocab| is the unigram model's row count — one tiny agg over the

@@ -36,18 +36,22 @@ DEFAULT_SEARCHABLE = 600  # DefaultParam.java:127
 
 def _pos_kmers(df: DataFrame, id_col: str, seq_col: str, k: int) -> DataFrame:
     """(id, pos, kmer) for every k-window; pos is 1-based."""
+    # int-position explode (r13): slice per output row instead of
+    # materializing the substring array per row (see kmer.explode_kmers)
     return (
         spread(df.where(F.length(seq_col) >= k))
         .select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(seq_col) - F.lit(k - 1)),
-                    lambda i: F.col(seq_col).substr(i, F.lit(k)),
-                )
-            ).alias("__i", "kmer"),
+            F.col(seq_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(seq_col) - F.lit(k - 1))
+            ).alias("pos"),
         )
-        .select(id_col, (F.col("__i") + 1).alias("pos"), "kmer")
+        .select(
+            id_col,
+            "pos",
+            F.col(seq_col).substr(F.col("pos"), F.lit(k)).alias("kmer"),
+        )
     )
 
 
@@ -263,17 +267,23 @@ def _consensus_from_overhangs(
         if n_part
         else m.repartition("contig_id")
     )
+    # int-position explode (r13): slice per output row instead of
+    # materializing the per-base char array per overhang row
     votes = m.select(
         "contig_id",
         "side",
         "wt",
+        "rseq",
         F.posexplode(
-            F.transform(
-                F.sequence(F.col("first_over"), F.col("rlen")),
-                lambda p: _char_at(F.col("rseq"), p),
-            )
-        ).alias("q0", "base"),
-    ).select("contig_id", "side", "wt", (F.col("q0") + 1).alias("q"), "base")
+            F.sequence(F.col("first_over"), F.col("rlen"))
+        ).alias("q0", "__p"),
+    ).select(
+        "contig_id",
+        "side",
+        "wt",
+        (F.col("q0") + 1).alias("q"),
+        _char_at(F.col("rseq"), F.col("__p")).alias("base"),
+    )
     counts = votes.groupBy("contig_id", "side", "q", "base").agg(
         F.sum("wt").alias("depth")
     )

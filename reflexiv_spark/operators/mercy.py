@@ -65,13 +65,20 @@ def mercy_kmers(
     # length guard BEFORE the window explode: kmer_array on a sub-k read
     # yields a DESCENDING sequence of bogus positions whose partial
     # substrings would otherwise pollute the fused solid-set derivation
+    # int-position explode (r13): slice per output row instead of
+    # materializing the substring array per read (see kmer.explode_kmers)
     pos_kmers = base.where(F.length("seq") >= k).select(
         "rid",
-        F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
+        "seq",
+        F.explode(
+            F.sequence(F.lit(1), F.length("seq") - F.lit(k - 1))
+        ).alias("pos"),  # 1-based k-mer start offset
     ).select(
         "rid",
-        (F.col("pos0") + 1).alias("pos"),  # 1-based k-mer start offset
-        canonical_kmer("raw").alias("kmer"),
+        "pos",
+        canonical_kmer(F.col("seq").substr(F.col("pos"), F.lit(k))).alias(
+            "kmer"
+        ),
     )
     if solid_kmers is None:
         # fused counter: the explode is the stage's dominant cost, so the

@@ -85,16 +85,17 @@ def overlap_pairs(
     ).select(
         "id_a",
         "len_a",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.col("t0"), F.col("len_a") - F.lit(seed_k - 1)),
-                lambda p: F.struct(
-                    p.alias("p"), F.col("seq_a").substr(p, F.lit(seed_k)).alias("seed")
-                ),
-            )
-        ).alias("__i", "ps"),
+        "seq_a",
+        # int-position explode (r13): slice per output row instead of
+        # materializing the (p, seed) struct array per contig
+        F.explode(
+            F.sequence(F.col("t0"), F.col("len_a") - F.lit(seed_k - 1))
+        ).alias("p"),
     ).select(
-        "id_a", "len_a", F.col("ps.p").alias("p"), F.col("ps.seed").alias("seed")
+        "id_a",
+        "len_a",
+        "p",
+        F.col("seq_a").substr(F.col("p"), F.lit(seed_k)).alias("seed"),
     )
     heads = base_b.select(
         F.col("id").alias("id_b"),

@@ -125,12 +125,21 @@ def correct_reads(
     # ordering dependency, no collision caveat, and duplicate reads stop
     # paying for duplicate analysis.
     base = reads.select(F.upper(F.col(seq_col)).alias("seq")).distinct()
+    # int-position explode (r13): slice per output row instead of
+    # materializing the substring array per read (see kmer.explode_kmers).
+    # posexplode keeps BOTH the array index (→ s, 1-based) and the
+    # position value (→ the slice), so sub-k reads — where sequence()
+    # descends and value ≠ index+1 — reproduce the old form bit-exactly.
     pos_kmers = base.select(
         "seq",
-        F.posexplode(kmer_array(F.col("seq"), k)).alias("pos0", "raw"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.length("seq") - F.lit(k - 1))
+        ).alias("pos0", "__p"),
     ).select(
         "seq", (F.col("pos0") + 1).alias("s"),
-        canonical_kmer("raw").alias("kmer"),
+        canonical_kmer(F.col("seq").substr(F.col("__p"), F.lit(k))).alias(
+            "kmer"
+        ),
     )
     marked = pos_kmers.join(
         solid.withColumn("__solid", F.lit(True)), "kmer", "left"
@@ -175,17 +184,22 @@ def correct_reads(
             F.expr("substring(seq, p + 1)"),
         ),
     )
+    # int-position explode (r13): only the position VALUES feed the
+    # slice (no index use), so this is row-identical to the old
+    # transform-array form for ascending AND degenerate sequences
     affected = cands.select(
         "seq", "x", "fixed",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.greatest(F.lit(1), F.col("p") - F.lit(k - 1)),
-                    F.least(F.length("fixed") - F.lit(k - 1), F.col("p")),
-                ),
-                lambda s: canonical_kmer(F.col("fixed").substr(s, F.lit(k))),
+            F.sequence(
+                F.greatest(F.lit(1), F.col("p") - F.lit(k - 1)),
+                F.least(F.length("fixed") - F.lit(k - 1), F.col("p")),
             )
-        ).alias("kmer"),
+        ).alias("__s"),
+    ).select(
+        "seq", "x", "fixed",
+        canonical_kmer(F.col("fixed").substr(F.col("__s"), F.lit(k))).alias(
+            "kmer"
+        ),
     )
     votes = (
         affected.join(solid, "kmer", "left_semi")

@@ -109,17 +109,23 @@ def stitch_bridges(
         .localCheckpoint(eager=False)
     )
 
+    # int-position explode (r13): slice per output row instead of
+    # materializing the substring array per read (see kmer.explode_kmers)
     poskmers = fwd.where(F.length("rseq") >= k).select(
         "rid",
         "rc_rid",
+        "rseq",
         F.length("rseq").alias("__L"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("rseq") - F.lit(k - 1)),
-                lambda i: F.col("rseq").substr(i, F.lit(k)),
-            )
-        ).alias("__i", "kmer"),
-    ).select("rid", "rc_rid", "__L", (F.col("__i") + 1).alias("pos"), "kmer")
+        F.explode(
+            F.sequence(F.lit(1), F.length("rseq") - F.lit(k - 1))
+        ).alias("pos"),
+    ).select(
+        "rid",
+        "rc_rid",
+        "__L",
+        "pos",
+        F.col("rseq").substr(F.col("pos"), F.lit(k)).alias("kmer"),
+    )
 
     ori = _oriented(contigs, id_col, seq_col).where(
         F.length("cseq") >= k
