@@ -63,3 +63,22 @@ def test_explode_kmers_matches_brute_force(spark):
     )
     want = brute_force_kmer_counts(seqs, 15)
     assert {r["kmer"]: r["n"] for r in got} == want
+
+
+def test_explode_kmers_rides_int_position_explode(spark):
+    """r13 plan guard: the sliding window explodes position INTS and
+    slices in the fused projection — it must not regress to exploding a
+    materialized array of k-char substrings (a per-row allocation of
+    L-k+1 strings, measured 40% slower on the isolated window)."""
+    df = spark.createDataFrame([("ACGTACGTACGTACGT",)], ["seq"])
+    plan = (
+        explode_kmers(df, 15)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "explode(sequence(" in plan
+    # the substring lambda must not sit under the generator
+    gen_line = next(l for l in plan.splitlines() if "Generate" in l)
+    assert "lambdafunction" not in gen_line
+    assert "substr" not in gen_line
