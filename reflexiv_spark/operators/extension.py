@@ -532,6 +532,22 @@ def _double_pointers(
     plus a probe job EVERY round: 2·rounds jobs; now it is
     rounds/checkpoint_every).
 
+    Fork-free guard (r14, VERDICT r13 "What's wrong #4"): when the
+    caller passes ``n_rows`` it is asserting state rows == input rows —
+    the fork-free precondition. A caller that skipped pruning hands the
+    init join fan-out (an in-degree-2 (k-1)-mer matches two predecessor
+    rows), the real state is LARGER than ``n_rows``, and the
+    ceil(log2(n_rows)) bound can cut the loop before long paths
+    converge — silently wrong output. The FIRST probe round therefore
+    counts state rows alongside the mover count (one extra aggregate
+    column in a job that runs anyway — the state row count is invariant
+    across rounds, so one check covers the loop) and raises instead of
+    converging early. Out-degree-only forks (two successors, every
+    in-degree still ≤ 1) keep state rows == input rows and converge to
+    a merged grouping — that is the documented caller contract
+    (prune_forks first), unchanged; the guard targets the rounds-bound
+    hazard, which is exactly the fan-out case.
+
     Cycle-proof early exit (r9): the old probe stopped only when NO
     pointer moved — but cycle members move FOREVER, so one cycle
     anywhere in the input pinned the loop at the full log2(total-rows)
@@ -551,8 +567,12 @@ def _double_pointers(
     """
     from reflexiv_spark.plans.barriers import iteration_barrier
 
+    # n_rows passed by the caller = fork-free CLAIM, verified at the
+    # first probe; n_rows measured here = ground truth, nothing to check
+    claimed_rows = n_rows
     if n_rows is None:
         n_rows = state.count()
+        claimed_rows = None
     rounds = min(max_rounds, max(1, math.ceil(math.log2(max(n_rows, 2))) + 1))
     # measured-size broadcast gate (module docstring at _LOOP_BCAST_BYTES):
     # state row count is invariant across rounds (every kid keeps exactly
@@ -587,9 +607,27 @@ def _double_pointers(
             # full-scan aggregate (not limit(1)): computes EVERY
             # partition, so the lazy checkpoint materializes completely
             # in this one job and downstream rounds reuse the blocks
-            movers = nxt.agg(
-                F.count_if(F.col("__moved")).alias("m")
-            ).first()[0]
+            if claimed_rows is not None:
+                movers, n_state = nxt.agg(
+                    F.count_if(F.col("__moved")).alias("m"),
+                    F.count(F.lit(1)).alias("n"),
+                ).first()
+                if n_state != claimed_rows:
+                    raise ValueError(
+                        "rank_paths: fork-free precondition violated — "
+                        f"pointer state has {n_state} rows for "
+                        f"{claimed_rows} input k-mers (an in-degree>1 "
+                        "(k-1)-mer fans the init join out, and the "
+                        "log2(n) round bound derived from the input "
+                        "count would terminate the contraction early "
+                        "with wrong output). Run prune_forks / "
+                        "min_error_coverage pruning first."
+                    )
+                claimed_rows = None  # row count is loop-invariant
+            else:
+                movers = nxt.agg(
+                    F.count_if(F.col("__moved")).alias("m")
+                ).first()[0]
             state = nxt.drop("__moved")
             if movers == 0 or movers == prev_movers:
                 break

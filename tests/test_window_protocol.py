@@ -2,12 +2,10 @@
 
 ``tools/check_window.py`` mechanically maps files changed since the last
 CORRECTNESS artifact → affected queries → asserts each sits inside the
-driver's verification window. BUILD rounds verified only the first 50
-registry slots (the rotation protocol); the OPTIMIZATION rounds (13+)
-re-run EVERY declared query against its oracle, so the default window
-is the full registry and the binding hazards become a query
-disappearing from ``queries()`` or losing its ``oracle_sql()`` twin —
-both always enforced (see the tool docstring for the full rationale).
+driver's verification window. Every driver artifact to date has exactly
+50 rows, so the enforced default is the 50-slot window (VERDICT r13
+"What's wrong #2" rolled back r13's full-registry default); the
+disappearance/missing-oracle hazards are enforced in every regime.
 This test runs it so the suite FAILS on either regression — the
 protocol stays non-discretionary.
 """
@@ -49,9 +47,9 @@ def test_semantic_change_filter():
 
 
 def test_checker_detects_out_of_window_query(monkeypatch):
-    """Build-round violation path (--window 50): an affected query
-    outside slots 1-50 exits 1; under the optimization-round default
-    (full registry) the same query is in-window and passes."""
+    """Violation path: an affected query outside slots 1-50 exits 1
+    under --window 50 AND under the default (which IS 50); the
+    explicit full-registry regime (--window 0) lets it pass."""
     sys.path.insert(0, str(REPO / "tools"))
     import check_window
 
@@ -69,8 +67,12 @@ def test_checker_detects_out_of_window_query(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["check_window.py", "--window", "50"])
     assert check_window.main() == 1
 
-    # the optimization-round default window is the whole registry
+    # the default window is 50 — same violation, same exit 1
     monkeypatch.setattr(sys, "argv", ["check_window.py"])
+    assert check_window.main() == 1
+
+    # the full-registry regime must be requested explicitly
+    monkeypatch.setattr(sys, "argv", ["check_window.py", "--window", "0"])
     assert check_window.main() == 0
 
     # and in-window passes under the build window too

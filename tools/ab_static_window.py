@@ -35,7 +35,18 @@ def main() -> None:
     orig = B.iteration_barrier
     force_off = {"v": False}
 
+    # NOTE (ADVICE r13): the plan_static= kwarg was reverted from
+    # barriers.iteration_barrier — arm A of this harness requires
+    # checking out the reverted plan_static commit. Against HEAD the
+    # patch degrades to a pass-through (both arms identical) instead of
+    # raising TypeError on the first barrier call.
+    import inspect
+
+    _has_static = "plan_static" in inspect.signature(orig).parameters
+
     def patched(df, eager=True, plan_static=False):
+        if not _has_static:
+            return orig(df, eager=eager)
         return orig(
             df, eager=eager, plan_static=(plan_static and not force_off["v"])
         )

@@ -1,13 +1,13 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for bench queries into plans/r13/.
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each named query (default: the
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (default r14) for each named query (default: the
 full bench HEADLINE list). <suffix> is "before" or "after". Plans are the
 pre-execution formatted physical plans (AdaptiveSparkPlan initial plans)
 at $SPARK_GRAFT_SF_DIR (default sf0.1) — the optimization-round evidence
-files the judge reads alongside OPTIMIZATION_r13.md.
+files the judge reads alongside OPTIMIZATION_r<N>.md.
 
 Iterative queries (assemble_*, dup_clusters, graph_pagerank, ...) execute
 driver loops at plan-construction time; their captured plan is the final
@@ -38,7 +38,8 @@ def main() -> int:
     if not names:
         names = [n for n in bench.HEADLINE if n in qs]
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    out_dir = (Path(__file__).resolve().parent.parent / "plans"
+               / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="capture-plans")

@@ -7,19 +7,20 @@ row silently goes stale. Round 5 hit exactly that failure, and round 6
 avoided it only by hand-reasoning about which commits touched which
 modules; this tool made the judgment mechanical.
 
-OPTIMIZATION rounds (13+): the driver re-runs EVERY declared query
-against its DuckDB oracle, so the 50-slot rotation constraint is
-vacuous — no touched query can grade stale when the whole registry is
-re-verified. The r13 default therefore widens the window to the full
-registry, and the checks with teeth become the two hazards that DO
-fail a full re-run: a query DISAPPEARING from ``queries()`` or losing
-its ``oracle_sql()`` twin (both always enforced, exit 1). The
-build-round behaviour is preserved behind ``--window 50``. (Context:
+OPTIMIZATION rounds: round 13 widened the default window to the full
+registry on the premise that the optimization-round driver re-runs
+EVERY declared query. The actual r13 driver artifact has exactly 50
+rows — the premise did not hold (VERDICT r13 "What's wrong #2") — so
+the default is back to the observed driver contract: **50 slots**,
+until a driver artifact actually shows more. The two always-enforced
+hazards stay (they fail ANY driver regime): a query DISAPPEARING from
+``queries()`` or losing its ``oracle_sql()`` twin (exit 1).
+``--window 0`` requests the full-registry regime explicitly. (Context:
 the r13 optimization touched ``datapipe/dedup.py``/``text.py``, whose
 import closure covers 63 declared queries — more than the 50 slots, so
-build-round rotation was mathematically unsatisfiable; every one of
-those 63 queries was re-verified green by the full local gate,
-``tools/check_correctness.py`` 112/112, before the change landed.)
+build-round rotation was mathematically unsatisfiable that round;
+round 14 rotated the stale remainder in and re-shrunk the touched
+closures to window-sized modules.)
 
 Mechanics:
 
@@ -37,7 +38,8 @@ Mechanics:
    import closure of its function/helpers changed semantically.
 4. exit 1 if any base-declared query disappeared or any declared query
    lacks an oracle (always), or if any affected query is outside the
-   enforced window (``--window N``; default = the full registry).
+   enforced window (``--window N``; default 50 — the observed driver
+   artifact size; ``--window 0`` = the full registry).
 
 Run directly (``python tools/check_window.py``) or via
 ``tests/test_window_protocol.py`` which fails the suite on violation.
@@ -375,14 +377,15 @@ def main() -> int:
     ap.add_argument("--base", default=None,
                     help="git ref to diff against (default: last commit "
                     "touching the newest CORRECTNESS_r*.json)")
-    ap.add_argument("--window", type=int, default=0,
-                    help="slot-window size to enforce (build-round "
-                    "protocol: 50). Default 0 = the FULL declared "
-                    "registry — the optimization-round regime, where "
-                    "the driver re-runs EVERY declared query against "
-                    "its oracle, so no touched query can grade stale "
-                    "and the binding hazards are a query disappearing "
-                    "or losing its oracle twin (always enforced).")
+    ap.add_argument("--window", type=int, default=BUILD_WINDOW,
+                    help="slot-window size to enforce. Default 50 — "
+                    "every driver CORRECTNESS artifact to date has "
+                    "exactly 50 rows, so 50 is the verified contract "
+                    "(VERDICT r13 'What's wrong #2'). Pass 0 for the "
+                    "full declared registry (use only if a driver "
+                    "artifact actually shows more than 50 rows). The "
+                    "disappearance/missing-oracle hazards are always "
+                    "enforced regardless.")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
     base = args.base or find_base()

@@ -42,8 +42,6 @@ hb = b.selectExpr("bit_xor(xxhash64(pos, kmer)) s").first()[0]
 print("rows", na, nb, "hash match:", ha == hb, flush=True)
 
 import statistics
-for name, fn in [("arr", arr_form), ("int", int_form)]*1:
-    pass
 walls = {"arr": [], "int": []}
 # attach a cheap aggregate consumer so nothing gets pruned: noop sink
 def run(fn):
