@@ -59,19 +59,11 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     # Edges are scanned every round: materialize once (lazily — the
     # first action computes and pins them; no standalone warmup jobs),
-    # stats reset.
+    # stats reset. (Measured rejection, r14: dropping this barrier AND
+    # the flags barrier below — the all-ReuseExchange single-job form —
+    # was a same-session wash, 2.01 vs 2.00 s min; the barriers stay
+    # for their stats-reset role.)
     e = iteration_barrier(e, eager=False)
-    # Distinct SOURCES ride the outdeg aggregate (map-side combine →
-    # src-cardinality rows exchanged); distinct DESTINATIONS are one
-    # dedicated distinct. The node set is then srcs ∪ dsts over those
-    # two SMALL relations — the old form unioned all 2|E| raw endpoints
-    # and exchanged them for a distinct (profiled at sf1.0: a 69 MB
-    # exchange and the single most expensive setup stage), even though
-    # both ingredients were already being computed anyway.
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    dstd = iteration_barrier(
-        e.select(F.col("dst").alias("node")).distinct(), eager=False
-    )
     # outdeg is src-cardinality-sized → AQE broadcasts it; edeg carries
     # (src, dst, outdeg) and is the per-round probe table. Deliberately
     # NOT barriered: edeg is a CONSTANT relation (it never participates
@@ -82,30 +74,32 @@ def pagerank(
     # BASELINE.md: 5.91 → 4.43 s at sf1.0 with bit-identical output).
     # Left as a plain plan node, Catalyst marks the per-round probe
     # subtrees equal and reuses one shuffle for all rounds.
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     edeg = e.join(outdeg, "src")
-    # barriered: nodes seeds round 1's rank state, so an un-truncated
-    # lineage here (outdeg agg + union-distinct) nests inside every
-    # subsequent round's plan — the growing-lineage shape the celebrity
-    # skew test's exchange-count bound polices
-    nodes = iteration_barrier(
-        outdeg.select(F.col("src").alias("node"))
-        .unionByName(dstd)
-        .distinct(),
+    # ONE barriered endpoint-flags aggregation replaces the r13 setup's
+    # THREE barriers (dst-distinct, node union-distinct, no-in
+    # anti-join). Each lazy barrier call runs its non-final stages as
+    # separate driver-blocking jobs at CONSTRUCTION time, and the r13
+    # profile put ~1.9 s of graph_pagerank's ~2.1 s wall in exactly
+    # these setup jobs (guide §1.2/§2.4: the job count, not the bytes,
+    # is the wall at this scale — and at 100 TB the three exchanges
+    # those barriers paid, dst-distinct + union-distinct + anti-join,
+    # collapse into this single max-flag aggregate, which map-side
+    # combines to the same deduplicated endpoint rows). nodes, the
+    # round-1 rank seed, and no_in, the constant (1-d) complement —
+    # srcs \ dsts — become exchange-free FILTERS over the one
+    # checkpointed flags relation.
+    flags = iteration_barrier(
+        e.select(F.col("src").alias("node"), F.lit(1).alias("s"), F.lit(0).alias("d"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.lit(0).alias("s"), F.lit(1).alias("d"))
+        )
+        .groupBy("node")
+        .agg(F.max("s").alias("s"), F.max("d").alias("d")),
         eager=False,
     )
-    # Nodes with NO in-edges hold the constant teleport rank (1-d) from
-    # round 1 onward — computing that set ONCE (anti-join, barriered)
-    # and unioning it in per round replaces the old per-round
-    # nodes-left-join, which re-exchanged and re-sorted the full node
-    # set every iteration (exchange-free union vs join: ~2 fewer
-    # shuffles per round). nodes \ dsts ≡ srcs \ dsts, so the anti-join
-    # probes the small src relation, not the full node set.
-    no_in = iteration_barrier(
-        outdeg.select(F.col("src").alias("node")).join(
-            dstd, "node", "left_anti"
-        ),
-        eager=False,
-    )
+    nodes = flags.select("node")
+    no_in = flags.where((F.col("s") == 1) & (F.col("d") == 0)).select("node")
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for it in range(iters):
         contrib = (

@@ -95,6 +95,21 @@ def clean_corpus(
 
     deduped = exact_dedup(kept, text_col, id_col)
     if near_dup:
+        # minhash_dedup references its input TWICE — once under the
+        # signature aggregation (through its own lazy checkpoint) and
+        # once as the left side of the final anti-join. The checkpoint
+        # is a LogicalRDD, so Catalyst cannot mark the two upstream
+        # subtrees equal and the whole prefix — source scan, the
+        # ~34-regex quality/language projection, the filters, AND the
+        # exact-dedup window exchange — executed twice (r13's
+        # tokenize-once device applied at pipeline granularity,
+        # guide §2.4/§5: reuse beats recompute when the recompute is a
+        # full corpus scan + regex pass + exchange). One lazy barrier
+        # makes both references read the same pinned survivor blocks;
+        # rows are identical, output unchanged.
+        from reflexiv_spark.plans.barriers import iteration_barrier
+
+        deduped = iteration_barrier(deduped, eager=False)
         deduped = minhash_dedup(
             deduped,
             text_col,

@@ -101,6 +101,17 @@ def fix_junctions(
         .dropDuplicates(["kid"])
         .localCheckpoint(eager=False)  # pre, suc, and the pass-through
     )
+    # ONE materializing count: runs the dedup into the checkpoint and
+    # hands the doubling loop its round bound up front (r14, the
+    # rank_paths job-economy pattern — the old shape paid an EAGER init
+    # barrier job plus the loop's own state.count() job; now the init
+    # barrier is lazy and the loop starts counted: 2 driver-blocking
+    # jobs → 1). state rows == cs rows is GUARANTEED here, not assumed:
+    # suc is filtered to unique junctions (n_ends == 1 ⇒ each __pk is
+    # the tail of exactly one contig), so the init left join matches at
+    # most one predecessor per contig — the loop's first-probe
+    # fork-free guard re-verifies it anyway.
+    n_cs = cs.count()
     # pre: EVERY contig, keyed by its head fix_k-mer (so every contig
     # appears in the pointer state exactly once); suc: only tails that
     # are unique junctions — a unique key is the tail of exactly one
@@ -113,8 +124,8 @@ def fix_junctions(
         )
         .join(F.broadcast(unique_j), "__pk")
     )
-    state, heads = _init_pointers(pre, suc)
-    state = _double_pointers(state, max_rounds, checkpoint_every=3)
+    state, heads = _init_pointers(pre, suc, eager=False)
+    state = _double_pointers(state, max_rounds, checkpoint_every=3, n_rows=n_cs)
     done = state.join(heads, "anc", "left_semi")
     parts = done.groupBy("anc").agg(
         F.array_sort(F.collect_list(F.struct("off", "kid"))).alias("xs")

@@ -155,6 +155,25 @@ def meta_assemble(
     if packed and algorithm != "rank":
         raise ValueError('packed=True requires algorithm="rank"')
 
+    # Share ONE materialization of the read set across the k-ladder
+    # (guide §6/§2.4; VERDICT r13 next-round #2): every rung re-counts
+    # k-mers over the SAME reads, and without a barrier each rung's
+    # counting job re-runs the full upstream (source scan + windowing/
+    # explode + validation) from scratch. The lazy checkpoint is
+    # materialized by rung 1's counting job and every later rung reads
+    # the pinned blocks. Projected to the one column the ladder
+    # consumes before it is pinned (§2.3 — the checkpoint holds seq
+    # bytes only). MEMORY_AND_DISK blocks spill gracefully at scale;
+    # SPARK_GRAFT_META_SHARED_READS=0 restores the re-scan shape for
+    # storage-constrained clusters where re-reading the source is
+    # cheaper than pinning it.
+    import os
+
+    if len(set(klist)) > 1 and os.environ.get(
+        "SPARK_GRAFT_META_SHARED_READS", "1"
+    ) != "0":
+        reads = reads.select(seq_col).localCheckpoint(eager=False)
+
     contigs: DataFrame | None = None
     for k in sorted(klist):
         def build(k: int = k, prev: DataFrame | None = contigs) -> DataFrame:
@@ -203,7 +222,11 @@ def meta_assemble(
         else:
             from reflexiv_spark.plans.barriers import iteration_barrier
 
-            contigs = iteration_barrier(build())
+            # lazy: the next rung's counting job (or the junction-fix
+            # support scan after the last rung) materializes the rung's
+            # contigs — no dedicated eager-checkpoint job per rung
+            # (guide §1.2: job floors dominate the ladder's wall)
+            contigs = iteration_barrier(build(), eager=False)
 
     fixed = fix_junctions(
         contigs.select("seq"), fix_k=fix_k or (sorted(klist)[-1] - 1)

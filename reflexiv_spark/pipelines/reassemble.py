@@ -144,6 +144,13 @@ def reassemble(
         contigs = assemble(
             reads, k=k, min_coverage=min_coverage, min_contig=k + 1
         ).select("contig_id", "seq")
+    # EAGER deliberately (r14 measured rejection): lazy looked like a
+    # free job removal (~0.95 s dedicated checkpoint job at sf0.1), but
+    # the contig blocks have ~5 consumers fanning out of the SAME first
+    # job (containment index + verify + both extension passes), and a
+    # lazily-materializing checkpoint under that fan-out re-computed
+    # partitions concurrently instead of reading pinned blocks —
+    # interleaved A/B read 8.51 (eager) vs 8.93 s (lazy) min-of-4.
     contigs = contigs.localCheckpoint(eager=True)
     ctgs = _both_strands(contigs)
 

@@ -238,3 +238,59 @@ def test_pagerank_celebrity_graph(spark, skew_confs):
         f"{per_round} exchanges/round (iters=3: {_n_exch(plan)}, "
         f"iters=1: {_n_exch(plan1)})"
     )
+
+
+def test_cc_loop_splits_giant_component(spark, skew_confs):
+    """VERDICT r13 next-round #5: planted skew for the connected-
+    components kernel (the dup_clusters/cluster_keep_best CC loop). One
+    giant star component makes node 0 the hot key of BOTH per-round
+    joins — the hash-to-min edge⋈label join (every (i, 0) edge lands in
+    one partition of the 'b' exchange) and, after round 1, the pointer
+    jump (every node's label is 0, so the jump probe is single-key
+    hot). Asserts (a) the labels are exactly the ground-truth
+    components — the split changes nothing about the answer — and
+    (b) AQE's OptimizeSkewedJoin actually fired: some reduce stage in
+    the loop ran far more tasks than the static shuffle partition
+    count (4 in tests) or the map parallelism (local[4]), i.e. no
+    single task carried the whole hot key. Thresholds lowered to fire
+    at test scale; the mechanism is identical at 100 TB (guide §2.5:
+    AQE splits oversized join partitions at runtime but cannot split a
+    single enormous key — here the key's rows arrive from MANY edge
+    rows, which is exactly the splittable case)."""
+    from reflexiv_spark.datapipe.cluster import dup_clusters
+
+    n = 6000
+    rows = [(0, i) for i in range(1, n)]
+    rows += [(10_000 + 2 * i, 10_001 + 2 * i) for i in range(100)]
+    pairs = spark.createDataFrame(rows, "id1 long, id2 long")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ccskew", "giant component")
+    try:
+        out = dup_clusters(pairs).collect()
+    finally:
+        sc.setJobGroup("", "")
+
+    got = {(r["doc_id"], r["component"], r["csize"]) for r in out}
+    want = {(i, 0, n) for i in range(n)}
+    want |= {
+        (10_000 + 2 * i + j, 10_000 + 2 * i, 2)
+        for i in range(100)
+        for j in (0, 1)
+    }
+    assert got == want
+
+    st = sc.statusTracker()
+    n_tasks = []
+    for jid in st.getJobIdsForGroup("ccskew"):
+        info = st.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = st.getStageInfo(sid)
+            if sinfo is not None:
+                n_tasks.append(sinfo.numTasks)
+    # static shuffle partitions = 4, map parallelism = 4; a skew-split
+    # hot partition (~100 KB vs the 1 KB advisory) fans out to dozens
+    # of task splits
+    assert max(n_tasks) > 8, n_tasks
