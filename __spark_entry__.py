@@ -1738,21 +1738,18 @@ def q_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_classifier_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """datapipe: end-to-end train→score — the model from
     q_classifier_train broadcast-scored back over the corpus (tf-
-    weighted margin z per doc; sigma10(z) > 1/2 iff z > 0)."""
-    from reflexiv_spark.datapipe.classifier import (
-        logreg_predict,
-        train_logreg_hashed,
-    )
+    weighted margin z per doc; sigma10(z) > 1/2 iff z > 0). Rides the
+    shared-extraction composite (r14): one hashed-feature pass feeds
+    both the GD loop and the scoring join — output identical to the
+    old train-then-predict composition (same oracle)."""
+    from reflexiv_spark.datapipe.classifier import train_predict_logreg_hashed
 
     docs = _t(spark, sf_dir, "documents").withColumn(
         "y", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
     )
-    w = train_logreg_hashed(
+    return train_predict_logreg_hashed(
         docs, "y", dim=512, use_bigrams=True, hash_family="md5",
         iters=2, lr=0.5,
-    )
-    return logreg_predict(
-        docs, w, dim=512, use_bigrams=True, hash_family="md5"
     )
 
 

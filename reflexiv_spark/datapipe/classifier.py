@@ -88,8 +88,20 @@ def train_logreg_hashed(
     docs-sized margin agg, one dim-bounded gradient agg collected to the
     driver (the model — same driver-sized bound as kmeans centroids).
     """
-    import numpy as np
+    base, tf, n = _labelled_tf(
+        df, label_col, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    if n == 0:
+        return df.sparkSession.createDataFrame([], "idx long, weight double")
+    w = _gd_micro_weights(df.sparkSession, tf, dim, iters, lr, n)
+    return _weights_df(df.sparkSession, w)
 
+
+def _labelled_tf(df, label_col, text_col, id_col, dim, use_bigrams,
+                 hash_family):
+    """(base, labelled tf checkpoint, n docs-with-features) — the shared
+    front half of training and train→predict (one feature extraction,
+    pinned once; the count job also materializes the checkpoint)."""
     base, tf = _feats_tf(df, text_col, id_col, dim, use_bigrams, hash_family)
     y = df.select(
         F.col(id_col).alias("id"),
@@ -109,9 +121,15 @@ def train_logreg_hashed(
     )
     tf = tf.join(y, "id").localCheckpoint(eager=False)
     n = tf.select("id").distinct().count()  # docs with >=1 feature
-    if n == 0:
-        return df.sparkSession.createDataFrame([], "idx long, weight double")
-    spark = df.sparkSession
+    return base, tf, n
+
+
+def _gd_micro_weights(spark, tf, dim, iters, lr, n):
+    """The deterministic full-batch GD loop over the pinned labelled tf
+    table → np.int64 micro-unit weights (see train_logreg_hashed for the
+    exactness argument)."""
+    import numpy as np
+
     w = np.zeros(dim, dtype=np.int64)
     for _ in range(max(1, int(iters))):
         wdf = spark.createDataFrame(
@@ -147,12 +165,68 @@ def train_logreg_hashed(
         )
         for row in grad:
             w[row["idx"]] -= int(np.floor(lr * row["g"] / n))
+    return w
+
+
+def _weights_df(spark, w):
     rows = [(int(i), int(v)) for i, v in enumerate(w) if v != 0]
     out = spark.createDataFrame(rows or [(0, 0)], "idx long, wm long")
     if not rows:
         out = out.where(F.lit(False))
     return out.select(
         "idx", (F.col("wm").cast("double") / MICRO).alias("weight")
+    )
+
+
+def train_predict_logreg_hashed(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    use_bigrams: bool = True,
+    hash_family: str = "xxhash64",
+    iters: int = 2,
+    lr: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train, then score the SAME corpus — sharing ONE hashed-feature
+    extraction (r14, guide §2.4). The train-then-:func:`logreg_predict`
+    composition extracted + tf-aggregated the corpus features twice
+    (4 source scans in plans/r14/classifier_predict_before.txt); here
+    the scoring pass reuses the trainer's pinned tf table (the extra
+    label column is inert to the tf·w sum) and the in-memory micro
+    weights (bit-equal to re-reading them through the weight table:
+    round(wm/1e6·1e6) == wm for |wm| < 2^52). Output is identical to
+    ``logreg_predict(df, train_logreg_hashed(df, ...), ...)``.
+    """
+    base, tf, n = _labelled_tf(
+        df, label_col, text_col, id_col, dim, use_bigrams, hash_family
+    )
+    spark = df.sparkSession
+    if n == 0:
+        import numpy as np
+
+        w = np.zeros(dim, dtype="int64")
+    else:
+        w = _gd_micro_weights(spark, tf, dim, iters, lr, n)
+    wm = spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(w) if v != 0] or [(0, 0)],
+        "idx long, wm long",
+    )
+    scored = (
+        tf.join(F.broadcast(wm), "idx", "left")
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(F.col("tf") * F.coalesce(F.col("wm"), F.lit(0)))
+                .cast("double") / F.lit(float(MICRO))
+            ).alias("z")
+        )
+    )
+    return base.select("id").distinct().join(scored, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.round(F.coalesce(F.col("z"), F.lit(0.0)), round_digits).alias("z"),
     )
 
 

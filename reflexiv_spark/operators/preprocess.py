@@ -113,9 +113,18 @@ def correct_reads(
     """
     from reflexiv_spark.operators.counter import count_kmers
 
+    # Pinned once (r14, guide §2.4): the solid set has TWO consumers —
+    # the weak-k-mer mark join and the candidate-vote semi-join — and
+    # the original read set re-derives under several chains below
+    # (suspects feeds both the candidate chain and the final mapping
+    # rejoin). Un-barriered, the pre-execution plan re-ran the full
+    # counting (source scan + k-mer explode + agg) and the suspects
+    # chain once PER REFERENCE: 12 source scans / 26 Generate nodes in
+    # plans/r14/error_correct_before.txt. With the two checkpoints the
+    # counting and the suspect analysis each execute exactly once.
     solid = count_kmers(
         reads, k, seq_col=seq_col, min_coverage=min_coverage, max_coverage=None
-    ).select("kmer")
+    ).select("kmer").localCheckpoint(eager=False)
 
     # Deterministic, recompute-stable identity: the sequence ITSELF is the
     # key (identical reads get identical corrections, so each distinct
@@ -165,7 +174,9 @@ def correct_reads(
         (F.col("n_weak") > 0)
         & (width == F.col("n_weak"))  # contiguous run
         & (width <= k)
-    ).withColumn("p", p_expr).where(F.col("p").isNotNull())
+    ).withColumn("p", p_expr).where(F.col("p").isNotNull()).localCheckpoint(
+        eager=False  # 2 consumers: candidate substitutions + mapping
+    )
 
     # candidates: 3 substitutions at p; regenerate the affected k-mers
     cands = suspects.select(

@@ -83,3 +83,28 @@ def test_train_logreg_null_label_raises(spark):
 
     fixed = docs.withColumn("y", F.coalesce(F.col("y").cast("int"), F.lit(0)))
     assert train_logreg_hashed(fixed, "y", dim=64, iters=1).count() > 0
+
+
+def test_train_predict_composite_matches_composition(spark):
+    """r14 shared-extraction composite: train_predict_logreg_hashed must
+    produce EXACTLY the rows of the train-then-logreg_predict
+    composition it replaces (one feature extraction instead of two —
+    the optimization must be invisible in the output)."""
+    from pyspark.sql import functions as F
+
+    from reflexiv_spark.datapipe.classifier import (
+        logreg_predict,
+        train_logreg_hashed,
+        train_predict_logreg_hashed,
+    )
+
+    docs = _corpus(spark).withColumn("yl", F.col("y").cast("int"))
+    kw = dict(dim=64, use_bigrams=True, hash_family="xxhash64",
+              iters=2, lr=0.5)
+    w = train_logreg_hashed(docs, "yl", **kw)
+    old = logreg_predict(docs, w, dim=64, use_bigrams=True,
+                         hash_family="xxhash64")
+    new = train_predict_logreg_hashed(docs, "yl", **kw)
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )

@@ -47,6 +47,25 @@ TARGETS: dict[str, list[tuple[str, str, str]]] = {
         ("reflexiv_spark.pipelines.reassemble", "reassemble",
          "reflexiv_spark/pipelines/reassemble.py"),
     ],
+    "error_correct": [
+        ("reflexiv_spark.operators.preprocess", "correct_reads",
+         "reflexiv_spark/operators/preprocess.py"),
+    ],
+    "pair_merge": [
+        ("reflexiv_spark.operators.preprocess", "merge_read_pairs",
+         "reflexiv_spark/operators/preprocess.py"),
+    ],
+    # q_classifier_predict itself changed (it now calls the shared-
+    # extraction composite), so arm A swaps the OLD entry function too
+    "classifier_predict": [
+        ("reflexiv_spark.datapipe.classifier", "train_logreg_hashed",
+         "reflexiv_spark/datapipe/classifier.py"),
+        ("__spark_entry__", "q_classifier_predict", "__spark_entry__.py"),
+    ],
+    "classifier_train": [
+        ("reflexiv_spark.datapipe.classifier", "train_logreg_hashed",
+         "reflexiv_spark/datapipe/classifier.py"),
+    ],
 }
 
 
@@ -83,7 +102,14 @@ def main() -> int:
 
     spark = get_spark(app_name="ab-r14")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = ent.queries()
+
+    # resolved per run (not a snapshot dict): queries() re-reads the
+    # entry module's globals, so arm swaps of q_* functions take effect
+    class _QS:
+        def __getitem__(self, name):
+            return ent.queries()[name]
+
+    qs = _QS()
 
     names = args.queries or list(TARGETS)
     results = {}
