@@ -63,24 +63,26 @@ def bloom_build(
     words with at least one set bit are materialized; an absent word
     is all-zeros).
 
-    Scale shape: one distinct on the keys (map-side combined), one
-    distinct on positions, then a ⌈m/63⌉-group bit_or — every exchange
-    is key- or filter-sized, and the result is the broadcastable model.
+    Scale shape: ONE exchange total — the ⌈m/63⌉-group bit_or, map-side
+    combined, so each map task ships at most ⌈m_bits/63⌉ packed words no
+    matter how many keys it saw. The earlier form paid a corpus-vocab-
+    sized distinct on the keys plus a distinct on positions before the
+    same bit_or; both distincts were provably no-ops for the result
+    (bitwise OR is idempotent — a duplicate key or position sets bits
+    already set) and each cost a full exchange of data-sized rows, while
+    the partial bit_or aggregation achieves the same collapse inside the
+    map task (guide §2.3 "aggregate before you shuffle" / §2.4).
     Standard sizing: m_bits ≈ 1.44 · e_bits · n_keys for a 2^-e_bits
     false-positive rate with k_hashes = e_bits · ln 2 (e.g. m = 16·n,
     k = 8 → ~0.2% FPR); the defaults here favor a compact oracle.
     """
     key = F.col(key_col).cast("string")
-    keys = (
-        df.where(key.isNotNull())
-        .select(key.alias("__k"))
-        .distinct()
-    )
+    keys = df.where(key.isNotNull()).select(key.alias("__k"))
     pos = keys.select(
         F.explode(
             F.array(*_positions(F.col("__k"), k_hashes, m_bits, hash_family))
         ).alias("__pos")
-    ).distinct()
+    )
     return (
         pos.select(
             F.expr(f"__pos div {WORD_BITS}").cast("bigint").alias("word"),

@@ -178,11 +178,17 @@ def triangle_count(
     w1 = oriented.select(F.col("a"), F.col("b").alias("x"))
     w2 = oriented.select(F.col("a"), F.col("b").alias("y"))
     wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
-    closing = oriented.select(
-        F.col("a").alias("x"), F.col("b").alias("y")
-    ).union(
-        oriented.select(F.col("b").alias("x"), F.col("a").alias("y"))
-    ).distinct()
+    # Closing-edge probe directly against the undirected edge set: a
+    # wedge (x, y) with x < y closes iff {x, y} is an edge, and e stores
+    # every undirected edge exactly once as (u, v) with u < v — so the
+    # id-ordered wedge pair matches e's ordering by construction. The
+    # previous form materialized `closing` = oriented ∪ reversed(oriented)
+    # + distinct; that distinct was provably a no-op (each undirected
+    # edge yields exactly one oriented row, so the two union branches are
+    # disjoint and internally duplicate-free) and the union re-scanned
+    # the oriented barrier twice — probing e drops one exchange and two
+    # scans (guide §2.4: a distinct on data that is already unique).
+    closing = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tris = wedges.join(closing, ["x", "y"]).select("a", "x", "y")
     per_node = (
         tris.select(F.explode(F.array("a", "x", "y")).alias("node"))

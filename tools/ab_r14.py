@@ -66,6 +66,14 @@ TARGETS: dict[str, list[tuple[str, str, str]]] = {
         ("reflexiv_spark.datapipe.classifier", "train_logreg_hashed",
          "reflexiv_spark/datapipe/classifier.py"),
     ],
+    "triangle_count": [
+        ("reflexiv_spark.datapipe.graph", "triangle_count",
+         "reflexiv_spark/datapipe/graph.py"),
+    ],
+    "bloom_decontam": [
+        ("reflexiv_spark.datapipe.bloom", "bloom_decontaminate",
+         "reflexiv_spark/datapipe/bloom.py"),
+    ],
 }
 
 
